@@ -1,0 +1,426 @@
+"""Collision operators (vectorized pure functions).
+
+Each operator maps post-streaming DFs to post-collision DFs:
+
+    f_new = collide(lat, f, rho, u, nu, force=...)
+
+with ``f [Q, *S]``, ``rho [*S]``, ``u [D, *S]``, ``nu`` the lattice
+viscosity (scalar or [*S]) and optional body force ``force [D, *S]`` (or
+broadcastable).  ``rho``/``u`` must come from :func:`ops.moments.density_velocity`
+(they already contain the half-force correction), matching the reference
+kernel flow (reference: include/lbm3d/kernels.h:60-100).
+
+Implemented here (D3Q27):
+- SRT   - "improved SRT" with exact per-direction forcing
+          (reference d3q27/col_srt.h:13-108).
+- BGK   - factorized-equilibrium BGK with optional Galilean correction
+          (reference d3q27/col_bgk.h:17-145).
+- CUM   - Geier 2015 cumulant operator with optional Geier 2017 limiters
+          and anti-aliasing derivative terms (reference d3q27/col_cum.h).
+
+The cumulant operator follows the published equation structure (Geier et al.
+2015, "The cumulant lattice Boltzmann equation in three dimensions",
+eqs. 6-14, 51-54, 81-96) with the per-axis transform cascades written as
+loops over a 3x3x3 tensor-of-arrays - compact and trace-time unrolled.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax.numpy as jnp
+
+from tnl_lbm_tpu.models.descriptors import D3Q27, LatticeDescriptor
+from tnl_lbm_tpu.ops import equilibrium as eqlib
+
+
+def forcing_terms(lat: LatticeDescriptor, u: jnp.ndarray, force: jnp.ndarray, rho: jnp.ndarray):
+    """Per-direction forcing S_q = (1/cs^2) * (c_q - u) . F / rho.
+
+    Exact per-direction forcing of the Geier improved-SRT scheme
+    (reference d3q27/col_srt.h:25-52 "vzorce_bgk_force.mw").
+    Returns [Q, *S].
+    """
+    c = jnp.asarray(lat.c, dtype=u.dtype)  # [Q, D]
+    cF = jnp.tensordot(c, force, axes=1)  # [Q, *S]
+    uF = jnp.sum(u * force, axis=0)  # [*S]
+    return float(lat.i_cs2) * (cF - uF) / rho
+
+
+def _apply_forced_relax(lat, f, feq, omega, S):
+    """f += (feq - f) * omega + (1 - omega/2) * S * feq (reference col_srt.h:81-107)."""
+    out = f + (feq - f) * omega
+    if S is not None:
+        out = out + (1 - 0.5 * omega) * S * feq
+    return out
+
+
+def collide_srt(lat, f, rho, u, nu, force=None, eq=eqlib.eq_quadratic):
+    """Improved SRT (Geier 2017), pluggable equilibrium."""
+    omega = 1.0 / (float(lat.i_cs2) * nu + 0.5)
+    feq = eq(lat, rho, u)
+    S = None
+    if force is not None:
+        # NOTE: rho can be 0 for ADE; guard like the reference (col_srt.h:22)
+        safe_rho = jnp.where(rho == 0, jnp.ones_like(rho), rho)
+        S = forcing_terms(lat, u, force, safe_rho)
+    return _apply_forced_relax(lat, f, feq, omega, S)
+
+
+def _bgk_axis_factors(v, G):
+    """Factorized-equilibrium axis factors (reference col_bgk.h:48-59)."""
+    Xz = 1.0 / 3.0 - 1 + v * v + G
+    Xp = -0.5 * (Xz + 1 + v)
+    Xm = Xp + v
+    return {0: Xz, 1: Xp, -1: Xm}
+
+
+def collide_bgk(lat, f, rho, u, nu, force=None, galilean: bool = False):
+    """BGK with factorized equilibrium, optional Galilean correction.
+
+    feq_q = -rho * prod_a X_a(c_qa) (reference col_bgk.h:104-131).
+    """
+    omega = 1.0 / (3.0 * nu + 0.5)
+    if galilean:
+        # Gal. correction from second raw moments (reference col_bgk.h:21-36)
+        c = lat.c
+        G = []
+        for a in range(lat.D):
+            mask = jnp.asarray((c[:, a] != 0).astype("float32"), dtype=f.dtype)
+            m2 = jnp.tensordot(mask, f, axes=1)
+            Dau = -omega * 0.5 * (3 * m2 / rho - 1 - 3 * u[a] * u[a])
+            G.append(-3 * u[a] * u[a] * Dau * (1.0 / omega - 0.5))
+    else:
+        G = [0.0] * lat.D
+
+    factors = [_bgk_axis_factors(u[a], G[a]) for a in range(lat.D)]
+    feq = []
+    for q in range(lat.Q):
+        term = -rho
+        for a in range(lat.D):
+            term = term * factors[a][int(lat.c[q, a])]
+        feq.append(term)
+    feq = jnp.stack(feq)
+
+    S = forcing_terms(lat, u, force, rho) if force is not None else None
+    return _apply_forced_relax(lat, f, feq, omega, S)
+
+
+# ---------------------------------------------------------------------------
+# Cumulant operator (Geier 2015 / 2017)
+# ---------------------------------------------------------------------------
+
+def _f_as_tensor(lat, f):
+    """View f [27, *S] as nested [ix][iy][iz] lists with i = c + 1 in {0,1,2}."""
+    T = [[[None] * 3 for _ in range(3)] for _ in range(3)]
+    for q in range(lat.Q):
+        cx, cy, cz = (int(v) for v in lat.c[q])
+        T[cx + 1][cy + 1][cz + 1] = f[q]
+    return T
+
+
+def _tensor_as_f(lat, T):
+    return jnp.stack([
+        T[int(lat.c[q, 0]) + 1][int(lat.c[q, 1]) + 1][int(lat.c[q, 2]) + 1]
+        for q in range(lat.Q)
+    ])
+
+
+def _forward_axis(triple, v):
+    """Central-moment cascade along one axis (Geier 2015 eqs. 6-8).
+
+    triple = (f_minus, f_zero, f_plus) -> (k0, k1, k2).
+    """
+    fm, fz, fp = triple
+    s = fp + fm
+    d = fp - fm
+    k0 = s + fz
+    k1 = d - v * k0
+    k2 = s - 2 * v * d + v * v * k0
+    return k0, k1, k2
+
+
+def _backward_axis(triple, v):
+    """Inverse cascade along one axis (Geier 2015 eqs. 88-90).
+
+    triple = (k0, k1, k2) -> (f_minus, f_zero, f_plus).
+    """
+    k0, k1, k2 = triple
+    fz = k0 * (1 - v * v) - 2 * v * k1 - k2
+    fm = (k0 * (v * v - v) + k1 * (2 * v - 1) + k2) * 0.5
+    fp = (k0 * (v * v + v) + k1 * (2 * v + 1) + k2) * 0.5
+    return fm, fz, fp
+
+
+def central_moments(lat, f, u):
+    """Full central-moment tensor k[a][b][g] (orders along x, y, z)."""
+    vx, vy, vz = u[0], u[1], u[2]
+    F = _f_as_tensor(lat, f)
+    # z-axis first, then y, then x - same cascade order as the reference
+    # (col_cum.h:50-148) so floating-point grouping matches.
+    Kz = [[_forward_axis(tuple(F[ix][iy][iz] for iz in range(3)), vz) for iy in range(3)] for ix in range(3)]
+    Ky = [[_forward_axis(tuple(Kz[ix][iy][g] for iy in range(3)), vy) for g in range(3)] for ix in range(3)]
+    # Ky[ix][g][b]: index b = y-order, g = z-order
+    k = [[[None] * 3 for _ in range(3)] for _ in range(3)]
+    for b in range(3):
+        for g in range(3):
+            k0, k1, k2 = _forward_axis(tuple(Ky[ix][g][b] for ix in range(3)), vx)
+            k[0][b][g], k[1][b][g], k[2][b][g] = k0, k1, k2
+    return k
+
+
+def dfs_from_central_moments(lat, k, u):
+    """Inverse of :func:`central_moments` (x, then y, then z; eqs. 88-96)."""
+    vx, vy, vz = u[0], u[1], u[2]
+    # x-axis back-transform: Bx[ix][b][g]
+    Bx = [[[None] * 3 for _ in range(3)] for _ in range(3)]
+    for b in range(3):
+        for g in range(3):
+            fm, fz, fp = _backward_axis((k[0][b][g], k[1][b][g], k[2][b][g]), vx)
+            Bx[0][b][g], Bx[1][b][g], Bx[2][b][g] = fm, fz, fp
+    # y-axis: By[ix][iy][g]
+    By = [[[None] * 3 for _ in range(3)] for _ in range(3)]
+    for ix in range(3):
+        for g in range(3):
+            fm, fz, fp = _backward_axis((Bx[ix][0][g], Bx[ix][1][g], Bx[ix][2][g]), vy)
+            By[ix][0][g], By[ix][1][g], By[ix][2][g] = fm, fz, fp
+    # z-axis: T[ix][iy][iz]
+    T = [[[None] * 3 for _ in range(3)] for _ in range(3)]
+    for ix in range(3):
+        for iy in range(3):
+            fm, fz, fp = _backward_axis((By[ix][iy][0], By[ix][iy][1], By[ix][iy][2]), vz)
+            T[ix][iy][0], T[ix][iy][1], T[ix][iy][2] = fm, fz, fp
+    return _tensor_as_f(lat, T)
+
+
+def collide_cum(
+    lat,
+    f,
+    rho,
+    u,
+    nu,
+    force=None,
+    omega2: float = 1.0,
+    geier_2017: bool = False,
+    antialias: bool = False,
+    lambdas=(0.01, 0.01, 0.01),
+):
+    """Geier 2015 cumulant collision (the reference's flagship operator, id "CUM").
+
+    Only the 10 cumulants of order >= 4 differ from central moments; they are
+    corrected via Geier 2015 eqs. 51-54 before relaxation and re-added after
+    (eqs. 81-84).  Post-collision first-order central moments are negated to
+    realize trapezoidal forcing (reference col_cum.h:343-345); the momentum
+    input ``u`` must already include F/2.
+    """
+    del force  # forcing enters via u (computed with +F/2) and the k_1 negation
+    vx, vy, vz = u[0], u[1], u[2]
+    k = central_moments(lat, f, u)
+
+    # shorthand: k[a][b][g] with a+b+g order
+    k000 = k[0][0][0]
+    k110, k101, k011 = k[1][1][0], k[1][0][1], k[0][1][1]
+    k200, k020, k002 = k[2][0][0], k[0][2][0], k[0][0][2]
+    k111 = k[1][1][1]
+    k120, k102, k210, k012, k201, k021 = (
+        k[1][2][0], k[1][0][2], k[2][1][0], k[0][1][2], k[2][0][1], k[0][2][1],
+    )
+
+    inv_rho = 1.0 / rho
+
+    # cumulants of order 4-6 (Geier 2015 eqs. 51-54)
+    C211 = k[2][1][1] - (k200 * k011 + 2 * k101 * k110) * inv_rho
+    C121 = k[1][2][1] - (k020 * k101 + 2 * k110 * k011) * inv_rho
+    C112 = k[1][1][2] - (k002 * k110 + 2 * k011 * k101) * inv_rho
+    C220 = k[2][2][0] - (k020 * k200 + 2 * k110 * k110) * inv_rho
+    C022 = k[0][2][2] - (k002 * k020 + 2 * k011 * k011) * inv_rho
+    C202 = k[2][0][2] - (k200 * k002 + 2 * k101 * k101) * inv_rho
+    C122 = k[1][2][2] - (k020 * k102 + k002 * k120 + 4 * k011 * k111 + 2 * (k110 * k012 + k101 * k021)) * inv_rho
+    C212 = k[2][1][2] - (k002 * k210 + k200 * k012 + 4 * k101 * k111 + 2 * (k011 * k201 + k110 * k102)) * inv_rho
+    C221 = k[2][2][1] - (k200 * k021 + k020 * k201 + 4 * k110 * k111 + 2 * (k101 * k120 + k011 * k210)) * inv_rho
+    C222 = (
+        k[2][2][2]
+        - (
+            4 * k111 * k111 + k200 * k[0][2][2] + k020 * k[2][0][2] + k002 * k[2][2][0]
+            + 4 * (k011 * k[2][1][1] + k101 * k[1][2][1] + k110 * k[1][1][2])
+            + 2 * (k120 * k102 + k210 * k012 + k201 * k021)
+        ) * inv_rho
+        + (
+            16 * k110 * k101 * k011
+            + 4 * (k101 * k101 * k020 + k011 * k011 * k200 + k110 * k110 * k002)
+            + 2 * k200 * k020 * k002
+        ) * inv_rho * inv_rho
+    )
+
+    # order-3 cumulants equal central moments (C_abc = k_abc for a+b+c <= 3)
+    C110, C101, C011 = k110, k101, k011
+    C200, C020, C002 = k200, k020, k002
+    C120, C102, C210, C012, C201, C021 = k120, k102, k210, k012, k201, k021
+    C111 = k111
+
+    # relaxation rates (reference col_cum.h:174-220)
+    omega1 = 1.0 / (3.0 * nu + 0.5)
+    o1, o2 = omega1, omega2
+    if geier_2017:
+        lam3, lam4, lam5 = lambdas
+        omega3 = (
+            8 * (o1 - 2) * (o2 * (3 * o1 - 1) - 5 * o1)
+            / (8 * (5 - 2 * o1) * o1 + o2 * (8 + o1 * (9 * o1 - 26)))
+        )
+        omega4 = (
+            8 * (o1 - 2) * (o1 + o2 * (3 * o1 - 7))
+            / (o2 * (56 - 42 * o1 + 9 * o1 * o1) - 8 * o1)
+        )
+        omega5 = (
+            24 * (o1 - 2) * (4 * o1 * o1 + o1 * o2 * (18 - 13 * o1) + o2 * o2 * (2 + o1 * (6 * o1 - 11)))
+            / (
+                16 * o1 * o1 * (o1 - 6)
+                - 2 * o1 * o2 * (216 + 5 * o1 * (9 * o1 - 46))
+                + o2 * o2 * (o1 * (3 * o1 - 10) * (15 * o1 - 28) - 48)
+            )
+        )
+        o120p102 = omega3 + (1 - omega3) * jnp.abs(C120 + C102) / (rho * lam3 + jnp.abs(C120 + C102))
+        o210p012 = omega3 + (1 - omega3) * jnp.abs(C210 + C012) / (rho * lam3 + jnp.abs(C210 + C012))
+        o201p021 = omega3 + (1 - omega3) * jnp.abs(C201 + C021) / (rho * lam3 + jnp.abs(C201 + C021))
+        o120m102 = omega4 + (1 - omega4) * jnp.abs(C120 - C102) / (rho * lam4 + jnp.abs(C120 - C102))
+        o210m012 = omega4 + (1 - omega4) * jnp.abs(C210 - C012) / (rho * lam4 + jnp.abs(C210 - C012))
+        o201m021 = omega4 + (1 - omega4) * jnp.abs(C201 - C021) / (rho * lam4 + jnp.abs(C201 - C021))
+        omega111 = omega5 + (1 - omega5) * jnp.abs(k111) / (rho * lam5 + jnp.abs(k111))
+        A = (
+            (4 * o1 * o1 + 2 * o1 * o2 * (o1 - 6) + o2 * o2 * (o1 * (10 - 3 * o1) - 4))
+            / ((o1 - o2) * (o2 * (2 + 3 * o1) - 8 * o1))
+        )
+        B = (
+            (4 * o1 * o2 * (9 * o1 - 16) - 4 * o1 * o1 - 2 * o2 * o2 * (2 + 9 * o1 * (o1 - 2)))
+            / (3 * (o1 - o2) * (o2 * (2 + 3 * o1) - 8 * o1))
+        )
+    else:
+        omega3 = omega4 = omega5 = 1.0
+        A = B = 0.0
+    omega6 = omega7 = omega8 = omega9 = omega10 = 1.0
+
+    Cs110 = (1 - o1) * C110
+    Cs101 = (1 - o1) * C101
+    Cs011 = (1 - o1) * C011
+
+    if antialias:
+        # velocity-derivative estimates (Geier 2017 part I eqs. 27-32)
+        Dxu = (
+            -o1 * 0.5 * inv_rho * (2 * C200 - C020 - C002)
+            - o2 * 0.5 * inv_rho * (C200 + C020 + C002 - (rho - 1))
+        )
+        Dyv = Dxu + 1.5 * o1 * inv_rho * (C200 - C020)
+        Dzw = Dxu + 1.5 * o1 * inv_rho * (C200 - C002)
+        DxvDyu = -3 * o1 * inv_rho * C110
+        DxwDzu = -3 * o1 * inv_rho * C101
+        DywDzv = -3 * o1 * inv_rho * C011
+    else:
+        Dxu = Dyv = Dzw = 0.0
+        DxvDyu = DxwDzu = DywDzv = 0.0
+
+    # second order (Geier 2017 eqs. 33-35)
+    eq33 = (1 - o1) * (C200 - C020) - 3 * rho * (1 - o1 * 0.5) * (vx * vx * Dxu - vy * vy * Dyv)
+    eq34 = (1 - o1) * (C200 - C002) - 3 * rho * (1 - o1 * 0.5) * (vx * vx * Dxu - vz * vz * Dzw)
+    eq35 = (
+        k000 * o2 + (1 - o2) * (C200 + C020 + C002)
+        - 3 * rho * (1 - o2 / 2) * (vx * vx * Dxu + vy * vy * Dyv + vz * vz * Dzw)
+    )
+    Cs200 = (eq33 + eq34 + eq35) / 3
+    Cs020 = (-2 * eq33 + eq34 + eq35) / 3
+    Cs002 = (eq33 - 2 * eq34 + eq35) / 3
+
+    # third order (eqs. 36-42)
+    if geier_2017:
+        e117 = (1 - o120p102) * (C120 + C102)
+        e118 = (1 - o210p012) * (C210 + C012)
+        e119 = (1 - o201p021) * (C201 + C021)
+        e120 = (1 - o120m102) * (C120 - C102)
+        e121 = (1 - o210m012) * (C210 - C012)
+        e122 = (1 - o201m021) * (C201 - C021)
+        Cs120 = 0.5 * (e120 + e117)
+        Cs102 = 0.5 * (-e120 + e117)
+        Cs210 = 0.5 * (e121 + e118)
+        Cs012 = 0.5 * (-e121 + e118)
+        Cs021 = 0.5 * (-e122 + e119)
+        Cs201 = 0.5 * (e122 + e119)
+        Cs111 = (1 - omega111) * C111
+    else:
+        Cs120 = (-C102 - C120) * omega3 * 0.5 + (C102 - C120) * omega4 * 0.5 + C120
+        Cs102 = (-C102 - C120) * omega3 * 0.5 + (-C102 + C120) * omega4 * 0.5 + C102
+        Cs210 = (-C012 - C210) * omega3 * 0.5 + (C012 - C210) * omega4 * 0.5 + C210
+        Cs012 = (-C012 - C210) * omega3 * 0.5 + (-C012 + C210) * omega4 * 0.5 + C012
+        Cs021 = (-C021 - C201) * omega3 * 0.5 + (-C021 + C201) * omega4 * 0.5 + C021
+        Cs201 = (-C021 - C201) * omega3 * 0.5 + (C021 - C201) * omega4 * 0.5 + C201
+        Cs111 = (1 - omega5) * C111
+
+    # fourth order (eqs. 43-48)
+    eq43 = (2.0 / 3.0) * (1.0 / o1 - 0.5) * omega6 * A * rho * (Dxu - 2 * Dyv + Dzw) + (1 - omega6) * (C220 - 2 * C202 + C022)
+    eq44 = (2.0 / 3.0) * (1.0 / o1 - 0.5) * omega6 * A * rho * (Dxu + Dyv - 2 * Dzw) + (1 - omega6) * (C220 + C202 - 2 * C022)
+    eq45 = (-4.0 / 3.0) * (1.0 / o1 - 0.5) * omega7 * A * rho * (Dxu + Dyv + Dzw) + (1 - omega7) * (C220 + C202 + C022)
+    Cs220 = (eq43 + eq44 + eq45) / 3
+    Cs202 = (-eq43 + eq45) / 3
+    Cs022 = (-eq44 + eq45) / 3
+    Cs211 = (-1.0 / 3.0) * (1.0 / o1 - 0.5) * omega8 * B * rho * DywDzv + (1 - omega8) * C211
+    Cs121 = (-1.0 / 3.0) * (1.0 / o1 - 0.5) * omega8 * B * rho * DxwDzu + (1 - omega8) * C121
+    Cs112 = (-1.0 / 3.0) * (1.0 / o1 - 0.5) * omega8 * B * rho * DxvDyu + (1 - omega8) * C112
+
+    # orders 5-6 (eqs. 49-52)
+    Cs221 = (1 - omega9) * C221
+    Cs212 = (1 - omega9) * C212
+    Cs122 = (1 - omega9) * C122
+    Cs222 = (1 - omega10) * C222
+
+    # back to central moments (Geier 2015 eqs. 81-84); ks = Cs for order <= 3
+    ks110, ks101, ks011 = Cs110, Cs101, Cs011
+    ks200, ks020, ks002 = Cs200, Cs020, Cs002
+    ks120, ks102, ks210, ks012, ks201, ks021 = Cs120, Cs102, Cs210, Cs012, Cs201, Cs021
+    ks111 = Cs111
+    ks211 = Cs211 + (ks200 * ks011 + 2 * ks101 * ks110) * inv_rho
+    ks121 = Cs121 + (ks020 * ks101 + 2 * ks110 * ks011) * inv_rho
+    ks112 = Cs112 + (ks002 * ks110 + 2 * ks011 * ks101) * inv_rho
+    ks220 = Cs220 + (ks020 * ks200 + 2 * ks110 * ks110) * inv_rho
+    ks022 = Cs022 + (ks002 * ks020 + 2 * ks011 * ks011) * inv_rho
+    ks202 = Cs202 + (ks200 * ks002 + 2 * ks101 * ks101) * inv_rho
+    ks122 = Cs122 + (ks020 * ks102 + ks002 * ks120 + 4 * ks011 * ks111 + 2 * (ks110 * ks012 + ks101 * ks021)) * inv_rho
+    ks212 = Cs212 + (ks002 * ks210 + ks200 * ks012 + 4 * ks101 * ks111 + 2 * (ks011 * ks201 + ks110 * ks102)) * inv_rho
+    ks221 = Cs221 + (ks200 * ks021 + ks020 * ks201 + 4 * ks110 * ks111 + 2 * (ks101 * ks120 + ks011 * ks210)) * inv_rho
+    ks222 = (
+        Cs222
+        + (
+            4 * ks111 * ks111 + ks200 * ks022 + ks020 * ks202 + ks002 * ks220
+            + 4 * (ks011 * ks211 + ks101 * ks121 + ks110 * ks112)
+            + 2 * (ks120 * ks102 + ks210 * ks012 + ks201 * ks021)
+        ) * inv_rho
+        - (
+            16 * ks110 * ks101 * ks011
+            + 4 * (ks101 * ks101 * ks020 + ks011 * ks011 * ks200 + ks110 * ks110 * ks002)
+            + 2 * ks200 * ks020 * ks002
+        ) * inv_rho * inv_rho
+    )
+
+    # conserved moments: negated first order realizes the forcing
+    # (reference col_cum.h:341-345)
+    ks = [[[None] * 3 for _ in range(3)] for _ in range(3)]
+    ks[0][0][0] = k000
+    ks[1][0][0] = -k[1][0][0]
+    ks[0][1][0] = -k[0][1][0]
+    ks[0][0][1] = -k[0][0][1]
+    ks[1][1][0], ks[1][0][1], ks[0][1][1] = ks110, ks101, ks011
+    ks[2][0][0], ks[0][2][0], ks[0][0][2] = ks200, ks020, ks002
+    ks[1][1][1] = ks111
+    ks[1][2][0], ks[1][0][2], ks[2][1][0] = ks120, ks102, ks210
+    ks[0][1][2], ks[2][0][1], ks[0][2][1] = ks012, ks201, ks021
+    ks[2][1][1], ks[1][2][1], ks[1][1][2] = ks211, ks121, ks112
+    ks[2][2][0], ks[0][2][2], ks[2][0][2] = ks220, ks022, ks202
+    ks[1][2][2], ks[2][1][2], ks[2][2][1] = ks122, ks212, ks221
+    ks[2][2][2] = ks222
+
+    return dfs_from_central_moments(lat, ks, u)
+
+
+# registry keyed by the reference operator ids
+COLLISIONS_D3Q27 = {
+    "SRT": partial(collide_srt, eq=eqlib.eq_quadratic),
+    "BGK": collide_bgk,
+    "CUM": collide_cum,
+}
