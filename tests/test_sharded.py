@@ -1,0 +1,102 @@
+"""1-device vs N-device equality of the sharded step (8 virtual CPU devices).
+
+The reference cannot test its MPI decomposition cheaply; JAX can - this is
+test (e) from SURVEY.md section 4.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from tnl_lbm_tpu.models import D2Q9, D3Q27
+from tnl_lbm_tpu.ops import collision as col3
+from tnl_lbm_tpu.ops import collision_2d as col2
+from tnl_lbm_tpu.ops import equilibrium as eqlib
+from tnl_lbm_tpu.ops.boundary import GEO
+from tnl_lbm_tpu.parallel.sharded import ShardPlan, make_sharded_step
+from tnl_lbm_tpu.sim import Domain, LBMConfig, initial_dfs, make_step
+from tnl_lbm_tpu.utils import Lattice
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+def _compare(cfg, dom, plan, n_steps, u_in=None, force=None, parities=False):
+    step1 = make_step(cfg, dom)
+    stepN = make_sharded_step(cfg, dom, plan)
+
+    rng = np.random.default_rng(1)
+    rho0 = jnp.asarray(1 + 0.01 * rng.standard_normal(dom.shape))
+    u0 = jnp.asarray(0.02 * rng.standard_normal((cfg.lat.D,) + dom.shape))
+    f = eqlib.eq_quadratic(cfg.lat, rho0, u0).astype(cfg.compute_dtype)
+
+    j1 = {
+        p: jax.jit(lambda f, p=p: step1(f, 0.03, u_in=u_in, force=force, parity=p))
+        for p in (0, 1)
+    }
+    f1 = f
+    for it in range(n_steps):
+        f1, rho1, u1 = j1[it % 2 if parities else 0](f1)
+
+    fN = plan.shard_field(f, like_f=True)
+    mapN = plan.shard_field(jnp.asarray(dom.map), like_f=False)
+    jN = {
+        p: jax.jit(lambda f, p=p: stepN(f, mapN, 0.03, u_in=u_in, force=force, parity=p))
+        for p in (0, 1)
+    }
+    for it in range(n_steps):
+        fN, rhoN, uN = jN[it % 2 if parities else 0](fN)
+
+    np.testing.assert_allclose(np.asarray(fN), np.asarray(f1), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(rhoN), np.asarray(rho1), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(uN), np.asarray(u1), atol=1e-12)
+
+
+def test_3d_channel_mesh222():
+    X, Y, Z = 16, 8, 8
+    units = Lattice(global_size=(X, Y, Z), phys_origin=(0, 0, 0), phys_dl=1.0, phys_dt=1.0)
+    m = np.zeros((X, Y, Z), np.uint8)
+    m[:, 0], m[:, -1] = GEO.WALL, GEO.WALL
+    m[:, :, 0], m[:, :, -1] = GEO.WALL, GEO.WALL
+    m[0, 1:-1, 1:-1] = GEO.INFLOW
+    m[-1, 1:-1, 1:-1] = GEO.OUTFLOW_EQ
+    dom = Domain(lat=D3Q27, units=units, map=m)
+    cfg = LBMConfig(lat=D3Q27, collision=col3.collide_cum, compute_dtype=jnp.float64)
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 2, 2), ("x", "y", "z"))
+    plan = ShardPlan(mesh=mesh, spatial_axes=("x", "y", "z"))
+    _compare(cfg, dom, plan, n_steps=4, u_in=jnp.array([0.03, 0.0, 0.0]))
+
+
+def test_3d_periodic_box_wraps_across_shards():
+    n = 8
+    units = Lattice(global_size=(n, n, n), phys_origin=(0, 0, 0), phys_dl=1.0, phys_dt=1.0)
+    dom = Domain(lat=D3Q27, units=units, map=np.zeros((n, n, n), np.uint8), periodic=(True,) * 3)
+    cfg = LBMConfig(lat=D3Q27, collision=col3.collide_cum, compute_dtype=jnp.float64)
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("x", "y"))
+    plan = ShardPlan(mesh=mesh, spatial_axes=("x", "y", None))
+    _compare(cfg, dom, plan, n_steps=4, force=jnp.array([1e-5, 0.0, 0.0]))
+
+
+def test_3d_aa_pattern_sharded():
+    n = 8
+    units = Lattice(global_size=(n, n, n), phys_origin=(0, 0, 0), phys_dl=1.0, phys_dt=1.0)
+    dom = Domain(lat=D3Q27, units=units, map=np.zeros((n, n, n), np.uint8), periodic=(True,) * 3)
+    cfg = LBMConfig(lat=D3Q27, collision=col3.collide_cum, streaming="AA", compute_dtype=jnp.float64)
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 2, 2), ("x", "y", "z"))
+    plan = ShardPlan(mesh=mesh, spatial_axes=("x", "y", "z"))
+    _compare(cfg, dom, plan, n_steps=4, parities=True)
+
+
+def test_2d_channel_mesh42():
+    X, Y = 32, 16
+    units = Lattice(global_size=(X, Y), phys_origin=(0, 0), phys_dl=1.0, phys_dt=1.0)
+    m = np.zeros((X, Y), np.uint8)
+    m[:, 0], m[:, -1] = GEO.WALL, GEO.WALL
+    m[0, 1:-1] = GEO.INFLOW
+    m[-1, 1:-1] = GEO.OUTFLOW_EQ
+    dom = Domain(lat=D2Q9, units=units, map=m)
+    cfg = LBMConfig(lat=D2Q9, collision=col2.collide_clbm_2d, compute_dtype=jnp.float64)
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("x", "y"))
+    plan = ShardPlan(mesh=mesh, spatial_axes=("x", "y"))
+    _compare(cfg, dom, plan, n_steps=4, u_in=jnp.array([0.03, 0.0]))

@@ -1,0 +1,120 @@
+"""Sharded simulation step: shard_map wrapper over the local fused step.
+
+This is the analog of the reference's multi-block ``LBM`` container + MPI
+synchronizers (reference: lbm.h:7-105, lattice_decomposition.h): the lattice
+is decomposed over a ``jax.sharding.Mesh`` by sharding the spatial axes of
+the ``[Q, X, Y, Z]`` state array; halos are exchanged with ``lax.ppermute``
+inside the step (parallel/halo.py).  The decomposition choice reduces to the
+mesh shape: e.g. ``make_mesh((4, 2, 1), ('x', 'y', 'z'))`` is the reference's
+optimal 3D block split, and ``(N, 1, 1)`` is its 1D x-split
+(lattice_decomposition.h:16-55, 253-283).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from tnl_lbm_tpu.parallel.halo import make_halo_pad
+from tnl_lbm_tpu.sim.config import Domain, LBMConfig
+from tnl_lbm_tpu.sim.step import make_step
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardPlan:
+    """How the lattice maps onto the device mesh."""
+
+    mesh: Mesh
+    spatial_axes: tuple  # per lattice axis: mesh axis name or None
+
+    def check(self, domain: Domain):
+        for size, name in zip(domain.shape, self.spatial_axes):
+            if name is not None and size % self.mesh.shape[name] != 0:
+                raise ValueError(
+                    f"lattice axis of size {size} not divisible by mesh axis "
+                    f"'{name}' of size {self.mesh.shape[name]}"
+                )
+
+    def local_shape(self, domain: Domain):
+        return tuple(
+            size // (self.mesh.shape[name] if name is not None else 1)
+            for size, name in zip(domain.shape, self.spatial_axes)
+        )
+
+    @property
+    def spec_f(self) -> P:
+        return P(None, *self.spatial_axes)
+
+    @property
+    def spec_site(self) -> P:
+        return P(*self.spatial_axes)
+
+    def shard_field(self, arr, like_f: bool):
+        spec = self.spec_f if like_f else self.spec_site
+        return jax.device_put(arr, NamedSharding(self.mesh, spec))
+
+
+def default_plan(domain: Domain, devices=None) -> ShardPlan:
+    """1D x-split over all available devices (reference default
+    decomposition is the analogous one-block-per-rank split, lbm.hpp:7-22)."""
+    devices = devices if devices is not None else jax.devices()
+    mesh = Mesh(np.asarray(devices), ("x",))
+    axes = ("x",) + (None,) * (domain.lat.D - 1)
+    return ShardPlan(mesh=mesh, spatial_axes=axes)
+
+
+def make_sharded_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan):
+    """Build ``step(f, map_arr, nu, u_in, force, parity)`` running under
+    shard_map with distributed halo exchange.
+
+    ``f`` and ``map_arr`` must be device arrays sharded according to
+    ``plan`` (use ``plan.shard_field``).  ``u_in``/``force`` are replicated
+    [D] vectors (or None).  Returns (f_new, rho, u) with the same shardings.
+    """
+    plan.check(domain)
+    pad = make_halo_pad(plan.mesh, plan.spatial_axes, domain.periodic)
+    local_step = make_step(cfg, domain, pad_halo=pad, local_shape=plan.local_shape(domain))
+
+    use_bouzidi = domain.bouzidi is not None
+
+    def run(parity, f, map_arr, nu, u_in, force, bouzidi_arr):
+        def local(f, map_arr, nu, u_in, force, *rest):
+            bz = rest[0] if use_bouzidi else None
+            return local_step(
+                f, nu, u_in=u_in, force=force, parity=parity,
+                map_arr=map_arr, bouzidi_arr=bz,
+            )
+
+        in_specs = [plan.spec_f, plan.spec_site, P(), P(), P()]
+        operands = [f, map_arr, nu, u_in, force]
+        if use_bouzidi:
+            in_specs.append(plan.spec_f)
+            operands.append(bouzidi_arr)
+        sharded = shard_map(
+            local,
+            mesh=plan.mesh,
+            in_specs=tuple(in_specs),
+            out_specs=(plan.spec_f, plan.spec_site, plan.spec_f),
+            check_vma=False,
+        )
+        return sharded(*operands)
+
+    def step(f, map_arr, nu, u_in=None, force=None, parity: int = 0, bouzidi_arr=None):
+        lat = cfg.lat
+        dt = cfg.compute_dtype
+        nu = jnp.asarray(nu, dt)
+        u_in = jnp.zeros((lat.D,), dt) if u_in is None else jnp.asarray(u_in, dt)
+        force = jnp.zeros((lat.D,), dt) if force is None else jnp.asarray(force, dt)
+        if use_bouzidi and bouzidi_arr is None:
+            bouzidi_arr = plan.shard_field(
+                jnp.asarray(domain.bouzidi, dtype=dt), like_f=True
+            )
+        return run(parity, f, map_arr, nu, u_in, force, bouzidi_arr)
+
+    return step

@@ -33,38 +33,38 @@ def _bcast(lat, arr, shape, dtype):
     return a
 
 
-def make_step(cfg: LBMConfig, domain: Domain, pad_halo=None):
+def make_step(cfg: LBMConfig, domain: Domain, pad_halo=None, local_shape=None):
     """Build the per-step function for (cfg, domain).
 
-    Returns ``step(f, nu, u_in=None, force=None, parity=0) -> (f_new, rho, u)``
-    with ``parity`` a Python-static A-A parity flag (ignored for A-B).
+    Returns ``step(f, nu, u_in=None, force=None, parity=0, map_arr=None,
+    bouzidi_arr=None) -> (f_new, rho, u)`` with ``parity`` a Python-static
+    A-A parity flag (ignored for A-B).  ``map_arr`` defaults to the domain's
+    global map; the distributed wrapper passes each shard's local block
+    instead (masks are derived from it inside the traced step, so they shard
+    with the data).
 
     ``pad_halo`` may be overridden with a distributed implementation
-    (parallel/halo.py) - the local step logic is identical on every shard.
+    (parallel/halo.py) and ``local_shape`` with the per-shard block shape -
+    the local step logic is identical on every shard.
     """
     lat = cfg.lat
     D = lat.D
-    S = domain.shape
+    S = tuple(local_shape) if local_shape is not None else domain.shape
     dtype = cfg.compute_dtype
     codes = domain.codes_present()
     opp = np.asarray(lat.opp)
     if pad_halo is None:
         pad_halo = lambda f: stream.pad_halo(f, domain.periodic)  # noqa: E731
 
-    masks = {c: jnp.asarray(domain.map == int(c)) for c in codes}
-    do_coll = jnp.asarray(
-        np.isin(domain.map, [int(c) for c in (bc.collision_mask_codes(D) & codes)])
+    do_coll_codes = np.array(
+        [int(c) for c in (bc.collision_mask_codes(D) & codes)], dtype=domain.map.dtype
     )
     sym_codes = [c for c in codes if c in bc.sym_table(D)]
 
     if cfg.streaming == "AA" and GEO.OUTFLOW_RIGHT_INTERP in codes:
         raise NotImplementedError("OUTFLOW_RIGHT_INTERP requires the A-B pattern")
 
-    bouzidi_thetas = (
-        jnp.asarray(domain.bouzidi, dtype=dtype) if domain.bouzidi is not None else None
-    )
-
-    def _stream_in(f, parity):
+    def _stream_in(f, parity, masks, bouzidi_thetas):
         """Post-streaming DFs at every site, including BC pull modifications."""
         if cfg.streaming == "AA" and parity == 0:
             return f  # even step: same site, same direction
@@ -95,12 +95,12 @@ def make_step(cfg: LBMConfig, domain: Domain, pad_halo=None):
         if GEO.FLUID_NEAR_WALL in codes and bouzidi_thetas is not None:
             f_in = jnp.where(
                 masks[GEO.FLUID_NEAR_WALL],
-                _bouzidi(fpad, f_in),
+                _bouzidi(fpad, f_in, bouzidi_thetas),
                 f_in,
             )
         return f_in
 
-    def _bouzidi(fpad, f_in):
+    def _bouzidi(fpad, f_in, bouzidi_thetas):
         """Bouzidi second-order curved-wall interpolation (D2Q9,
         reference d2q9/bc.h:61-87,140-167).
 
@@ -129,9 +129,16 @@ def make_step(cfg: LBMConfig, domain: Domain, pad_halo=None):
             rows.append(jnp.where(th < 0, f_in[q], interp))
         return jnp.stack(rows)
 
-    def step(f, nu, u_in=None, force=None, parity: int = 0):
+    def step(f, nu, u_in=None, force=None, parity: int = 0, map_arr=None, bouzidi_arr=None):
+        if map_arr is None:
+            map_arr = jnp.asarray(domain.map)
+        if bouzidi_arr is None and domain.bouzidi is not None:
+            bouzidi_arr = jnp.asarray(domain.bouzidi, dtype=dtype)
+        masks = {c: map_arr == int(c) for c in codes}
+        do_coll = jnp.isin(map_arr, jnp.asarray(do_coll_codes))
+
         f_old = f
-        f_in = _stream_in(f, parity)
+        f_in = _stream_in(f, parity, masks, bouzidi_arr)
 
         u_in_b = _bcast(lat, u_in, S, dtype) if u_in is not None else None
         force_b = _bcast(lat, force, S, dtype) if force is not None else None
@@ -184,7 +191,9 @@ def make_step(cfg: LBMConfig, domain: Domain, pad_halo=None):
             if parity == 0:
                 f_out = f_post[opp]
             else:
-                f_out = stream.push(lat, f_post, domain.periodic)
+                # push = pull of the padded post-collision field (uses the
+                # injected halo exchange so it works under shard_map too)
+                f_out = stream.pull(lat, pad_halo(f_post), S)
         else:
             f_out = f_post
 
