@@ -1,0 +1,92 @@
+import numpy as np
+import pytest
+
+from tnl_lbm_tpu.models import D2Q9
+from tnl_lbm_tpu.ops import collision_2d as col2
+from tnl_lbm_tpu.ops.boundary import GEO
+from tnl_lbm_tpu.sim import Domain, LBMConfig
+from tnl_lbm_tpu.sim.state import PRINT, SAVESTATE, VTK1D, VTK2D, VTK3D, Probe1DCut, Probe2DCut, Simulation
+from tnl_lbm_tpu.utils import Lattice
+
+
+class ChannelSim(Simulation):
+    def update_inflow(self, phys_time):
+        return np.array([0.05, 0.0])
+
+
+def make_sim(tmp_path, sim_id="t1", **kw):
+    X, Y = 32, 16
+    m = np.zeros((X, Y), np.uint8)
+    m[:, 0] = m[:, -1] = GEO.WALL
+    m[0, 1:-1] = GEO.INFLOW
+    m[-1, 1:-1] = GEO.OUTFLOW_EQ
+    units = Lattice(global_size=(X, Y), phys_origin=(0.0, 0.0), phys_dl=0.01, phys_dt=0.001, phys_viscosity=1e-3)
+    dom = Domain(lat=D2Q9, units=units, map=m)
+    cfg = LBMConfig(lat=D2Q9, collision=col2.collide_clbm_2d)
+    return ChannelSim(cfg, dom, sim_id=sim_id, results_parent=tmp_path, **kw)
+
+
+def test_run_with_outputs(tmp_path):
+    sim = make_sim(tmp_path, phys_final_time=0.05, steps_per_dispatch=5)
+    sim.cnt[PRINT].period = 0.01
+    sim.cnt[VTK3D].period = 0.02
+    sim.cnt[VTK2D].period = 0.02
+    sim.cnt[VTK1D].period = 0.02
+    sim.probes_2d.append(Probe2DCut(axis=0, name="cutx", position=16))
+    sim.probes_1d.append(Probe1DCut(axis=1, name="prof", pos=(16,)))
+    ok = sim.run()
+    assert ok
+    assert sim.iterations == 50
+    rd = sim.results_dir
+    assert (rd / "flag.finished").exists()
+    assert any((rd / "vtk3D").glob("*.vti"))
+    assert any((rd / "vtk2D").glob("cutx_*.vti"))
+    assert (rd / "probes" / "prof.dat").exists()
+    # double-run protection: finished flag refuses rerun
+    sim2 = make_sim(tmp_path, phys_final_time=0.05)
+    assert sim2.run() is False
+
+
+def test_vti_readable_by_numpy_roundtrip(tmp_path):
+    # minimal sanity: file exists and contains the appended data magic
+    sim = make_sim(tmp_path, sim_id="t2", phys_final_time=0.01)
+    sim.cnt[VTK3D].period = 0.005
+    sim.run()
+    vti = next((sim.results_dir / "vtk3D").glob("*.vti"))
+    blob = vti.read_bytes()
+    assert b"<VTKFile" in blob and b"AppendedData" in blob
+    assert b"lbm_density" in blob and b"velocity" in blob
+
+
+def test_checkpoint_resume(tmp_path):
+    sim = make_sim(tmp_path, sim_id="t3", phys_final_time=0.02)
+    ok = sim.run()
+    assert ok
+    sim.save_state()
+    it0 = sim.iterations
+    f0 = np.asarray(sim.f)
+
+    sim2 = make_sim(tmp_path, sim_id="t3", phys_final_time=0.04)
+    sim2.flags.delete("finished")
+    assert sim2.can_compute()
+    sim2.sim_init()
+    assert sim2.iterations == it0
+    np.testing.assert_allclose(np.asarray(sim2.f), f0)
+    sim2._lock.release()
+
+
+def test_nan_guard(tmp_path):
+    sim = make_sim(tmp_path, sim_id="t4", phys_final_time=1.0)
+    sim.cnt[PRINT].period = 0.001  # check every step
+    assert sim.can_compute()
+    sim.sim_init()
+    f = np.array(sim.f)  # writable copy
+    f[0, 5, 5] = np.nan
+    import jax.numpy as jnp
+
+    sim.f = jnp.asarray(f)
+    sim._advance(2)
+    sim._after_sim_update()
+    assert sim.terminate and sim.nan_detected
+    sim._lock.release()
+    assert any((sim.results_dir / "vtk3D").glob("*nan_dump*"))

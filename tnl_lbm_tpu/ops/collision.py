@@ -126,69 +126,162 @@ def _tensor_as_f(lat, T):
     ])
 
 
-def _forward_axis(triple, v):
+def _forward_axis(triple, v, offsets=None):
     """Central-moment cascade along one axis (Geier 2015 eqs. 6-8).
 
     triple = (f_minus, f_zero, f_plus) -> (k0, k1, k2).
+
+    With ``offsets`` (Python floats (Km, Kz, Kp)), the inputs are treated as
+    deviations from those constants and the outputs are the correspondingly
+    shifted moments - the well-conditioned cascade, where every velocity
+    multiplication re-adds the constant part so that catastrophic
+    cancellation on O(1) weights never occurs (reference col_cum_well.h
+    K_* constants).  Returns ((k0, k1, k2), (K0, K1, K2)).
     """
     fm, fz, fp = triple
     s = fp + fm
     d = fp - fm
     k0 = s + fz
-    k1 = d - v * k0
-    k2 = s - 2 * v * d + v * v * k0
-    return k0, k1, k2
+    if offsets is None:
+        k1 = d - v * k0
+        k2 = s - 2 * v * d + v * v * k0
+        return k0, k1, k2
+    Km, Kz, Kp = offsets
+    assert Kp == Km, "axis weight offsets must be symmetric"
+    K0 = Km + Kz + Kp
+    K2 = Km + Kp
+    k1 = d - v * (k0 + K0)
+    k2 = s - 2 * v * d + v * v * (k0 + K0)
+    return (k0, k1, k2), (K0, 0.0, K2)
 
 
-def _backward_axis(triple, v):
+def _backward_axis(triple, v, offsets=None):
     """Inverse cascade along one axis (Geier 2015 eqs. 88-90).
 
     triple = (k0, k1, k2) -> (f_minus, f_zero, f_plus).
+
+    With ``offsets = (K0, K1, K2)`` (K1 must be 0) the inputs are shifted
+    moments and the outputs are shifted populations with offsets
+    (Wm, Wz, Wp) = (K2/2, K0-K2, K2/2) (reference col_cum_well.h eqs. 57-63).
     """
     k0, k1, k2 = triple
-    fz = k0 * (1 - v * v) - 2 * v * k1 - k2
-    fm = (k0 * (v * v - v) + k1 * (2 * v - 1) + k2) * 0.5
-    fp = (k0 * (v * v + v) + k1 * (2 * v + 1) + k2) * 0.5
-    return fm, fz, fp
+    if offsets is None:
+        fz = k0 * (1 - v * v) - 2 * v * k1 - k2
+        fm = (k0 * (v * v - v) + k1 * (2 * v - 1) + k2) * 0.5
+        fp = (k0 * (v * v + v) + k1 * (2 * v + 1) + k2) * 0.5
+        return fm, fz, fp
+    K0, K1, K2 = offsets
+    assert K1 == 0.0
+    fz = k0 * (1 - v * v) - 2 * v * k1 - k2 - K0 * (v * v)
+    fm = ((k0 + K0) * (v * v - v) + k1 * (2 * v - 1) + k2) * 0.5
+    fp = ((k0 + K0) * (v * v + v) + k1 * (2 * v + 1) + k2) * 0.5
+    return (fm, fz, fp), (0.5 * K2, K0 - K2, 0.5 * K2)
 
 
-def central_moments(lat, f, u):
-    """Full central-moment tensor k[a][b][g] (orders along x, y, z)."""
+def _weight_tensor(lat):
+    """Lattice weights as a [3][3][3] nested list of floats."""
+    W = [[[0.0] * 3 for _ in range(3)] for _ in range(3)]
+    for q in range(lat.Q):
+        cx, cy, cz = (int(v) for v in lat.c[q])
+        W[cx + 1][cy + 1][cz + 1] = float(lat.w[q])
+    return W
+
+
+def central_moments(lat, f, u, well: bool = False):
+    """Full central-moment tensor k[a][b][g] (orders along x, y, z).
+
+    With ``well=True``, ``f`` holds deviation DFs and the result holds
+    *shifted* central moments k = kappa(f_total) - K, where K_abg is the raw
+    weight-lattice moment prod_axis(1, 0, 1/3)[order] (cancellation-free).
+    """
     vx, vy, vz = u[0], u[1], u[2]
     F = _f_as_tensor(lat, f)
-    # z-axis first, then y, then x - same cascade order as the reference
-    # (col_cum.h:50-148) so floating-point grouping matches.
-    Kz = [[_forward_axis(tuple(F[ix][iy][iz] for iz in range(3)), vz) for iy in range(3)] for ix in range(3)]
-    Ky = [[_forward_axis(tuple(Kz[ix][iy][g] for iy in range(3)), vy) for g in range(3)] for ix in range(3)]
-    # Ky[ix][g][b]: index b = y-order, g = z-order
+    if not well:
+        Kz = [[_forward_axis(tuple(F[ix][iy][iz] for iz in range(3)), vz) for iy in range(3)] for ix in range(3)]
+        Ky = [[_forward_axis(tuple(Kz[ix][iy][g] for iy in range(3)), vy) for g in range(3)] for ix in range(3)]
+        k = [[[None] * 3 for _ in range(3)] for _ in range(3)]
+        for b in range(3):
+            for g in range(3):
+                k0, k1, k2 = _forward_axis(tuple(Ky[ix][g][b] for ix in range(3)), vx)
+                k[0][b][g], k[1][b][g], k[2][b][g] = k0, k1, k2
+        return k
+
+    W = _weight_tensor(lat)
+    Kz = [[None] * 3 for _ in range(3)]
+    Oz = [[None] * 3 for _ in range(3)]
+    for ix in range(3):
+        for iy in range(3):
+            Kz[ix][iy], Oz[ix][iy] = _forward_axis(
+                tuple(F[ix][iy][iz] for iz in range(3)), vz, tuple(W[ix][iy])
+            )
+    Ky = [[None] * 3 for _ in range(3)]
+    Oy = [[None] * 3 for _ in range(3)]
+    for ix in range(3):
+        for g in range(3):
+            Ky[ix][g], Oy[ix][g] = _forward_axis(
+                tuple(Kz[ix][iy][g] for iy in range(3)), vy,
+                tuple(Oz[ix][iy][g] for iy in range(3)),
+            )
     k = [[[None] * 3 for _ in range(3)] for _ in range(3)]
     for b in range(3):
         for g in range(3):
-            k0, k1, k2 = _forward_axis(tuple(Ky[ix][g][b] for ix in range(3)), vx)
+            (k0, k1, k2), _ = _forward_axis(
+                tuple(Ky[ix][g][b] for ix in range(3)), vx,
+                tuple(Oy[ix][g][b] for ix in range(3)),
+            )
             k[0][b][g], k[1][b][g], k[2][b][g] = k0, k1, k2
     return k
 
 
-def dfs_from_central_moments(lat, k, u):
+#: raw weight-lattice moments K_abg = prod over axes of (1, 0, 1/3)[order]
+def _K(a, b, g):
+    m = (1.0, 0.0, 1.0 / 3.0)
+    return m[a] * m[b] * m[g]
+
+
+def dfs_from_central_moments(lat, k, u, well: bool = False):
     """Inverse of :func:`central_moments` (x, then y, then z; eqs. 88-96)."""
     vx, vy, vz = u[0], u[1], u[2]
+    off = (lambda a, b, g: _K(a, b, g)) if well else None
     # x-axis back-transform: Bx[ix][b][g]
     Bx = [[[None] * 3 for _ in range(3)] for _ in range(3)]
+    Ox = [[[0.0] * 3 for _ in range(3)] for _ in range(3)]
     for b in range(3):
         for g in range(3):
-            fm, fz, fp = _backward_axis((k[0][b][g], k[1][b][g], k[2][b][g]), vx)
+            if well:
+                (fm, fz, fp), (Wm, Wz, Wp) = _backward_axis(
+                    (k[0][b][g], k[1][b][g], k[2][b][g]), vx,
+                    (_K(0, b, g), _K(1, b, g), _K(2, b, g)),
+                )
+                Ox[0][b][g], Ox[1][b][g], Ox[2][b][g] = Wm, Wz, Wp
+            else:
+                fm, fz, fp = _backward_axis((k[0][b][g], k[1][b][g], k[2][b][g]), vx)
             Bx[0][b][g], Bx[1][b][g], Bx[2][b][g] = fm, fz, fp
     # y-axis: By[ix][iy][g]
     By = [[[None] * 3 for _ in range(3)] for _ in range(3)]
+    Oy = [[[0.0] * 3 for _ in range(3)] for _ in range(3)]
     for ix in range(3):
         for g in range(3):
-            fm, fz, fp = _backward_axis((Bx[ix][0][g], Bx[ix][1][g], Bx[ix][2][g]), vy)
+            if well:
+                (fm, fz, fp), (Wm, Wz, Wp) = _backward_axis(
+                    (Bx[ix][0][g], Bx[ix][1][g], Bx[ix][2][g]), vy,
+                    (Ox[ix][0][g], Ox[ix][1][g], Ox[ix][2][g]),
+                )
+                Oy[ix][0][g], Oy[ix][1][g], Oy[ix][2][g] = Wm, Wz, Wp
+            else:
+                fm, fz, fp = _backward_axis((Bx[ix][0][g], Bx[ix][1][g], Bx[ix][2][g]), vy)
             By[ix][0][g], By[ix][1][g], By[ix][2][g] = fm, fz, fp
     # z-axis: T[ix][iy][iz]
     T = [[[None] * 3 for _ in range(3)] for _ in range(3)]
     for ix in range(3):
         for iy in range(3):
-            fm, fz, fp = _backward_axis((By[ix][iy][0], By[ix][iy][1], By[ix][iy][2]), vz)
+            if well:
+                (fm, fz, fp), _ = _backward_axis(
+                    (By[ix][iy][0], By[ix][iy][1], By[ix][iy][2]), vz,
+                    (Oy[ix][iy][0], Oy[ix][iy][1], Oy[ix][iy][2]),
+                )
+            else:
+                fm, fz, fp = _backward_axis((By[ix][iy][0], By[ix][iy][1], By[ix][iy][2]), vz)
             T[ix][iy][0], T[ix][iy][1], T[ix][iy][2] = fm, fz, fp
     return _tensor_as_f(lat, T)
 
@@ -204,6 +297,7 @@ def collide_cum(
     geier_2017: bool = False,
     antialias: bool = False,
     lambdas=(0.01, 0.01, 0.01),
+    well: bool = False,
 ):
     """Geier 2015 cumulant collision (the reference's flagship operator, id "CUM").
 
@@ -212,10 +306,17 @@ def collide_cum(
     (eqs. 81-84).  Post-collision first-order central moments are negated to
     realize trapezoidal forcing (reference col_cum.h:343-345); the momentum
     input ``u`` must already include F/2.
+
+    With ``well=True`` this is the well-conditioned variant (id "CUM_WELL",
+    reference col_cum_well.h): ``f`` holds deviations from the lattice
+    weights, every transform runs on shifted moments with the O(1) constants
+    threaded symbolically, so small updates are never swamped by the weights
+    (essential at float32 on TPU), and ``rho`` is the total density
+    (1 + sum of deviations).
     """
     del force  # forcing enters via u (computed with +F/2) and the k_1 negation
     vx, vy, vz = u[0], u[1], u[2]
-    k = central_moments(lat, f, u)
+    k = central_moments(lat, f, u, well=well)
 
     # shorthand: k[a][b][g] with a+b+g order
     k000 = k[0][0][0]
@@ -227,30 +328,73 @@ def collide_cum(
     )
 
     inv_rho = 1.0 / rho
+    third = 1.0 / 3.0
 
-    # cumulants of order 4-6 (Geier 2015 eqs. 51-54)
-    C211 = k[2][1][1] - (k200 * k011 + 2 * k101 * k110) * inv_rho
-    C121 = k[1][2][1] - (k020 * k101 + 2 * k110 * k011) * inv_rho
-    C112 = k[1][1][2] - (k002 * k110 + 2 * k011 * k101) * inv_rho
-    C220 = k[2][2][0] - (k020 * k200 + 2 * k110 * k110) * inv_rho
-    C022 = k[0][2][2] - (k002 * k020 + 2 * k011 * k011) * inv_rho
-    C202 = k[2][0][2] - (k200 * k002 + 2 * k101 * k101) * inv_rho
-    C122 = k[1][2][2] - (k020 * k102 + k002 * k120 + 4 * k011 * k111 + 2 * (k110 * k012 + k101 * k021)) * inv_rho
-    C212 = k[2][1][2] - (k002 * k210 + k200 * k012 + 4 * k101 * k111 + 2 * (k011 * k201 + k110 * k102)) * inv_rho
-    C221 = k[2][2][1] - (k200 * k021 + k020 * k201 + 4 * k110 * k111 + 2 * (k101 * k120 + k011 * k210)) * inv_rho
-    C222 = (
-        k[2][2][2]
-        - (
-            4 * k111 * k111 + k200 * k[0][2][2] + k020 * k[2][0][2] + k002 * k[2][2][0]
-            + 4 * (k011 * k[2][1][1] + k101 * k[1][2][1] + k110 * k[1][1][2])
-            + 2 * (k120 * k102 + k210 * k012 + k201 * k021)
+    # cumulants of order 4-6 (Geier 2015 eqs. 51-54; well-conditioned
+    # expansions keep only small-small products, reference col_cum_well.h)
+    if not well:
+        C211 = k[2][1][1] - (k200 * k011 + 2 * k101 * k110) * inv_rho
+        C121 = k[1][2][1] - (k020 * k101 + 2 * k110 * k011) * inv_rho
+        C112 = k[1][1][2] - (k002 * k110 + 2 * k011 * k101) * inv_rho
+        C220 = k[2][2][0] - (k020 * k200 + 2 * k110 * k110) * inv_rho
+        C022 = k[0][2][2] - (k002 * k020 + 2 * k011 * k011) * inv_rho
+        C202 = k[2][0][2] - (k200 * k002 + 2 * k101 * k101) * inv_rho
+        C122 = k[1][2][2] - (k020 * k102 + k002 * k120 + 4 * k011 * k111 + 2 * (k110 * k012 + k101 * k021)) * inv_rho
+        C212 = k[2][1][2] - (k002 * k210 + k200 * k012 + 4 * k101 * k111 + 2 * (k011 * k201 + k110 * k102)) * inv_rho
+        C221 = k[2][2][1] - (k200 * k021 + k020 * k201 + 4 * k110 * k111 + 2 * (k101 * k120 + k011 * k210)) * inv_rho
+        C222 = (
+            k[2][2][2]
+            - (
+                4 * k111 * k111 + k200 * k[0][2][2] + k020 * k[2][0][2] + k002 * k[2][2][0]
+                + 4 * (k011 * k[2][1][1] + k101 * k[1][2][1] + k110 * k[1][1][2])
+                + 2 * (k120 * k102 + k210 * k012 + k201 * k021)
+            ) * inv_rho
+            + (
+                16 * k110 * k101 * k011
+                + 4 * (k101 * k101 * k020 + k011 * k011 * k200 + k110 * k110 * k002)
+                + 2 * k200 * k020 * k002
+            ) * inv_rho * inv_rho
+        )
+    else:
+        C211 = k[2][1][1] - ((k200 + third) * k011 + 2 * k101 * k110) * inv_rho
+        C121 = k[1][2][1] - ((k020 + third) * k101 + 2 * k110 * k011) * inv_rho
+        C112 = k[1][1][2] - ((k002 + third) * k110 + 2 * k011 * k101) * inv_rho
+        C220 = k[2][2][0] - (k020 * k200 + 2 * k110 * k110 + (k020 + k200) * third - k000 / 9.0) * inv_rho
+        C022 = k[0][2][2] - (k002 * k020 + 2 * k011 * k011 + (k002 + k020) * third - k000 / 9.0) * inv_rho
+        C202 = k[2][0][2] - (k200 * k002 + 2 * k101 * k101 + (k200 + k002) * third - k000 / 9.0) * inv_rho
+        C122 = k[1][2][2] - (
+            k020 * k102 + k002 * k120 + 4 * k011 * k111 + 2 * (k110 * k012 + k101 * k021)
+            + (k102 + k120) * third
         ) * inv_rho
-        + (
-            16 * k110 * k101 * k011
-            + 4 * (k101 * k101 * k020 + k011 * k011 * k200 + k110 * k110 * k002)
-            + 2 * k200 * k020 * k002
-        ) * inv_rho * inv_rho
-    )
+        C212 = k[2][1][2] - (
+            k002 * k210 + k200 * k012 + 4 * k101 * k111 + 2 * (k011 * k201 + k110 * k102)
+            + (k210 + k012) * third
+        ) * inv_rho
+        C221 = k[2][2][1] - (
+            k200 * k021 + k020 * k201 + 4 * k110 * k111 + 2 * (k101 * k120 + k011 * k210)
+            + (k021 + k201) * third
+        ) * inv_rho
+        k022_, k202_, k220_ = k[0][2][2], k[2][0][2], k[2][2][0]
+        sum_k2 = k200 + k020 + k002
+        sum_k22 = k022_ + k202_ + k220_
+        sum_sq = k101 * k101 + k011 * k011 + k110 * k110
+        sum_pairs = k200 * k020 + k200 * k002 + k020 * k002
+        C222 = (
+            k[2][2][2]
+            - (
+                4 * k111 * k111 + k200 * k022_ + k020 * k202_ + k002 * k220_
+                + 4 * (k011 * k[2][1][1] + k101 * k[1][2][1] + k110 * k[1][1][2])
+                + 2 * (k120 * k102 + k210 * k012 + k201 * k021)
+                + sum_k2 / 9.0 + sum_k22 * third
+            ) * inv_rho
+            + (
+                16 * k110 * k101 * k011
+                + 4 * (k101 * k101 * k020 + k011 * k011 * k200 + k110 * k110 * k002)
+                + 2 * k200 * k020 * k002
+                + (4.0 * third) * sum_sq + (2.0 * third) * sum_pairs + (2.0 / 9.0) * sum_k2
+            ) * inv_rho * inv_rho
+            + (k000 * k000 - k000) / 27.0 * inv_rho * inv_rho
+        )
 
     # order-3 cumulants equal central moments (C_abc = k_abc for a+b+c <= 3)
     C110, C101, C011 = k110, k101, k011
@@ -304,10 +448,14 @@ def collide_cum(
     Cs011 = (1 - o1) * C011
 
     if antialias:
-        # velocity-derivative estimates (Geier 2017 part I eqs. 27-32)
+        # velocity-derivative estimates (Geier 2017 part I eqs. 27-32).
+        # The bulk term is the non-equilibrium trace kappa_2 - rho, which in
+        # both storage conventions equals (C200 + C020 + C002) - k000
+        # (reference col_cum_well.h:271; the non-well reference file carries
+        # an extra +1 here that its own comment flags as confusing).
         Dxu = (
             -o1 * 0.5 * inv_rho * (2 * C200 - C020 - C002)
-            - o2 * 0.5 * inv_rho * (C200 + C020 + C002 - (rho - 1))
+            - o2 * 0.5 * inv_rho * (C200 + C020 + C002 - k000)
         )
         Dyv = Dxu + 1.5 * o1 * inv_rho * (C200 - C020)
         Dzw = Dxu + 1.5 * o1 * inv_rho * (C200 - C002)
@@ -375,28 +523,69 @@ def collide_cum(
     ks200, ks020, ks002 = Cs200, Cs020, Cs002
     ks120, ks102, ks210, ks012, ks201, ks021 = Cs120, Cs102, Cs210, Cs012, Cs201, Cs021
     ks111 = Cs111
-    ks211 = Cs211 + (ks200 * ks011 + 2 * ks101 * ks110) * inv_rho
-    ks121 = Cs121 + (ks020 * ks101 + 2 * ks110 * ks011) * inv_rho
-    ks112 = Cs112 + (ks002 * ks110 + 2 * ks011 * ks101) * inv_rho
-    ks220 = Cs220 + (ks020 * ks200 + 2 * ks110 * ks110) * inv_rho
-    ks022 = Cs022 + (ks002 * ks020 + 2 * ks011 * ks011) * inv_rho
-    ks202 = Cs202 + (ks200 * ks002 + 2 * ks101 * ks101) * inv_rho
-    ks122 = Cs122 + (ks020 * ks102 + ks002 * ks120 + 4 * ks011 * ks111 + 2 * (ks110 * ks012 + ks101 * ks021)) * inv_rho
-    ks212 = Cs212 + (ks002 * ks210 + ks200 * ks012 + 4 * ks101 * ks111 + 2 * (ks011 * ks201 + ks110 * ks102)) * inv_rho
-    ks221 = Cs221 + (ks200 * ks021 + ks020 * ks201 + 4 * ks110 * ks111 + 2 * (ks101 * ks120 + ks011 * ks210)) * inv_rho
-    ks222 = (
-        Cs222
-        + (
-            4 * ks111 * ks111 + ks200 * ks022 + ks020 * ks202 + ks002 * ks220
-            + 4 * (ks011 * ks211 + ks101 * ks121 + ks110 * ks112)
-            + 2 * (ks120 * ks102 + ks210 * ks012 + ks201 * ks021)
+    if not well:
+        ks211 = Cs211 + (ks200 * ks011 + 2 * ks101 * ks110) * inv_rho
+        ks121 = Cs121 + (ks020 * ks101 + 2 * ks110 * ks011) * inv_rho
+        ks112 = Cs112 + (ks002 * ks110 + 2 * ks011 * ks101) * inv_rho
+        ks220 = Cs220 + (ks020 * ks200 + 2 * ks110 * ks110) * inv_rho
+        ks022 = Cs022 + (ks002 * ks020 + 2 * ks011 * ks011) * inv_rho
+        ks202 = Cs202 + (ks200 * ks002 + 2 * ks101 * ks101) * inv_rho
+        ks122 = Cs122 + (ks020 * ks102 + ks002 * ks120 + 4 * ks011 * ks111 + 2 * (ks110 * ks012 + ks101 * ks021)) * inv_rho
+        ks212 = Cs212 + (ks002 * ks210 + ks200 * ks012 + 4 * ks101 * ks111 + 2 * (ks011 * ks201 + ks110 * ks102)) * inv_rho
+        ks221 = Cs221 + (ks200 * ks021 + ks020 * ks201 + 4 * ks110 * ks111 + 2 * (ks101 * ks120 + ks011 * ks210)) * inv_rho
+        ks222 = (
+            Cs222
+            + (
+                4 * ks111 * ks111 + ks200 * ks022 + ks020 * ks202 + ks002 * ks220
+                + 4 * (ks011 * ks211 + ks101 * ks121 + ks110 * ks112)
+                + 2 * (ks120 * ks102 + ks210 * ks012 + ks201 * ks021)
+            ) * inv_rho
+            - (
+                16 * ks110 * ks101 * ks011
+                + 4 * (ks101 * ks101 * ks020 + ks011 * ks011 * ks200 + ks110 * ks110 * ks002)
+                + 2 * ks200 * ks020 * ks002
+            ) * inv_rho * inv_rho
+        )
+    else:
+        # shifted-space inverses (reference col_cum_well.h eqs. 53-56)
+        ks211 = Cs211 + ((ks200 + third) * ks011 + 2 * ks101 * ks110) * inv_rho
+        ks121 = Cs121 + ((ks020 + third) * ks101 + 2 * ks110 * ks011) * inv_rho
+        ks112 = Cs112 + ((ks002 + third) * ks110 + 2 * ks011 * ks101) * inv_rho
+        ks220 = Cs220 + (ks020 * ks200 + 2 * ks110 * ks110 + (ks020 + ks200) * third) * inv_rho - k000 * inv_rho / 9.0
+        ks022 = Cs022 + (ks002 * ks020 + 2 * ks011 * ks011 + (ks002 + ks020) * third) * inv_rho - k000 * inv_rho / 9.0
+        ks202 = Cs202 + (ks200 * ks002 + 2 * ks101 * ks101 + (ks200 + ks002) * third) * inv_rho - k000 * inv_rho / 9.0
+        ks122 = Cs122 + (
+            ks020 * ks102 + ks002 * ks120 + 4 * ks011 * ks111 + 2 * (ks110 * ks012 + ks101 * ks021)
+            + (ks102 + ks120) * third
         ) * inv_rho
-        - (
-            16 * ks110 * ks101 * ks011
-            + 4 * (ks101 * ks101 * ks020 + ks011 * ks011 * ks200 + ks110 * ks110 * ks002)
-            + 2 * ks200 * ks020 * ks002
-        ) * inv_rho * inv_rho
-    )
+        ks212 = Cs212 + (
+            ks002 * ks210 + ks200 * ks012 + 4 * ks101 * ks111 + 2 * (ks011 * ks201 + ks110 * ks102)
+            + (ks210 + ks012) * third
+        ) * inv_rho
+        ks221 = Cs221 + (
+            ks200 * ks021 + ks020 * ks201 + 4 * ks110 * ks111 + 2 * (ks101 * ks120 + ks011 * ks210)
+            + (ks021 + ks201) * third
+        ) * inv_rho
+        sum_ks2 = ks200 + ks020 + ks002
+        sum_ks22 = ks022 + ks202 + ks220
+        sum_sq_s = ks101 * ks101 + ks011 * ks011 + ks110 * ks110
+        sum_pairs_s = ks200 * ks020 + ks200 * ks002 + ks020 * ks002
+        ks222 = (
+            Cs222
+            + (
+                4 * ks111 * ks111 + ks200 * ks022 + ks020 * ks202 + ks002 * ks220
+                + 4 * (ks011 * ks211 + ks101 * ks121 + ks110 * ks112)
+                + 2 * (ks120 * ks102 + ks210 * ks012 + ks201 * ks021)
+                + sum_ks2 / 9.0 + sum_ks22 * third
+            ) * inv_rho
+            - (
+                16 * ks110 * ks101 * ks011
+                + 4 * (ks101 * ks101 * ks020 + ks011 * ks011 * ks200 + ks110 * ks110 * ks002)
+                + 2 * ks200 * ks020 * ks002
+                + (4.0 * third) * sum_sq_s + (2.0 * third) * sum_pairs_s + (2.0 / 9.0) * sum_ks2
+            ) * inv_rho * inv_rho
+            - (k000 * k000 - k000) / 27.0 * inv_rho * inv_rho
+        )
 
     # conserved moments: negated first order realizes the forcing
     # (reference col_cum.h:341-345)
@@ -415,7 +604,10 @@ def collide_cum(
     ks[1][2][2], ks[2][1][2], ks[2][2][1] = ks122, ks212, ks221
     ks[2][2][2] = ks222
 
-    return dfs_from_central_moments(lat, ks, u)
+    return dfs_from_central_moments(lat, ks, u, well=well)
+
+
+collide_cum_well = partial(collide_cum, well=True)
 
 
 # registry keyed by the reference operator ids
@@ -423,4 +615,5 @@ COLLISIONS_D3Q27 = {
     "SRT": partial(collide_srt, eq=eqlib.eq_quadratic),
     "BGK": collide_bgk,
     "CUM": collide_cum,
+    "CUM_WELL": collide_cum_well,
 }

@@ -1,0 +1,536 @@
+"""Simulation driver: lifecycle, counters, probes, output, checkpointing.
+
+Analog of the reference ``State<NSE>`` + ``execute`` time loop (reference:
+state.h:89-330, state.hpp:906-1311, core.h:38-101):
+
+- lifecycle: ``sim_init`` -> loop { ``sim_update`` (one lattice step),
+  ``after_sim_update`` (counter-gated actions) } -> ``after_sim_finished``;
+- counter system with periods in *physical seconds* (wall seconds for
+  SAVESTATE) (reference state.h:62-87);
+- run-directory management: ``results_<id>`` with flock-based double-run
+  protection and flag files (loadstate / finished / terminated)
+  (reference state.h:294-303, state.hpp:12-66);
+- probes: 1D line/axis cuts to text files, 2D plane cuts and 3D (sub-box,
+  strided) cuts to .vti (reference state.hpp:123-511, lbm_block.hpp:799-1121);
+- GLUPS performance reporting with incremental and final averages
+  (reference state.hpp:1244-1311);
+- NaN guard on density triggering terminate + diagnostic dump
+  (reference state.hpp:1166-1188);
+- walltime limit -> checkpoint + clean exit (reference core.h:60-68).
+
+Differences by design (TPU-first): there is no per-rank anything - the mesh
+is driven from a single Python process; device work is dispatched
+asynchronously and host-side actions quantize to step granularity.  The NaN
+scan runs on counter cadence rather than every step so it never stalls the
+device pipeline.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tnl_lbm_tpu.io.vtk import write_vti
+from tnl_lbm_tpu.sim import checkpoint as ckpt
+from tnl_lbm_tpu.sim.config import Domain, LBMConfig, initial_dfs
+from tnl_lbm_tpu.sim.step import make_step
+from tnl_lbm_tpu.utils.fileutils import FileLock, Flags, mkdir_p
+from tnl_lbm_tpu.utils.logging_utils import get_logger, init_logging
+
+# counter names (reference state.h:73-87)
+STAT_RESET = "stat_reset"
+STAT2_RESET = "stat2_reset"
+PRINT = "print"
+VTK1D = "vtk1d"
+VTK2D = "vtk2d"
+VTK3D = "vtk3d"
+PROBE1 = "probe1"
+PROBE2 = "probe2"
+PROBE3 = "probe3"
+SAVESTATE = "savestate"
+VTK3DCUT = "vtk3dcut"
+ALL_COUNTERS = (
+    STAT_RESET, STAT2_RESET, PRINT, VTK1D, VTK2D, VTK3D,
+    PROBE1, PROBE2, PROBE3, SAVESTATE, VTK3DCUT,
+)
+
+
+@dataclasses.dataclass
+class Counter:
+    """Period-triggered action counter (reference state.h:61-71)."""
+
+    count: int = 0
+    period: float = -1.0
+
+    def action(self, t: float) -> bool:
+        return self.period > 0 and t >= self.count * self.period
+
+
+@dataclasses.dataclass
+class Probe2DCut:
+    axis: int  # 0=X, 1=Y, 2=Z
+    name: str
+    position: int
+    cycle: int = 0
+
+
+@dataclasses.dataclass
+class Probe3DCut:
+    origin: tuple
+    length: tuple
+    step: int
+    name: str
+    cycle: int = 0
+
+
+@dataclasses.dataclass
+class Probe1DCut:
+    axis: int  # axis along which the line runs
+    name: str
+    pos: tuple  # fixed indices of the other axes, in axis order
+    cycle: int = 0
+
+
+class Simulation:
+    """One lattice + driver.  Subclass and override the hooks (analog of the
+    reference's ~15 virtual methods, state.h:216-229)."""
+
+    def __init__(
+        self,
+        cfg: LBMConfig,
+        domain: Domain,
+        sim_id: str = "sim",
+        results_parent=".",
+        plan=None,
+        wall_time_limit: float | None = None,
+        phys_final_time: float = np.inf,
+        steps_per_dispatch: int = 1,
+    ):
+        self.cfg = cfg
+        self.domain = domain
+        self.id = sim_id
+        self.results_dir = Path(results_parent) / f"results_{sim_id}"
+        self.plan = plan
+        self.wall_time_limit = wall_time_limit
+        self.phys_final_time = phys_final_time
+        self.steps_per_dispatch = max(1, int(steps_per_dispatch))
+
+        self.cnt = {name: Counter() for name in ALL_COUNTERS}
+        self.probes_1d: list[Probe1DCut] = []
+        self.probes_2d: list[Probe2DCut] = []
+        self.probes_3d: list[Probe3DCut] = []
+
+        self.iterations = 0
+        self.start_iterations = 0
+        self.terminate = False
+        self.nan_detected = False
+
+        self.f = None
+        self.rho = None
+        self.u = None
+        self.stat_counter = 0
+        self.vm = None   # running mean velocity [D,*S]
+        self.vm2 = None  # running (co)variance accumulators [.. ,*S]
+        self.collect_stats = False
+
+        self._lock = FileLock(self.results_dir / "lock")
+        self.flags = Flags(self.results_dir)
+        self._t_wall_start = time.time()
+        self._glups_prev_iter = 0
+        self._glups_prev_time = None
+        self._compute_time = 0.0
+
+        mkdir_p(self.results_dir)
+        init_logging(self.results_dir)
+        self.log = get_logger("main")
+        self.prof = get_logger("profile")
+
+        self._step = None
+        self._jit_steps = {}
+
+    # ------------------------------------------------------------------ hooks
+    def update_inflow(self, phys_time: float):
+        """Return the inflow velocity ([D] or [D,*S]) for this step, or None
+        (analog of updateKernelVelocities, reference core.h:50)."""
+        return None
+
+    def body_force(self, phys_time: float):
+        """Return the homogeneous body force [D] or None."""
+        return None
+
+    def compute_before_step(self):
+        """Hook before the LBM step (non-Newtonian kernels etc.)."""
+
+    def compute_after_step(self):
+        """Hook after the LBM step."""
+
+    def probe1(self):
+        """App-defined probe (PROBE1 counter), e.g. error norms."""
+
+    def probe2(self):
+        """App-defined probe (PROBE2 counter)."""
+
+    def probe3(self):
+        """App-defined probe (PROBE3 counter)."""
+
+    def output_data(self):
+        """name -> host array fields for VTK output.  Default: rho + velocity
+        in physical units."""
+        lat = self.domain.units
+        scalars = {"lbm_density": np.asarray(jax.device_get(self.rho))}
+        vectors = {"velocity": np.asarray(jax.device_get(self.u)) * (lat.phys_dl / lat.phys_dt if lat.phys_dt else 1.0)}
+        return scalars, vectors
+
+    def probe_values(self):
+        """Fields probed by 1D cuts: name -> host array."""
+        scalars, vectors = self.output_data()
+        out = dict(scalars)
+        for name, v in vectors.items():
+            for a, ax in enumerate("xyz"[: v.shape[0]]):
+                out[f"{name}_{ax}"] = v[a]
+        return out
+
+    # ------------------------------------------------------------- lifecycle
+    def phys_time(self) -> float:
+        return self.iterations * self.domain.units.phys_dt
+
+    def can_compute(self) -> bool:
+        """Refuse double-running / finished runs (reference state.hpp:40-66)."""
+        if not self._lock.try_lock():
+            self.log.warning("results dir is locked by another process")
+            return False
+        if self.flags.exists("finished"):
+            self.log.info("simulation already finished")
+            return False
+        return True
+
+    def _build_step(self):
+        if self.plan is None:
+            self._step = make_step(self.cfg, self.domain)
+        else:
+            from tnl_lbm_tpu.parallel.sharded import make_sharded_step
+
+            self._step = make_sharded_step(self.cfg, self.domain, self.plan)
+            self._map_sharded = self.plan.shard_field(jnp.asarray(self.domain.map), like_f=False)
+
+    def _jit_step(self, parity, have_uin, have_force):
+        key = (parity, have_uin, have_force)
+        if key in self._jit_steps:
+            return self._jit_steps[key]
+
+        if self.plan is None:
+            def fn(f, nu, u_in, force):
+                return self._step(
+                    f, nu,
+                    u_in=u_in if have_uin else None,
+                    force=force if have_force else None,
+                    parity=parity,
+                )
+        else:
+            def fn(f, nu, u_in, force):
+                return self._step(
+                    f, self._map_sharded, nu,
+                    u_in=u_in if have_uin else None,
+                    force=force if have_force else None,
+                    parity=parity,
+                )
+
+        jfn = jax.jit(fn, donate_argnums=0)
+        self._jit_steps[key] = jfn
+        return jfn
+
+    def sim_init(self):
+        self._build_step()
+        loaded = None
+        if self.flags.exists("loadstate"):
+            loaded = ckpt.load_checkpoint(self.results_dir)
+        if loaded is not None:
+            arrays, meta = loaded
+            self.f = jnp.asarray(arrays["f"], self.cfg.compute_dtype)
+            self.iterations = int(meta["iterations"])
+            self.start_iterations = self.iterations
+            self.stat_counter = int(meta.get("stat_counter", 0))
+            for name in ALL_COUNTERS:
+                if name in meta.get("counters", {}):
+                    self.cnt[name].count = int(meta["counters"][name])
+            if "vm" in arrays:
+                self.vm = jnp.asarray(arrays["vm"])
+                self.vm2 = jnp.asarray(arrays["vm2"])
+            self.log.info("resumed from checkpoint at iteration %d", self.iterations)
+        else:
+            self.f = initial_dfs(self.cfg, self.domain)
+        if self.plan is not None:
+            self.f = self.plan.shard_field(self.f, like_f=True)
+        if self.collect_stats and self.vm is None:
+            D = self.cfg.lat.D
+            shape = self.domain.shape
+            self.vm = jnp.zeros((D,) + shape, self.cfg.compute_dtype)
+            self.vm2 = jnp.zeros((D * (D + 1) // 2,) + shape, self.cfg.compute_dtype)
+        # initial macro without advancing (reference computeInitialMacro,
+        # lbm_block.hpp:252-277)
+        self._initial_macro()
+        self._glups_prev_time = time.time()
+        self._t_wall_start = time.time()
+
+    def _initial_macro(self):
+        from tnl_lbm_tpu.ops import moments as mom
+
+        lat = self.cfg.lat
+        well = self.cfg.well
+
+        @jax.jit
+        def macro(f):
+            return mom.density_velocity(lat, f, well=well)
+
+        self.rho, self.u = macro(self.f)
+
+    def _advance(self, n_steps: int):
+        """Run n_steps lattice updates (n=0: one macro evaluation without
+        advancing - used at init)."""
+        nu = jnp.asarray(self.domain.units.lbm_viscosity(), self.cfg.compute_dtype)
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            u_in = self.update_inflow(self.phys_time())
+            force = self.body_force(self.phys_time())
+            parity = (self.iterations % 2) if self.cfg.streaming == "AA" else 0
+            jfn = self._jit_step(parity, u_in is not None, force is not None)
+            dt = self.cfg.compute_dtype
+            zero = jnp.zeros((self.cfg.lat.D,), dt)
+            self.compute_before_step()
+            f_new, rho, u = jfn(
+                self.f,
+                nu,
+                jnp.asarray(u_in, dt) if u_in is not None else zero,
+                jnp.asarray(force, dt) if force is not None else zero,
+            )
+            self.f, self.rho, self.u = f_new, rho, u
+            if self.collect_stats:
+                self.vm, self.vm2 = self._update_stats(self.u, self.vm, self.vm2, self.stat_counter)
+                self.stat_counter += 1
+            self.iterations += 1
+            self.compute_after_step()
+        jax.block_until_ready(self.f)
+        self._compute_time += time.perf_counter() - t0
+
+    def _update_stats(self, u, vm, vm2, n):
+        """Online mean + Welford covariance of velocity
+        (reference d3q27/macro.h:107-161)."""
+        if "stats" not in self._jit_steps:
+            D = self.cfg.lat.D
+            pairs = [(a, b) for a in range(D) for b in range(a, D)]
+
+            @jax.jit
+            def upd(u, vm, vm2, n):
+                denom = 1.0 / (n + 1.0)
+                delta = u - vm
+                vm_new = vm + delta * denom
+                delta_new = u - vm_new
+                rows = [vm2[i] + delta_new[a] * delta[b] for i, (a, b) in enumerate(pairs)]
+                return vm_new, jnp.stack(rows)
+
+            self._jit_steps["stats"] = upd
+        return self._jit_steps["stats"](u, vm, vm2, jnp.asarray(float(n)))
+
+    # ------------------------------------------------------------- actions
+    def _nan_guard(self) -> bool:
+        """NaN scan of density (reference state.hpp:1166-1188)."""
+        if bool(jnp.isnan(self.rho).any()):
+            self.nan_detected = True
+            self.terminate = True
+            self.log.error("NaN detected in density at iteration %d - dumping state", self.iterations)
+            self._write_vtk_3d(suffix="_nan_dump")
+            return True
+        return False
+
+    def _results_path(self, *parts) -> Path:
+        p = self.results_dir.joinpath(*parts)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        return p
+
+    def _write_vtk_3d(self, suffix=""):
+        scalars, vectors = self.output_data()
+        units = self.domain.units
+        cycle = self.cnt[VTK3D].count
+        write_vti(
+            self._results_path("vtk3D", f"data_{cycle:06d}{suffix}.vti"),
+            scalars=scalars,
+            vectors=vectors,
+            origin=units.lbm2phys_point([0] * self.cfg.lat.D),
+            spacing=units.phys_dl,
+        )
+
+    def _write_vtk_2d(self):
+        scalars, vectors = self.output_data()
+        units = self.domain.units
+        for p in self.probes_2d:
+            sl = [slice(None)] * self.cfg.lat.D
+            sl[p.axis] = slice(p.position, p.position + 1)
+            sc = {k: v[tuple(sl)] for k, v in scalars.items()}
+            vc = {k: v[(slice(None),) + tuple(sl)] for k, v in vectors.items()}
+            start = [0] * self.cfg.lat.D
+            start[p.axis] = p.position
+            write_vti(
+                self._results_path("vtk2D", f"{p.name}_{p.cycle:06d}.vti"),
+                scalars=sc, vectors=vc,
+                origin=units.lbm2phys_point([0] * self.cfg.lat.D),
+                spacing=units.phys_dl,
+                start=start,
+            )
+            p.cycle += 1
+
+    def _write_vtk_3dcut(self):
+        scalars, vectors = self.output_data()
+        units = self.domain.units
+        for p in self.probes_3d:
+            sl = tuple(
+                slice(o, o + L, p.step) for o, L in zip(p.origin, p.length)
+            )
+            sc = {k: v[sl] for k, v in scalars.items()}
+            vc = {k: v[(slice(None),) + sl] for k, v in vectors.items()}
+            write_vti(
+                self._results_path("vtk3Dcut", f"{p.name}_{p.cycle:06d}.vti"),
+                scalars=sc, vectors=vc,
+                origin=units.lbm2phys_point(list(p.origin)),
+                spacing=units.phys_dl * p.step,
+            )
+            p.cycle += 1
+
+    def _write_probes_1d(self):
+        vals = self.probe_values()
+        for p in self.probes_1d:
+            path = self._results_path("probes", f"{p.name}.dat")
+            take = []
+            pos_iter = iter(p.pos)
+            for a in range(self.cfg.lat.D):
+                take.append(slice(None) if a == p.axis else next(pos_iter))
+            with open(path, "a") as fh:
+                if p.cycle == 0:
+                    fh.write("# time index " + " ".join(vals.keys()) + "\n")
+                t = self.phys_time()
+                arrays = {k: np.asarray(v[tuple(take)]) for k, v in vals.items()}
+                n = len(next(iter(arrays.values())))
+                for i in range(n):
+                    fh.write(
+                        f"{t} {i} " + " ".join(str(float(a[i])) for a in arrays.values()) + "\n"
+                    )
+            p.cycle += 1
+
+    def save_state(self):
+        """Checkpoint + loadstate flag (reference state.hpp:739-770)."""
+        arrays = {"f": self.f}
+        if self.vm is not None:
+            arrays["vm"] = self.vm
+            arrays["vm2"] = self.vm2
+        meta = {
+            "iterations": self.iterations,
+            "stat_counter": self.stat_counter,
+            "counters": {k: c.count for k, c in self.cnt.items()},
+            "phys_time": self.phys_time(),
+        }
+        ckpt.save_checkpoint(self.results_dir, arrays, meta)
+        self.flags.create("loadstate")
+        self.log.info("checkpoint saved at iteration %d", self.iterations)
+
+    def _print_stats(self):
+        now = time.time()
+        it = self.iterations
+        d_it = it - self._glups_prev_iter
+        d_t = now - (self._glups_prev_time or now)
+        sites = self.domain.units.num_sites
+        glups = sites * d_it / d_t / 1e9 if d_t > 0 else 0.0
+        t = self.phys_time()
+        eta = ""
+        if np.isfinite(self.phys_final_time) and t > 0:
+            frac = t / self.phys_final_time
+            if frac > 0:
+                rem = (now - self._t_wall_start) * (1 - frac) / frac
+                eta = f" ETA {rem:.0f}s"
+        self.log.info(
+            "iter %d t=%.6g GLUPS=%.4f%s", it, t, glups, eta
+        )
+        self._glups_prev_iter = it
+        self._glups_prev_time = now
+
+    def after_sim_finished(self):
+        wall = time.time() - self._t_wall_start
+        it = self.iterations - self.start_iterations
+        sites = self.domain.units.num_sites
+        avg = sites * it / wall / 1e9 if wall > 0 else 0.0
+        comp = sites * it / self._compute_time / 1e9 if self._compute_time > 0 else 0.0
+        self.log.info(
+            "finished: %d iterations, wall %.2fs, avg GLUPS %.4f, compute GLUPS %.4f",
+            it, wall, avg, comp,
+        )
+
+    # ---------------------------------------------------------------- loop
+    def run(self) -> bool:
+        """The execute() loop (reference core.h:38-101)."""
+        if not self.can_compute():
+            return False
+        try:
+            self.sim_init()
+            while True:
+                if self.domain.units.lbm_viscosity() <= 0:
+                    self.log.error("zero viscosity - terminating (reference state.hpp:985-990)")
+                    break
+                self._advance(self.steps_per_dispatch)
+                self._after_sim_update()
+                if self.terminate:
+                    self.flags.create("terminated")
+                    break
+                if self.phys_time() >= self.phys_final_time:
+                    self.flags.create("finished")
+                    break
+                if (
+                    self.wall_time_limit is not None
+                    and time.time() - self._t_wall_start > self.wall_time_limit
+                ):
+                    self.log.info("walltime limit reached - saving state")
+                    self.save_state()
+                    break
+            self.after_sim_finished()
+            return not self.nan_detected
+        finally:
+            self._lock.release()
+
+    def _after_sim_update(self):
+        t = self.phys_time()
+        c = self.cnt
+        if c[PRINT].action(t):
+            c[PRINT].count += 1
+            if self._nan_guard():
+                return
+            self._print_stats()
+        if c[STAT_RESET].action(t):
+            c[STAT_RESET].count += 1
+            if self.vm is not None:
+                self.vm = jnp.zeros_like(self.vm)
+                self.vm2 = jnp.zeros_like(self.vm2)
+            self.stat_counter = 0
+        for name, hook in ((PROBE1, self.probe1), (PROBE2, self.probe2), (PROBE3, self.probe3)):
+            if c[name].action(t):
+                c[name].count += 1
+                hook()
+        if c[VTK1D].action(t):
+            c[VTK1D].count += 1
+            self._write_probes_1d()
+        if c[VTK2D].action(t):
+            c[VTK2D].count += 1
+            self._write_vtk_2d()
+        if c[VTK3D].action(t):
+            self._write_vtk_3d()
+            c[VTK3D].count += 1
+        if c[VTK3DCUT].action(t):
+            c[VTK3DCUT].count += 1
+            self._write_vtk_3dcut()
+        if c[SAVESTATE].period > 0:
+            wall = time.time() - self._t_wall_start
+            if wall >= c[SAVESTATE].count * c[SAVESTATE].period:
+                c[SAVESTATE].count += 1
+                if c[SAVESTATE].count > 1:  # skip initial save (reference state.hpp:948)
+                    self.save_state()

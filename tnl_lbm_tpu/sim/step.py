@@ -155,7 +155,12 @@ def make_step(cfg: LBMConfig, domain: Domain, pad_halo=None, local_shape=None):
 
         one = jnp.ones((), dtype)
         if GEO.INFLOW_LEFT in codes:
-            f_il, rho_il = bc.inflow_left_moment_bc(lat, f_in, u_in_b)
+            # the moment BC operates on total DFs; convert for well storage
+            w_const = jnp.asarray(lat.w, dtype).reshape((lat.Q,) + (1,) * len(S))
+            f_tot = f_in + w_const if cfg.well else f_in
+            f_il, rho_il = bc.inflow_left_moment_bc(lat, f_tot, u_in_b)
+            if cfg.well:
+                f_il = f_il - w_const
             m = masks[GEO.INFLOW_LEFT]
             f_in = jnp.where(m, f_il, f_in)
             rho = jnp.where(m, rho_il, rho)
