@@ -29,6 +29,7 @@ from __future__ import annotations
 from functools import partial
 
 import jax.numpy as jnp
+import numpy as np
 
 from tnl_lbm_tpu.models.descriptors import D3Q27, LatticeDescriptor
 from tnl_lbm_tpu.ops import equilibrium as eqlib
@@ -610,10 +611,204 @@ def collide_cum(
 collide_cum_well = partial(collide_cum, well=True)
 
 
-# registry keyed by the reference operator ids
+def collide_mrt_les(lat, f, rho, u, nu, force=None, smagorinsky_c: float = 0.0342):
+    """Regularized MRT with Smagorinsky LES (reference d3q27/col_mrt.h, id
+    "MRT_LES"): only the second-order moment tensor Pi is kept and relaxed
+    with a strain-magnitude-adjusted rate (a'la Ladd 1994 / Dellar); all
+    higher moments are re-equilibrated by the quadratic reconstruction
+    f_q = w_q [rho (5/2 - 3/2 |c|^2 + 3 c.u) + 9/2 c^T Pi c - 3/2 tr Pi].
+    """
+    del force  # reference operator carries no forcing
+    c = np.asarray(lat.c, dtype=np.float64)  # [Q, 3]
+    cf = jnp.asarray(c, f.dtype)
+
+    # raw second moments P_ab = sum_q c_a c_b f_q
+    P = {}
+    for a in range(3):
+        for b in range(a, 3):
+            coef = jnp.asarray(c[:, a] * c[:, b], f.dtype)
+            P[(a, b)] = jnp.tensordot(coef, f, axes=1)
+
+    # non-equilibrium part (reference col_mrt.h:28-33)
+    Pn = {}
+    for a in range(3):
+        for b in range(a, 3):
+            eq_ab = rho * (u[a] * u[b] + ((1.0 / 3.0) if a == b else 0.0))
+            Pn[(a, b)] = P[(a, b)] - eq_ab
+
+    Q2 = 2 * (
+        Pn[(0, 0)] ** 2 + Pn[(1, 1)] ** 2 + Pn[(2, 2)] ** 2
+        + 2 * (Pn[(0, 1)] ** 2 + Pn[(0, 2)] ** 2 + Pn[(1, 2)] ** 2)
+    )
+    tau = 3.0 * nu + 0.5
+    omega = 2.0 / (jnp.sqrt(tau * tau + 2 * smagorinsky_c * 9.0 * jnp.sqrt(Q2) / rho) + tau)
+
+    for key in P:
+        P[key] = P[key] - omega * Pn[key]
+
+    trP = P[(0, 0)] + P[(1, 1)] + P[(2, 2)]
+    cu = jnp.tensordot(cf, u, axes=1)  # [Q, *S]
+    w = jnp.asarray(lat.w, f.dtype).reshape((lat.Q,) + (1,) * (f.ndim - 1))
+    csq = jnp.asarray((c * c).sum(axis=1), f.dtype).reshape((lat.Q,) + (1,) * (f.ndim - 1))
+
+    # c^T P c per direction
+    cPc = 0.0
+    for a in range(3):
+        for b in range(3):
+            key = (min(a, b), max(a, b))
+            coef = jnp.asarray(c[:, a] * c[:, b], f.dtype).reshape((lat.Q,) + (1,) * (f.ndim - 1))
+            cPc = cPc + coef * P[key]
+
+    return w * (rho * (2.5 - 1.5 * csq + 3 * cu) + 4.5 * cPc - 1.5 * trP)
+
+
+def collide_srt_well(lat, f, rho, u, nu, force=None):
+    """Well-conditioned improved SRT (reference d3q27/col_srt_well.h):
+    deviation DFs relax toward eq_well; the forcing term multiplies the full
+    equilibrium (locfeq + w_q, reference col_srt_well.h:76)."""
+    omega = 1.0 / (float(lat.i_cs2) * nu + 0.5)
+    feq_dev = eqlib.eq_well(lat, rho, u)
+    out = f + (feq_dev - f) * omega
+    if force is not None:
+        w = jnp.asarray(lat.w, f.dtype).reshape((lat.Q,) + (1,) * (f.ndim - 1))
+        safe_rho = jnp.where(rho == 0, jnp.ones_like(rho), rho)
+        S = forcing_terms(lat, u, force, safe_rho)
+        out = out + (1 - 0.5 * omega) * S * (feq_dev + w)
+    return out
+
+
+def collide_bgk_well(lat, f, rho, u, nu, force=None, galilean: bool = False):
+    """Well-conditioned factorized BGK (reference d3q27/col_bgk_well.h):
+    g' = (1-w) g + w (feq_full - w_q) + (1 - w/2) S (-X Y Z)."""
+    omega = 1.0 / (3.0 * nu + 0.5)
+    if galilean:
+        c = lat.c
+        G = []
+        drho = rho - 1  # sum of deviations
+        for a in range(3):
+            mask = jnp.asarray((c[:, a] != 0).astype("float32"), dtype=f.dtype)
+            m2 = jnp.tensordot(mask, f, axes=1)  # deviation second moment
+            # reference col_bgk_well.h: 3 m2/rho - drho/rho - 3 v^2
+            Dau = -omega * 0.5 * (3 * m2 / rho - drho / rho - 3 * u[a] * u[a])
+            G.append(-3 * u[a] * u[a] * Dau * (1.0 / omega - 0.5))
+    else:
+        G = [0.0] * 3
+
+    factors = [_bgk_axis_factors(u[a], G[a]) for a in range(3)]
+    wq = lat.w
+    feq_dev = []
+    psi = []
+    for q in range(lat.Q):
+        term = 1.0
+        for a in range(3):
+            term = term * factors[a][int(lat.c[q, a])]
+        psi.append(term)
+        feq_dev.append(-rho * term - float(wq[q]))
+    feq_dev = jnp.stack(feq_dev)
+    psi = jnp.stack(psi)
+
+    out = f + (feq_dev - f) * omega
+    if force is not None:
+        S = forcing_terms(lat, u, force, rho)
+        out = out - (1 - 0.5 * omega) * S * psi
+    return out
+
+
+def collide_srt_modif_force(lat, f, rho, u, nu, force=None, eq=eqlib.eq_quadratic):
+    """SRT with the modified (Guo-style) forcing added directly
+    (reference d3q27/col_srt_modif_force.h - the expanded S terms are the
+    classic Guo forcing w_q [3 (c-u).F + 9 (c.u)(c.F)])."""
+    from tnl_lbm_tpu.ops.collision_2d import guo_forcing
+
+    omega = 1.0 / (3.0 * nu + 0.5)
+    feq = eq(lat, rho, u)
+    out = f + (feq - f) * omega
+    if force is not None:
+        out = out + (1 - 0.5 * omega) * guo_forcing(lat, u, force)
+    return out
+
+
+def collide_clbm(lat, f, rho, u, nu, force=None, well: bool = False):
+    """Cascaded (central-moment) LBM for D3Q27 (reference d3q27/col_clbm.h).
+
+    Same forward/backward cascades and second-order relaxation structure as
+    the cumulant operator, but orders >= 3 are relaxed directly in central-
+    moment space toward the factorized equilibria (0 for odd, rho/9 for
+    kappa_220-type, rho/27 for kappa_222) at unit rate; the velocity-
+    derivative (anti-alias) terms are always on (reference col_clbm.h:138-153).
+    ``well=True`` uses deviation storage (reference col_clbm_well.h).
+    """
+    vx, vy, vz = u[0], u[1], u[2]
+    k = central_moments(lat, f, u, well=well)
+    k000 = k[0][0][0]
+    k200, k020, k002 = k[2][0][0], k[0][2][0], k[0][0][2]
+    k110, k101, k011 = k[1][1][0], k[1][0][1], k[0][1][1]
+    k120, k102, k210, k012, k201, k021 = (
+        k[1][2][0], k[1][0][2], k[2][1][0], k[0][1][2], k[2][0][1], k[0][2][1],
+    )
+
+    inv_rho = 1.0 / rho
+    o1 = 1.0 / (3.0 * nu + 0.5)
+    o2 = 1.0
+
+    # velocity-derivative estimates (reference col_clbm.h:138-140).  The
+    # trace deviation is (kappa_2 sum) - rho == ksum - k000 in both storage
+    # conventions (k000 = rho in total storage, delta rho in well storage).
+    Dxu = -o1 * 0.5 * inv_rho * (2 * k200 - k020 - k002) - o2 * 0.5 * inv_rho * (k200 + k020 + k002 - k000)
+    Dyv = Dxu + 1.5 * o1 * inv_rho * (k200 - k020)
+    Dzw = Dxu + 1.5 * o1 * inv_rho * (k200 - k002)
+
+    ks110 = (1 - o1) * k110
+    ks101 = (1 - o1) * k101
+    ks011 = (1 - o1) * k011
+
+    eqd4 = (1 - o1) * (k200 - k020) - 3 * rho * (1 - o1 * 0.5) * (vx * vx * Dxu - vy * vy * Dyv)
+    eqd5 = (1 - o1) * (k200 - k002) - 3 * rho * (1 - o1 * 0.5) * (vx * vx * Dxu - vz * vz * Dzw)
+    eqd6 = k000 * o2 + (1 - o2) * (k200 + k020 + k002) - 3 * rho * (1 - o2 / 2) * (
+        vx * vx * Dxu + vy * vy * Dyv + vz * vz * Dzw
+    )
+    ks200 = (eqd4 + eqd5 + eqd6) / 3
+    ks020 = (-2 * eqd4 + eqd5 + eqd6) / 3
+    ks002 = (eqd4 - 2 * eqd5 + eqd6) / 3
+
+    zero = jnp.zeros_like(rho)
+    ks = [[[None] * 3 for _ in range(3)] for _ in range(3)]
+    ks[0][0][0] = k000
+    if force is None:
+        # reference CLBM carries no forcing: first moments pass through
+        ks[1][0][0], ks[0][1][0], ks[0][0][1] = k[1][0][0], k[0][1][0], k[0][0][1]
+    else:
+        # trapezoidal forcing via first-moment negation (u includes F/2)
+        ks[1][0][0], ks[0][1][0], ks[0][0][1] = -k[1][0][0], -k[0][1][0], -k[0][0][1]
+    ks[1][1][0], ks[1][0][1], ks[0][1][1] = ks110, ks101, ks011
+    ks[2][0][0], ks[0][2][0], ks[0][0][2] = ks200, ks020, ks002
+    # order >= 3 at unit rate toward factorized equilibria
+    ks[1][1][1] = zero
+    ks[1][2][0] = ks[1][0][2] = ks[2][1][0] = zero
+    ks[0][1][2] = ks[2][0][1] = ks[0][2][1] = zero
+    ks[2][1][1] = ks[1][2][1] = ks[1][1][2] = zero
+    # shifted equilibria in well storage: rho/9 - 1/9 = k000/9, etc.
+    ks[2][2][0] = ks[0][2][2] = ks[2][0][2] = (k000 if well else rho) / 9.0
+    ks[1][2][2] = ks[2][1][2] = ks[2][2][1] = zero
+    ks[2][2][2] = (k000 if well else rho) / 27.0
+    del k120, k102, k210, k012, k201, k021
+    return dfs_from_central_moments(lat, ks, u, well=well)
+
+
+collide_clbm_well = partial(collide_clbm, well=True)
+
+
+# registry keyed by the reference operator ids (reference section 2.3 of
+# SURVEY.md; KBC variants live in ops/collision_kbc.py)
 COLLISIONS_D3Q27 = {
     "SRT": partial(collide_srt, eq=eqlib.eq_quadratic),
+    "SRT_WELL": collide_srt_well,
+    "SRT_MODIF_FORCE": collide_srt_modif_force,
     "BGK": collide_bgk,
+    "BGK_WELL": collide_bgk_well,
     "CUM": collide_cum,
     "CUM_WELL": collide_cum_well,
+    "MRT_LES": collide_mrt_les,
+    "CLBM": collide_clbm,
+    "CLBM_WELL": collide_clbm_well,
 }
