@@ -39,6 +39,11 @@ class LBMConfig:
     streaming: str = "AB"
     well: bool = False
     compute_dtype: Any = jnp.float32
+    #: optional per-step forcing hook (non-Newtonian rheology etc.):
+    #: hook(lat, rho, u, nu, fluid_mask) -> force [D, *S]
+    #: (analog of MACRO::computeForcing + computeBeforeLBMKernel,
+    #: reference kernels.h:92, nonNewtonian.h:393-...)
+    forcing_hook: Callable[..., Any] | None = None
 
     def __post_init__(self):
         assert self.streaming in ("AB", "AA")
