@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Batch sweep over numbered geometries -> CSV of KE values.
+
+Analog of the reference run_all_geometries.py (reference:
+run_all_geometries.py:1-120): runs sim2d_3 for every numbered geometry in a
+directory, in Bouzidi on/off pairs, in batches, and collects the single-value
+results into a CSV (the 180-geometry golden-value regression harness,
+SURVEY.md section 4.4).
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import sys
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+from run_lbm_simulation import Submission, run_submission  # noqa: E402
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="run all geometries, collect KE values")
+    p.add_argument("geometry_dir")
+    p.add_argument("--resolution", type=int, default=1)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--bouzidi", choices=["on", "off", "both"], default="both")
+    p.add_argument("--run-root", default="runs")
+    p.add_argument("--final-time", type=float, default=None)
+    p.add_argument("--csv", default="geometry_values.csv")
+    args = p.parse_args(argv)
+
+    gdir = Path(args.geometry_dir)
+    geometries = sorted(
+        (g for g in gdir.iterdir() if g.suffix == ".txt"),
+        key=lambda g: (len(g.stem), g.stem),
+    )
+    modes = {"on": [True], "off": [False], "both": [True, False]}[args.bouzidi]
+
+    jobs = [
+        Submission(
+            geometry=str(g), resolution=args.resolution, bouzidi=b,
+            run_root=Path(args.run_root), final_time=args.final_time,
+        )
+        for g in geometries
+        for b in modes
+    ]
+    rows = []
+    with ThreadPoolExecutor(max_workers=args.batch) as pool:
+        for sub, value in zip(jobs, pool.map(lambda s: run_submission(s, [gdir]), jobs)):
+            rows.append({
+                "geometry": Path(sub.geometry).name,
+                "bouzidi": "on" if sub.bouzidi else "off",
+                "value": value,
+            })
+            print(rows[-1])
+
+    with open(args.csv, "w", newline="") as fh:
+        writer = csv.DictWriter(fh, fieldnames=["geometry", "bouzidi", "value"])
+        writer.writeheader()
+        writer.writerows(rows)
+    print(f"wrote {len(rows)} rows to {args.csv}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Geometry-file loader, Bouzidi path, sim2d_3 value output, PNG import."""
+
+import numpy as np
+import pytest
+
+from tnl_lbm_tpu.io.geometry import load_geometry_file
+from tnl_lbm_tpu.models import D2Q9
+from tnl_lbm_tpu.ops.boundary import GEO
+
+
+def write_geometry(path, X, Y, disk_center=(16, 8), r_in=3.0):
+    """Synthetic geometry: solid disk (type 2) with a type-1 near-wall ring
+    carrying Bouzidi thetas."""
+    cx, cy = disk_center
+    lines = []
+    for x in range(X):
+        for y in range(Y):
+            d = np.hypot(x - cx, y - cy)
+            if d < r_in:
+                t = 2
+                c = [-1.0] * 8
+            elif d < r_in + 1.5:
+                t = 1
+                # crude theta: fractional distance to the circle per direction
+                c = [min(max(r_in + 1.5 - d, 0.0), 1.0)] * 8
+            else:
+                t = 0
+                c = [-1.0] * 8
+            lines.append(f"{x} {y} {t} " + " ".join(f"{v}" for v in c))
+    path.write_text("\n".join(lines) + "\n")
+
+
+def test_loader_roundtrip(tmp_path):
+    X, Y = 32, 16
+    p = tmp_path / "geom.txt"
+    write_geometry(p, X, Y)
+    m, bz = load_geometry_file(p, X, Y)
+    assert m.shape == (X, Y) and bz.shape == (8, X, Y)
+    assert (m == GEO.WALL).sum() > 10
+    assert (m == GEO.FLUID_NEAR_WALL).sum() > 10
+    # thetas present exactly on near-wall ring
+    ring = m == GEO.FLUID_NEAR_WALL
+    assert (bz[0][ring] >= 0).all()
+    assert (bz[0][~ring] < 0).all()
+
+
+def test_loader_validation_errors(tmp_path):
+    X, Y = 8, 4
+    p = tmp_path / "bad.txt"
+    # wrong count
+    p.write_text("0 0 0 0 0 0 0 0 0 0 0\n")
+    with pytest.raises(ValueError):
+        load_geometry_file(p, X, Y)
+    # theta > 1
+    lines = [f"{x} {y} 0 2.0 0 0 0 0 0 0 0" for x in range(X) for y in range(Y)]
+    p.write_text("\n".join(lines))
+    with pytest.raises(ValueError):
+        load_geometry_file(p, X, Y)
+
+
+def test_sim2d_3_value_output(tmp_path):
+    from tnl_lbm_tpu.apps import sim2d_3
+
+    X, Y = 128, 32
+    p = tmp_path / "7.txt"
+    write_geometry(p, X, Y, disk_center=(40, 16), r_in=4.0)
+    sim = sim2d_3.build(
+        1, str(p), enable_bouzidi=True, final_time=0.02,
+        results_parent=tmp_path, values_dir=tmp_path / "values",
+    )
+    ok = sim.run()
+    assert ok
+    value_file = tmp_path / "values" / "value_7.txt"
+    assert value_file.exists()
+    v = float(value_file.read_text())
+    assert np.isfinite(v) and v >= 0
+    # bouzidi off gives a (slightly) different value - the golden-value pairs
+    sim2 = sim2d_3.build(
+        1, str(p), enable_bouzidi=False, final_time=0.02,
+        results_parent=tmp_path / "off", values_dir=tmp_path / "values_off",
+    )
+    assert sim2.run()
+    v2 = float((tmp_path / "values_off" / "value_7.txt").read_text())
+    assert np.isfinite(v2) and v2 >= 0
+    assert v != v2
+
+
+def test_png_projection(tmp_path):
+    from PIL import Image
+
+    from tnl_lbm_tpu.io.png import project_png
+    from tnl_lbm_tpu.sim import Domain
+    from tnl_lbm_tpu.utils import Lattice
+
+    # black square in white field
+    img = np.full((20, 40), 255, np.uint8)
+    img[5:15, 10:30] = 0
+    Image.fromarray(img).save(tmp_path / "wall.png")
+
+    units = Lattice(global_size=(40, 20, 8), phys_origin=(0, 0, 0), phys_dl=1.0, phys_dt=1.0)
+    dom = Domain(lat=__import__("tnl_lbm_tpu.models", fromlist=["D3Q27"]).D3Q27,
+                 units=units, map=np.zeros((40, 20, 8), np.uint8))
+    project_png(dom, tmp_path / "wall.png", axis=2)
+    walls = dom.map == int(GEO.WALL)
+    assert walls.any()
+    # extruded through the whole z axis
+    assert (walls.any(axis=(0, 1))).all()
+    # roughly the black region footprint
+    frac = walls[:, :, 0].mean()
+    assert 0.15 < frac < 0.35
