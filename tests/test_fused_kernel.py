@@ -1,0 +1,84 @@
+"""Pallas fused kernel == XLA reference path (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tnl_lbm_tpu.kernels.fused import make_fused_step, supports
+from tnl_lbm_tpu.models import D3Q27
+from tnl_lbm_tpu.ops import collision as col
+from tnl_lbm_tpu.ops import equilibrium as eqlib
+from tnl_lbm_tpu.ops.boundary import GEO
+from tnl_lbm_tpu.sim import Domain, LBMConfig, make_step
+from tnl_lbm_tpu.utils import Lattice
+
+
+def duct_domain(X=16, Y=16, Z=16):
+    m = np.zeros((X, Y, Z), np.uint8)
+    m[:, 0] = m[:, -1] = GEO.WALL
+    m[:, :, 0] = m[:, :, -1] = GEO.WALL
+    units = Lattice((X, Y, Z), (0, 0, 0), 1.0, 1.0)
+    return Domain(lat=D3Q27, units=units, map=m, periodic=(True, False, False))
+
+
+def rand_f(dom, cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    rho = jnp.asarray(1 + 0.01 * rng.standard_normal(dom.shape), jnp.float32)
+    u = jnp.asarray(0.02 * rng.standard_normal((3,) + dom.shape), jnp.float32)
+    return cfg.eq(cfg.lat, rho, u).astype(cfg.compute_dtype)
+
+
+@pytest.mark.parametrize(
+    "collision,eq,well",
+    [
+        (col.collide_cum_well, eqlib.eq_well, True),
+        (col.collide_cum, eqlib.eq_quadratic, False),
+    ],
+    ids=["CUM_WELL", "CUM"],
+)
+def test_fused_matches_xla_step_duct(collision, eq, well):
+    dom = duct_domain()
+    cfg = LBMConfig(lat=D3Q27, collision=collision, eq=eq, well=well)
+    assert supports(dom)
+    step_ref = make_step(cfg, dom)
+    step_fused = make_fused_step(cfg, dom, tile=(8, 8))
+    f = rand_f(dom, cfg)
+    force = jnp.asarray([1e-5, 0, 0], jnp.float32)
+    f1, rho1, u1 = step_ref(f, 0.02, force=force)
+    f2, rho2, u2 = step_fused(f, 0.02, force=force)
+    assert float(jnp.abs(f1 - f2).max()) < 1e-6
+    assert float(jnp.abs(rho1 - rho2).max()) < 2e-6
+    assert float(jnp.abs(u1 - u2).max()) < 1e-6
+
+
+def test_fused_channel_with_inflow_outflow():
+    X, Y, Z = 16, 8, 8
+    m = np.zeros((X, Y, Z), np.uint8)
+    m[:, 0] = m[:, -1] = GEO.WALL
+    m[:, :, 0] = m[:, :, -1] = GEO.WALL
+    m[0, 1:-1, 1:-1] = GEO.INFLOW_LEFT
+    m[-1, 1:-1, 1:-1] = GEO.OUTFLOW_RIGHT
+    units = Lattice((X, Y, Z), (0, 0, 0), 1.0, 1.0)
+    dom = Domain(lat=D3Q27, units=units, map=m)
+    cfg = LBMConfig(lat=D3Q27, collision=col.collide_cum, eq=eqlib.eq_inv_cum)
+    step_ref = make_step(cfg, dom)
+    step_fused = make_fused_step(cfg, dom, tile=(8, 8))
+    f = rand_f(dom, cfg, seed=3)
+    u_in = jnp.asarray([0.03, 0.0, 0.0], jnp.float32)
+    f1 = f
+    f2 = f
+    for _ in range(3):
+        f1, rho1, u1 = step_ref(f1, 0.02, u_in=u_in)
+        f2, rho2, u2 = step_fused(f2, 0.02, u_in=u_in)
+    assert float(jnp.abs(f1 - f2).max()) < 1e-6
+    assert float(jnp.abs(u1 - u2).max()) < 1e-6
+
+
+def test_fused_rejects_unsupported_codes():
+    dom = duct_domain()
+    dom.map[3, 3, 3] = GEO.OUTFLOW_RIGHT_INTERP
+    cfg = LBMConfig(lat=D3Q27, collision=col.collide_cum)
+    assert not supports(dom)
+    with pytest.raises(NotImplementedError):
+        make_fused_step(cfg, dom)

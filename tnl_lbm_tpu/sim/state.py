@@ -110,6 +110,7 @@ class Simulation:
         wall_time_limit: float | None = None,
         phys_final_time: float = np.inf,
         steps_per_dispatch: int = 1,
+        use_fused: bool = False,
     ):
         self.cfg = cfg
         self.domain = domain
@@ -119,6 +120,7 @@ class Simulation:
         self.wall_time_limit = wall_time_limit
         self.phys_final_time = phys_final_time
         self.steps_per_dispatch = max(1, int(steps_per_dispatch))
+        self.use_fused = use_fused
 
         self.cnt = {name: Counter() for name in ALL_COUNTERS}
         self.probes_1d: list[Probe1DCut] = []
@@ -211,7 +213,12 @@ class Simulation:
 
     def _build_step(self):
         if self.plan is None:
-            self._step = make_step(self.cfg, self.domain)
+            if self.use_fused:
+                from tnl_lbm_tpu.kernels.fused import make_fused_step
+
+                self._step = make_fused_step(self.cfg, self.domain)
+            else:
+                self._step = make_step(self.cfg, self.domain)
         else:
             from tnl_lbm_tpu.parallel.sharded import make_sharded_step
 
