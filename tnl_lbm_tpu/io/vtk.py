@@ -98,12 +98,21 @@ def write_vti(
   <AppendedData encoding="raw">
    _"""
 
+    footer = b"\n  </AppendedData>\n</VTKFile>\n"
+
+    # hand off to the native async writer when available (io/native.py);
+    # the write happens on a background thread and never blocks the step loop
+    from tnl_lbm_tpu.io import native
+
+    if native.write_vti_async(path, header.encode(), footer, blobs):
+        return
+
     with open(path, "wb") as fh:
         fh.write(header.encode())
         for raw in blobs:
             fh.write(struct.pack("<Q", len(raw)))
             fh.write(raw)
-        fh.write(b"\n  </AppendedData>\n</VTKFile>\n")
+        fh.write(footer)
 
 
 def write_points_vtk(path, points: np.ndarray, time: float | None = None) -> None:

@@ -351,6 +351,9 @@ class Simulation:
             self.terminate = True
             self.log.error("NaN detected in density at iteration %d - dumping state", self.iterations)
             self._write_vtk_3d(suffix="_nan_dump")
+            from tnl_lbm_tpu.io import native
+
+            native.flush()
             return True
         return False
 
@@ -464,6 +467,11 @@ class Simulation:
         self._glups_prev_time = now
 
     def after_sim_finished(self):
+        from tnl_lbm_tpu.io import native
+
+        native.flush()  # drain async snapshot writes
+        if native.errors():
+            self.log.error("%d async output writes failed", native.errors())
         wall = time.time() - self._t_wall_start
         it = self.iterations - self.start_iterations
         sites = self.domain.units.num_sites
