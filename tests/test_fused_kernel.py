@@ -82,3 +82,21 @@ def test_fused_rejects_unsupported_codes():
     assert not supports(dom)
     with pytest.raises(NotImplementedError):
         make_fused_step(cfg, dom)
+
+
+def test_sitemajor_kernel_matches_xla_step():
+    from tnl_lbm_tpu.kernels.fused import from_sitemajor, make_fused_step_sitemajor, to_sitemajor
+
+    dom = duct_domain()
+    cfg = LBMConfig(lat=D3Q27, collision=col.collide_cum_well, eq=eqlib.eq_well, well=True)
+    step_ref = make_step(cfg, dom)
+    step_sm = make_fused_step_sitemajor(cfg, dom, tile=(8, 8))
+    f = rand_f(dom, cfg)
+    force = jnp.asarray([1e-5, 0, 0], jnp.float32)
+    f1, rho1, u1 = step_ref(f, 0.02, force=force)
+    fs2, rho2, u2 = step_sm(to_sitemajor(f), 0.02, force=force)
+    f2 = from_sitemajor(fs2, 27)
+    assert float(jnp.abs(f1 - f2).max()) < 1e-6
+    assert float(jnp.abs(rho1 - rho2).max()) < 2e-6
+    # round-trip of the layout transforms
+    assert float(jnp.abs(from_sitemajor(to_sitemajor(f), 27) - f).max()) == 0.0

@@ -1,27 +1,30 @@
-"""Fused collide-and-stream Pallas TPU kernel (the MLUPS path).
+"""Fused collide-and-stream Pallas TPU kernels (the MLUPS path).
 
 The XLA reference path (sim/step.py) materializes the padded array, the 27
 pulled components and dozens of cumulant-cascade intermediates in HBM -
-measured ~25 memory passes per step.  This kernel is the speed-of-light
+measured ~25 memory passes per step.  These kernels are the speed-of-light
 design (SURVEY.md section 7 M4): the lattice is tiled over (X, Y); each grid
-program DMAs one (tx+2, ty+2, Z+2)-halo tile of every DF component into
-VMEM, performs pull streaming as in-VMEM shifted slices, applies the
-mask-select BCs, runs the full collision cascade in vector registers, and
-writes the post-collision tile once.  HBM traffic per step ~= one read + one
-write of the DF array (plus the thin halo overlap and macro outputs), which
-is what the reference's single fused CUDA kernel achieves
-(reference kernels.h:60-100).
+program DMAs haloed tiles into VMEM, performs pull streaming as in-VMEM
+shifted slices, applies the mask-select BCs, runs the full collision cascade
+in vector registers and writes each post-collision tile once - matching the
+reference's single fused CUDA kernel structure (reference kernels.h:60-100).
 
-Supported here: A-B pull streaming with the same BC set as the XLA path
-except OUTFLOW_RIGHT_INTERP and Bouzidi (those domains fall back to
-sim/step.py).  Collision/equilibrium plugins are the *same pure functions*
-from ops/ - they trace into the kernel body and Mosaic keeps the cascade
-on-chip.
+Two memory layouts:
+
+- ``make_fused_step``: Q-major state [Q, X, Y, Z] (the framework's native
+  layout).  DMA windows on the sublane (Y) axis must be 8-aligned, so tiles
+  read a (ty+8)-row window; K tiles per grid program keep K input DMAs in
+  flight (the kernel is DMA-latency-bound - the cumulant math is hidden).
+- ``make_fused_step_sitemajor``: site-major state [X, Y, Qp, Z] with Q
+  padded to 32 sublanes.  Both sliced axes (X, Y) are untiled, so halo
+  windows are exact and each DMA chunk is a contiguous 32 KB
+  (site, all-Q, all-Z) run - fewer, larger descriptors.
+
+Supported: A-B pull streaming with the same BC set as the XLA path except
+OUTFLOW_RIGHT_INTERP and Bouzidi (those domains fall back to sim/step.py).
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -30,11 +33,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tnl_lbm_tpu.ops import boundary as bc
-from tnl_lbm_tpu.ops import moments as mom
 from tnl_lbm_tpu.ops.boundary import GEO
 from tnl_lbm_tpu.sim.config import Domain, LBMConfig
 
-#: GEO codes the fused kernel can handle
+#: GEO codes the fused kernels can handle
 SUPPORTED_CODES = {
     GEO.FLUID, GEO.WALL, GEO.INFLOW, GEO.OUTFLOW_EQ, GEO.OUTFLOW_RIGHT,
     GEO.PERIODIC, GEO.NOTHING,
@@ -111,15 +113,117 @@ def _eq_kind(cfg) -> str:
     return "quad"
 
 
-def _pad_once(f, periodic, extra_y: int = 0):
-    """One-pass halo pad: edge-replicate everywhere, then overwrite the
-    halo layers of periodic axes with the wrapped values (thin copies).
+def _zshift(base, oz, Z, periodic_z):
+    """In-VMEM z shift with a wrap/clamp boundary plane (tiles span full Z)."""
+    if oz == 0:
+        return base
+    if oz == -1:  # out[z] = base[z - 1]
+        bndry = base[..., Z - 1 : Z] if periodic_z else base[..., 0:1]
+        return jnp.concatenate([bndry, base[..., : Z - 1]], axis=-1)
+    bndry = base[..., 0:1] if periodic_z else base[..., Z - 1 : Z]
+    return jnp.concatenate([base[..., 1:], bndry], axis=-1)
 
-    ``extra_y`` appends unused replicate rows on the Y axis so the kernel's
-    HBM DMA windows stay sublane-aligned (Mosaic requires 8-aligned slices
-    on the second-minor dim).  The Z (lane) axis is NOT padded - the kernel
-    tiles span the full Z extent and realize z-shifts in VMEM with a
-    wrap/clamp boundary plane, keeping every DMA 128-lane aligned."""
+
+def _stream_bc_collide(lat, cfg, codes, sym_codes, eq_kind, do_coll_codes,
+                       dtype, shifted, m, params_ref):
+    """Pull-stream + BC mask-selects + collision for one VMEM tile.
+
+    ``shifted(q, (ox, oy, oz))`` returns the [tx, ty, Z] slice of DF
+    component q at the given offsets - the only layout-dependent piece, so
+    the Q-major and site-major kernels share this body.  Mirrors the XLA
+    step in sim/step.py (and is regression-tested against it).
+    """
+    Q = lat.Q
+    opp = np.asarray(lat.opp)
+    nu = params_ref[0]
+    u_in = [params_ref[1], params_ref[2], params_ref[3]]
+    force = [params_ref[4], params_ref[5], params_ref[6]]
+    masks = {c: (m == int(c)) for c in codes}
+
+    rows = []
+    for q in range(Q):
+        cx, cy, cz = (int(v) for v in lat.c[q])
+        rows.append(shifted(q, (-cx, -cy, -cz)))
+    f_in = jnp.stack(rows)
+
+    if GEO.OUTFLOW_RIGHT in codes:
+        rows_or = []
+        for q in range(Q):
+            cx, cy, cz = (int(v) for v in lat.c[q])
+            rows_or.append(shifted(q, (-1, -cy, -cz)))
+        f_in = jnp.where(masks[GEO.OUTFLOW_RIGHT], jnp.stack(rows_or), f_in)
+
+    if GEO.WALL in codes:
+        f_swapped = jnp.stack([f_in[int(opp[q])] for q in range(Q)])
+        f_in = jnp.where(masks[GEO.WALL], f_swapped, f_in)
+    for c in sym_codes:
+        axis, sign = bc.sym_table(3)[c]
+        mirror = np.asarray(lat.mirror(axis))
+        rows_m = []
+        for q in range(Q):
+            if int(lat.c[q][axis]) == sign:
+                rows_m.append(jnp.where(masks[c], f_in[int(mirror[q])], f_in[q]))
+            else:
+                rows_m.append(f_in[q])
+        f_in = jnp.stack(rows_m)
+
+    rho, u = _moments_local(lat, f_in, force, cfg.well)
+
+    one = jnp.ones((), dtype)
+    if GEO.INFLOW_LEFT in codes or GEO.INFLOW in codes:
+        u_in_field = jnp.stack([jnp.zeros_like(rho) + u_in[a] for a in range(3)])
+    if GEO.INFLOW_LEFT in codes:
+        if cfg.well:
+            f_tot = jnp.stack([f_in[q] + float(lat.w[q]) for q in range(Q)])
+        else:
+            f_tot = f_in
+        f_il, rho_il = bc.inflow_left_moment_bc(lat, f_tot, u_in)
+        if cfg.well:
+            f_il = jnp.stack([f_il[q] - float(lat.w[q]) for q in range(Q)])
+        mm = masks[GEO.INFLOW_LEFT]
+        f_in = jnp.where(mm, f_il, f_in)
+        rho = jnp.where(mm, rho_il, rho)
+        u = jnp.where(mm, u_in_field, u)
+    if GEO.INFLOW in codes:
+        mm = masks[GEO.INFLOW]
+        feq_in = _eq_local(lat, one, u_in_field, eq_kind).astype(dtype)
+        f_in = jnp.where(mm, feq_in, f_in)
+        rho = jnp.where(mm, one, rho)
+        u = jnp.where(mm, u_in_field, u)
+    if GEO.OUTFLOW_EQ in codes:
+        mm = masks[GEO.OUTFLOW_EQ]
+        f_in = jnp.where(mm, _eq_local(lat, rho * 0 + one, u, eq_kind), f_in)
+        rho = jnp.where(mm, one, rho)
+    if GEO.OUTFLOW_RIGHT in codes:
+        rho = jnp.where(masks[GEO.OUTFLOW_RIGHT], one, rho)
+
+    rho_safe = jnp.where(rho == 0, one, rho)
+    f_post = cfg.collision(lat, f_in, rho_safe, u, nu, force=force)
+    do_coll = jnp.zeros_like(m, dtype=jnp.bool_)
+    for code in do_coll_codes:
+        do_coll = do_coll | (m == code)
+    f_post = jnp.where(do_coll, f_post, f_in)
+
+    if GEO.NOTHING in codes:
+        center = jnp.stack([shifted(q, (0, 0, 0)) for q in range(Q)])
+        f_post = jnp.where(masks[GEO.NOTHING], center, f_post)
+
+    rho_out, u_out = rho, u
+    zero_u = jnp.zeros_like(u)
+    for c in (GEO.WALL, GEO.NOTHING):
+        if c in codes:
+            rho_out = jnp.where(masks[c], one, rho_out)
+            u_out = jnp.where(masks[c], zero_u, u_out)
+    return f_post, rho_out, u_out
+
+
+def _pad_once(f, periodic, extra_y: int = 0):
+    """One-pass halo pad on the X/Y axes (dims 1, 2): edge-replicate, then
+    overwrite periodic-axis halo layers with the wrapped values.
+
+    ``extra_y`` appends unused replicate rows on Y so the Q-major kernel's
+    DMA windows stay sublane-aligned.  The Z (lane) axis is never padded -
+    kernels span full Z and shift in-register (_zshift)."""
     pads = [(0, 0), (1, 1), (1, 1 + extra_y), (0, 0)]
     fpad = jnp.pad(f, pads, mode="edge")
     for a, per in enumerate(periodic[:2]):
@@ -140,180 +244,135 @@ def _pad_once(f, periodic, extra_y: int = 0):
     return fpad
 
 
-def make_fused_step(cfg: LBMConfig, domain: Domain, tile=None):
-    """Build the fused A-B step: step(f, nu, u_in, force) -> (f_new, rho, u).
+def _pad_once_sitemajor(f, periodic):
+    """Halo pad for the site-major layout [X, Y, Qp, Z] (dims 0, 1)."""
+    fpad = jnp.pad(f, [(1, 1), (1, 1), (0, 0), (0, 0)], mode="edge")
+    for axis, per in enumerate(periodic[:2]):
+        if not per:
+            continue
+        n = f.shape[axis]
+        lo = [slice(None)] * 4
+        hi = [slice(None)] * 4
+        src_hi = [slice(None)] * 4
+        src_lo = [slice(None)] * 4
+        lo[axis] = slice(0, 1)
+        src_hi[axis] = slice(n, n + 1)
+        hi[axis] = slice(n + 1, n + 2)
+        src_lo[axis] = slice(1, 2)
+        fpad = fpad.at[tuple(lo)].set(fpad[tuple(src_hi)])
+        fpad = fpad.at[tuple(hi)].set(fpad[tuple(src_lo)])
+    return fpad
 
-    ``u_in``/``force`` are [D] vectors (always passed; zero when unused).
-    """
+
+def _params_vec(dtype, nu, u_in, force):
+    z = jnp.zeros((3,), dtype)
+    u_in_v = z if u_in is None else jnp.asarray(u_in, dtype).reshape(3)
+    force_v = z if force is None else jnp.asarray(force, dtype).reshape(3)
+    return jnp.concatenate([
+        jnp.asarray([nu], dtype), u_in_v, force_v,
+        jnp.asarray([0.0 if force is None else 1.0], dtype),
+    ])
+
+
+def _prep(cfg, domain):
     if cfg.streaming != "AB":
-        raise NotImplementedError("fused kernel currently implements the A-B pattern")
+        raise NotImplementedError("fused kernels currently implement the A-B pattern")
     lat = cfg.lat
-    assert lat.D == 3, "fused kernel is for the 3D lattices"
-    Q = lat.Q
-    X, Y, Z = domain.shape
-    dtype = cfg.compute_dtype
+    assert lat.D == 3, "fused kernels are for the 3D lattices"
     codes = domain.codes_present()
     if not codes <= SUPPORTED_CODES:
         raise NotImplementedError(f"unsupported GEO codes {codes - SUPPORTED_CODES}")
-    opp = np.asarray(lat.opp)
+    sym_codes = [c for c in codes if c in bc.sym_table(3)]
+    do_coll_codes = [int(c) for c in (bc.collision_mask_codes(3) & codes)]
+    return lat, codes, sym_codes, _eq_kind(cfg), do_coll_codes
+
+
+def make_fused_step(cfg: LBMConfig, domain: Domain, tile=None, tiles_per_program: int = 2,
+                    with_macro: bool = True):
+    """Q-major fused step: step(f, nu, u_in, force) -> (f_new, rho, u).
+
+    With ``with_macro=False`` the macro outputs are skipped (returns
+    (f_new, None, None)) - saves the rho/u write traffic for benchmarks.
+    """
+    lat, codes, sym_codes, eq_kind, do_coll_codes = _prep(cfg, domain)
+    Q = lat.Q
+    X, Y, Z = domain.shape
+    dtype = cfg.compute_dtype
+    periodic_z = bool(domain.periodic[2])
 
     if tile is None:
-        # VMEM budget heuristic: scratch = Q*(tx+2)*(ty+2)*(Z+2)*4 bytes
-        ty = 8
-        tx = 8 if Z <= 192 else 4
-        tile = (tx, ty)
+        tile = (8, 8) if Z <= 192 else (4, 8)
     tx, ty = tile
-    assert X % tx == 0 and Y % ty == 0, (X, Y, tile)
+    K = tiles_per_program
+    while K > 1 and Y % (ty * K) != 0:
+        K -= 1
+    assert X % tx == 0 and Y % (ty * K) == 0, (X, Y, tile, K)
     assert ty % 8 == 0, "ty must be sublane-aligned (multiple of 8)"
 
-    sym_codes = [c for c in codes if c in bc.sym_table(3)]
-    eq_kind = _eq_kind(cfg)
-    do_coll_codes = np.array(
-        [int(c) for c in (bc.collision_mask_codes(3) & codes)], dtype=np.int32
-    )
-
-    def kernel(params_ref, map_ref, fpad_hbm, fout_ref, rho_ref, u_ref, scratch, sem):
+    def kernel(params_ref, map_ref, fpad_hbm, fout_ref, rho_ref, u_ref, *rest):
+        scratches = rest[:K]
+        sem = rest[K]
         i = pl.program_id(0)
         j = pl.program_id(1)
-        # DMA the haloed tile: fpad[:, i*tx : i*tx+tx+2, j*ty : ..., :]
-        dma = pltpu.make_async_copy(
-            fpad_hbm.at[:, pl.ds(i * tx, tx + 2), pl.ds(j * ty, ty + 8), :],
-            scratch,
-            sem,
-        )
-        dma.start()
-        dma.wait()
 
-        nu = params_ref[0]
-        # scalar params stay Python lists of traced scalars - Mosaic does not
-        # support tiny vector reshapes like (3,) -> (3,1,1,1)
-        u_in = [params_ref[1], params_ref[2], params_ref[3]]
-        force = [params_ref[4], params_ref[5], params_ref[6]]
+        # K input DMAs in flight at once (static buffers - latency amortized)
+        dmas = []
+        for t in range(K):
+            dma = pltpu.make_async_copy(
+                fpad_hbm.at[:, pl.ds(i * tx, tx + 2), pl.ds((j * K + t) * ty, ty + 8), :],
+                scratches[t],
+                sem.at[t],
+            )
+            dma.start()
+            dmas.append(dma)
 
-        m = map_ref[...]
-        masks = {c: (m == int(c)) for c in codes}
+        for t in range(K):
+            dmas[t].wait()
+            scratch = scratches[t]
 
-        # pull streaming: f_in[q](x) = f[q](x - c_q), all in VMEM.
-        # x/y shifts read the DMA'd halo; z shifts wrap/clamp in-register
-        # (tiles span the full Z extent).
-        periodic_z = bool(domain.periodic[2])
+            def shifted(q, offs, scratch=scratch):
+                ox, oy, oz = offs
+                base = scratch[q, 1 + ox : 1 + ox + tx, 1 + oy : 1 + oy + ty, :]
+                return _zshift(base, oz, Z, periodic_z)
 
-        def shifted(q, offs):
-            ox, oy, oz = offs
-            base = scratch[q, 1 + ox : 1 + ox + tx, 1 + oy : 1 + oy + ty, :]
-            if oz == 0:
-                return base
-            if oz == -1:  # out[z] = base[z - 1]
-                bndry = base[..., Z - 1 : Z] if periodic_z else base[..., 0:1]
-                return jnp.concatenate([bndry, base[..., : Z - 1]], axis=-1)
-            # oz == +1: out[z] = base[z + 1]
-            bndry = base[..., 0:1] if periodic_z else base[..., Z - 1 : Z]
-            return jnp.concatenate([base[..., 1:], bndry], axis=-1)
+            m = map_ref[:, t * ty : (t + 1) * ty, :]
+            f_post, rho_out, u_out = _stream_bc_collide(
+                lat, cfg, codes, sym_codes, eq_kind, do_coll_codes, dtype,
+                shifted, m, params_ref,
+            )
+            fout_ref[:, :, t * ty : (t + 1) * ty, :] = f_post
+            if with_macro:
+                rho_ref[:, t * ty : (t + 1) * ty, :] = rho_out
+                u_ref[:, :, t * ty : (t + 1) * ty, :] = u_out
 
-        rows = []
-        for q in range(Q):
-            cx, cy, cz = (int(v) for v in lat.c[q])
-            rows.append(shifted(q, (-cx, -cy, -cz)))
-        f_in = jnp.stack(rows)
-
-        if GEO.OUTFLOW_RIGHT in codes:
-            rows_or = []
-            for q in range(Q):
-                cx, cy, cz = (int(v) for v in lat.c[q])
-                rows_or.append(shifted(q, (-1, -cy, -cz)))
-            f_in = jnp.where(masks[GEO.OUTFLOW_RIGHT], jnp.stack(rows_or), f_in)
-
-        if GEO.WALL in codes:
-            f_swapped = jnp.stack([f_in[int(opp[q])] for q in range(Q)])
-            f_in = jnp.where(masks[GEO.WALL], f_swapped, f_in)
-        for c in sym_codes:
-            axis, sign = bc.sym_table(3)[c]
-            mirror = np.asarray(lat.mirror(axis))
-            rows_m = []
-            for q in range(Q):
-                if int(lat.c[q][axis]) == sign:
-                    rows_m.append(jnp.where(masks[c], f_in[int(mirror[q])], f_in[q]))
-                else:
-                    rows_m.append(f_in[q])
-            f_in = jnp.stack(rows_m)
-
-        rho, u = _moments_local(lat, f_in, force, cfg.well)
-
-        one = jnp.ones((), dtype)
-        if GEO.INFLOW_LEFT in codes or GEO.INFLOW in codes:
-            u_in_field = jnp.stack([jnp.zeros_like(rho) + u_in[a] for a in range(3)])
-        if GEO.INFLOW_LEFT in codes:
-            if cfg.well:
-                f_tot = jnp.stack([f_in[q] + float(lat.w[q]) for q in range(Q)])
-            else:
-                f_tot = f_in
-            f_il, rho_il = bc.inflow_left_moment_bc(lat, f_tot, u_in)
-            if cfg.well:
-                f_il = jnp.stack([f_il[q] - float(lat.w[q]) for q in range(Q)])
-            mm = masks[GEO.INFLOW_LEFT]
-            f_in = jnp.where(mm, f_il, f_in)
-            rho = jnp.where(mm, rho_il, rho)
-            u = jnp.where(mm, u_in_field, u)
-        if GEO.INFLOW in codes:
-            mm = masks[GEO.INFLOW]
-            feq_in = _eq_local(lat, one, u_in_field, eq_kind).astype(dtype)
-            f_in = jnp.where(mm, feq_in, f_in)
-            rho = jnp.where(mm, one, rho)
-            u = jnp.where(mm, u_in_field, u)
-        if GEO.OUTFLOW_EQ in codes:
-            mm = masks[GEO.OUTFLOW_EQ]
-            f_in = jnp.where(mm, _eq_local(lat, rho * 0 + one, u, eq_kind), f_in)
-            rho = jnp.where(mm, one, rho)
-        if GEO.OUTFLOW_RIGHT in codes:
-            rho = jnp.where(masks[GEO.OUTFLOW_RIGHT], one, rho)
-
-        rho_safe = jnp.where(rho == 0, one, rho)
-        f_post = cfg.collision(lat, f_in, rho_safe, u, nu, force=force)
-        do_coll = jnp.zeros_like(m, dtype=jnp.bool_)
-        for code in do_coll_codes.tolist():
-            do_coll = do_coll | (m == code)
-        f_post = jnp.where(do_coll, f_post, f_in)
-
-        if GEO.NOTHING in codes:
-            center = jnp.stack([shifted(q, (0, 0, 0)) for q in range(Q)])
-            f_post = jnp.where(masks[GEO.NOTHING], center, f_post)
-
-        rho_out, u_out = rho, u
-        zero_u = jnp.zeros_like(u)
-        for c in (GEO.WALL, GEO.NOTHING):
-            if c in codes:
-                rho_out = jnp.where(masks[c], one, rho_out)
-                u_out = jnp.where(masks[c], zero_u, u_out)
-
-        fout_ref[...] = f_post
-        rho_ref[...] = rho_out
-        u_ref[...] = u_out
-
-    grid = (X // tx, Y // ty)
+    grid = (X // tx, Y // (ty * K))
+    tyK = ty * K
     interpret = jax.default_backend() == "cpu"
+    dummy = (8, 8, 128)
     call = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # params [8]
-            pl.BlockSpec((tx, ty, Z), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tx, tyK, Z), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # fpad stays in HBM
         ],
         out_specs=(
-            pl.BlockSpec((Q, tx, ty, Z), lambda i, j: (0, i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tx, ty, Z), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tx, ty, Z), lambda i, j: (0, i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, tx, tyK, Z), lambda i, j: (0, i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tx, tyK, Z) if with_macro else dummy,
+                         (lambda i, j: (i, j, 0)) if with_macro else (lambda i, j: (0, 0, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tx, tyK, Z) if with_macro else (3,) + dummy,
+                         (lambda i, j: (0, i, j, 0)) if with_macro else (lambda i, j: (0, 0, 0, 0)),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((Q, X, Y, Z), dtype),
-            jax.ShapeDtypeStruct((X, Y, Z), dtype),
-            jax.ShapeDtypeStruct((3, X, Y, Z), dtype),
+            jax.ShapeDtypeStruct((X, Y, Z) if with_macro else dummy, dtype),
+            jax.ShapeDtypeStruct((3, X, Y, Z) if with_macro else (3,) + dummy, dtype),
         ),
-        scratch_shapes=[
-            # ty + 8: sublane-aligned DMA window (only rows 0..ty+1 are used)
-            pltpu.VMEM((Q, tx + 2, ty + 8, Z), dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=[pltpu.VMEM((Q, tx + 2, ty + 8, Z), dtype) for _ in range(K)]
+        + [pltpu.SemaphoreType.DMA((K,))],
         interpret=interpret,
     )
 
@@ -323,13 +382,130 @@ def make_fused_step(cfg: LBMConfig, domain: Domain, tile=None):
         del parity
         mp = map_arr if map_arr_in is None else map_arr_in
         fpad = _pad_once(f, domain.periodic, extra_y=6)
-        z = jnp.zeros((3,), dtype)
-        u_in_v = z if u_in is None else jnp.asarray(u_in, dtype).reshape(3)
-        force_v = z if force is None else jnp.asarray(force, dtype).reshape(3)
-        params = jnp.concatenate([
-            jnp.asarray([nu], dtype), u_in_v, force_v,
-            jnp.asarray([0.0 if force is None else 1.0], dtype),
-        ])
-        return call(params, mp, fpad)
+        f_new, rho, u = call(_params_vec(dtype, nu, u_in, force), mp, fpad)
+        if not with_macro:
+            return f_new, None, None
+        return f_new, rho, u
+
+    return step
+
+
+QPAD = 32  # Q padded to a full sublane tile in the site-major layout
+
+
+def to_sitemajor(f):
+    """[Q, X, Y, Z] -> [X, Y, QPAD, Z] (zero-fill the dummy components)."""
+    fq = jnp.moveaxis(f, 0, 2)
+    return jnp.pad(fq, [(0, 0), (0, 0), (0, QPAD - f.shape[0]), (0, 0)])
+
+
+def from_sitemajor(fs, Q):
+    """[X, Y, QPAD, Z] -> [Q, X, Y, Z]."""
+    return jnp.moveaxis(fs[:, :, :Q, :], 2, 0)
+
+
+def make_fused_step_sitemajor(cfg: LBMConfig, domain: Domain, tile=None,
+                              tiles_per_program: int = 2, with_macro: bool = True):
+    """Site-major fused step: step(fs, nu, u_in, force) -> (fs_new, rho, u).
+
+    State is [X, Y, QPAD, Z] (use to_sitemajor/from_sitemajor at the
+    boundaries).  Both sliced axes are untiled in this layout, so halo DMA
+    windows are exact and each chunk is one contiguous (QPAD, Z) run.
+    """
+    lat, codes, sym_codes, eq_kind, do_coll_codes = _prep(cfg, domain)
+    Q = lat.Q
+    X, Y, Z = domain.shape
+    dtype = cfg.compute_dtype
+    periodic_z = bool(domain.periodic[2])
+
+    if tile is None:
+        tile = (8, 8)
+    tx, ty = tile
+    K = tiles_per_program
+    while K > 1 and Y % (ty * K) != 0:
+        K -= 1
+    assert X % tx == 0 and Y % (ty * K) == 0, (X, Y, tile, K)
+
+    def kernel(params_ref, map_ref, fpad_hbm, fout_ref, rho_ref, u_ref, *rest):
+        scratches = rest[:K]
+        sem = rest[K]
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        dmas = []
+        for t in range(K):
+            dma = pltpu.make_async_copy(
+                fpad_hbm.at[pl.ds(i * tx, tx + 2), pl.ds((j * K + t) * ty, ty + 2), :, :],
+                scratches[t],
+                sem.at[t],
+            )
+            dma.start()
+            dmas.append(dma)
+
+        for t in range(K):
+            dmas[t].wait()
+            scratch = scratches[t]
+
+            def shifted(q, offs, scratch=scratch):
+                ox, oy, oz = offs
+                base = scratch[1 + ox : 1 + ox + tx, 1 + oy : 1 + oy + ty, q, :]
+                return _zshift(base, oz, Z, periodic_z)
+
+            m = map_ref[:, t * ty : (t + 1) * ty, :]
+            f_post, rho_out, u_out = _stream_bc_collide(
+                lat, cfg, codes, sym_codes, eq_kind, do_coll_codes, dtype,
+                shifted, m, params_ref,
+            )
+            # write back site-major: [tx, ty, QPAD, Z]
+            zeros = jnp.zeros_like(f_post[0])
+            stacked = jnp.stack(
+                [f_post[q] for q in range(Q)] + [zeros] * (QPAD - Q), axis=2
+            )
+            fout_ref[:, t * ty : (t + 1) * ty, :, :] = stacked
+            if with_macro:
+                rho_ref[:, t * ty : (t + 1) * ty, :] = rho_out
+                u_ref[:, :, t * ty : (t + 1) * ty, :] = u_out
+
+    grid = (X // tx, Y // (ty * K))
+    tyK = ty * K
+    interpret = jax.default_backend() == "cpu"
+    dummy = (8, 8, 128)
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tx, tyK, Z), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((tx, tyK, QPAD, Z), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tx, tyK, Z) if with_macro else dummy,
+                         (lambda i, j: (i, j, 0)) if with_macro else (lambda i, j: (0, 0, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tx, tyK, Z) if with_macro else (3,) + dummy,
+                         (lambda i, j: (0, i, j, 0)) if with_macro else (lambda i, j: (0, 0, 0, 0)),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((X, Y, QPAD, Z), dtype),
+            jax.ShapeDtypeStruct((X, Y, Z) if with_macro else dummy, dtype),
+            jax.ShapeDtypeStruct((3, X, Y, Z) if with_macro else (3,) + dummy, dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((tx + 2, ty + 2, QPAD, Z), dtype) for _ in range(K)]
+        + [pltpu.SemaphoreType.DMA((K,))],
+        interpret=interpret,
+    )
+
+    map_arr = np.asarray(domain.map, np.int32)
+
+    def step(fs, nu, u_in=None, force=None, parity: int = 0, map_arr_in=None):
+        del parity
+        mp = map_arr if map_arr_in is None else map_arr_in
+        fpad = _pad_once_sitemajor(fs, domain.periodic)
+        f_new, rho, u = call(_params_vec(dtype, nu, u_in, force), mp, fpad)
+        if not with_macro:
+            return f_new, None, None
+        return f_new, rho, u
 
     return step
