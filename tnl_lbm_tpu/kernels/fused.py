@@ -288,15 +288,19 @@ def _prep(cfg, domain):
 
 
 def make_fused_step(cfg: LBMConfig, domain: Domain, tile=None, tiles_per_program: int = 2,
-                    with_macro: bool = True):
+                    with_macro: bool = True, prepadded: bool = False,
+                    local_shape=None):
     """Q-major fused step: step(f, nu, u_in, force) -> (f_new, rho, u).
 
     With ``with_macro=False`` the macro outputs are skipped (returns
     (f_new, None, None)) - saves the rho/u write traffic for benchmarks.
+    With ``prepadded=True`` the step expects the already-haloed array
+    [Q, X+2, Y+2+6, Z] (the distributed path builds it with ppermute
+    halo exchange inside shard_map - parallel/sharded.py).
     """
     lat, codes, sym_codes, eq_kind, do_coll_codes = _prep(cfg, domain)
     Q = lat.Q
-    X, Y, Z = domain.shape
+    X, Y, Z = local_shape if local_shape is not None else domain.shape
     dtype = cfg.compute_dtype
     periodic_z = bool(domain.periodic[2])
 
@@ -381,7 +385,7 @@ def make_fused_step(cfg: LBMConfig, domain: Domain, tile=None, tiles_per_program
     def step(f, nu, u_in=None, force=None, parity: int = 0, map_arr_in=None):
         del parity
         mp = map_arr if map_arr_in is None else map_arr_in
-        fpad = _pad_once(f, domain.periodic, extra_y=6)
+        fpad = f if prepadded else _pad_once(f, domain.periodic, extra_y=6)
         f_new, rho, u = call(_params_vec(dtype, nu, u_in, force), mp, fpad)
         if not with_macro:
             return f_new, None, None

@@ -118,3 +118,78 @@ def make_sharded_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan):
         return run(parity, f, map_arr, nu, u_in, force, bouzidi_arr)
 
     return step
+
+
+def make_sharded_fused_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan,
+                            tile=None, tiles_per_program: int = 2,
+                            with_macro: bool = True):
+    """Distributed Pallas path: ppermute halo exchange + the fused kernel.
+
+    The lattice shards over the mesh's x/y axes (z must stay unsharded - the
+    kernel shifts z in-register).  Each step exchanges 1-wide x/y face slabs
+    with lax.ppermute (sequential sweeps, corner-correct), assembles the
+    local haloed block and runs the single-chip fused kernel on it - the
+    TPU analog of the reference's overlapped halo pipeline
+    (reference state.hpp:1047-1111).
+    """
+    from jax import lax
+
+    from tnl_lbm_tpu.kernels.fused import make_fused_step
+
+    plan.check(domain)
+    assert plan.spatial_axes[2] is None or plan.mesh.shape[plan.spatial_axes[2]] == 1, (
+        "fused distributed path requires the z axis unsharded"
+    )
+    local_shape = plan.local_shape(domain)
+    local_step = make_fused_step(
+        cfg, domain, tile=tile, tiles_per_program=tiles_per_program,
+        with_macro=with_macro, prepadded=True, local_shape=local_shape,
+    )
+
+    def _exchange(f, axis, name, per):
+        """1-wide halo pad along `axis` via ppermute (or local pad)."""
+        n = plan.mesh.shape[name] if name is not None else 1
+        adim = axis + 1
+        if n == 1:
+            pad_width = [(0, 0)] * f.ndim
+            pad_width[adim] = (1, 1)
+            return jnp.pad(f, pad_width, mode="wrap" if per else "edge")
+        sl_lo = [slice(None)] * f.ndim
+        sl_hi = [slice(None)] * f.ndim
+        sl_lo[adim] = slice(0, 1)
+        sl_hi[adim] = slice(f.shape[adim] - 1, f.shape[adim])
+        first = f[tuple(sl_lo)]
+        last = f[tuple(sl_hi)]
+        fwd = [(i, (i + 1) % n) for i in range(n)]
+        bwd = [(i, (i - 1) % n) for i in range(n)]
+        from_left = lax.ppermute(last, name, fwd)
+        from_right = lax.ppermute(first, name, bwd)
+        if not per:
+            idx = lax.axis_index(name)
+            from_left = jnp.where(idx == 0, first, from_left)
+            from_right = jnp.where(idx == n - 1, last, from_right)
+        return jnp.concatenate([from_left, f, from_right], axis=adim)
+
+    def local(f, map_arr, nu, u_in, force):
+        fpad = _exchange(f, 0, plan.spatial_axes[0], domain.periodic[0])
+        fpad = _exchange(fpad, 1, plan.spatial_axes[1], domain.periodic[1])
+        # unused alignment rows expected by the kernel's DMA windows
+        fpad = jnp.pad(fpad, [(0, 0), (0, 0), (0, 6), (0, 0)], mode="edge")
+        return local_step(fpad, nu, u_in=u_in, force=force, map_arr_in=map_arr)
+
+    def step(f, map_arr, nu, u_in=None, force=None):
+        dt = cfg.compute_dtype
+        nu = jnp.asarray(nu, dt)
+        u_in_v = jnp.zeros((3,), dt) if u_in is None else jnp.asarray(u_in, dt)
+        force_v = jnp.zeros((3,), dt) if force is None else jnp.asarray(force, dt)
+        out_macro = (plan.spec_site, plan.spec_f) if with_macro else (P(), P())
+        sharded = shard_map(
+            local,
+            mesh=plan.mesh,
+            in_specs=(plan.spec_f, plan.spec_site, P(), P(), P()),
+            out_specs=(plan.spec_f,) + out_macro,
+            check_vma=False,
+        )
+        return sharded(f, map_arr, nu, u_in_v, force_v)
+
+    return step
