@@ -41,7 +41,7 @@ def main():
     force = jnp.asarray([1e-6, 0.0, 0.0], cfg.compute_dtype)
 
     if on_tpu and supports(dom):
-        step = make_fused_step(cfg, dom)
+        step = make_fused_step(cfg, dom, tile=(4, 8), tiles_per_program=2)
         kernel_name = "pallas-fused"
     else:
         step = make_step(cfg, dom)

@@ -96,6 +96,17 @@ class Probe1DCut:
     cycle: int = 0
 
 
+@dataclasses.dataclass
+class Probe1DLine:
+    """Physical from->to line sampler (reference state.h:52-59 probe1Dlinecut)."""
+
+    name: str
+    start: tuple  # physical coordinates
+    end: tuple
+    n_samples: int = 100
+    cycle: int = 0
+
+
 class Simulation:
     """One lattice + driver.  Subclass and override the hooks (analog of the
     reference's ~15 virtual methods, state.h:216-229)."""
@@ -124,6 +135,7 @@ class Simulation:
 
         self.cnt = {name: Counter() for name in ALL_COUNTERS}
         self.probes_1d: list[Probe1DCut] = []
+        self.probes_1d_line: list[Probe1DLine] = []
         self.probes_2d: list[Probe2DCut] = []
         self.probes_3d: list[Probe3DCut] = []
 
@@ -146,6 +158,7 @@ class Simulation:
         self._glups_prev_iter = 0
         self._glups_prev_time = None
         self._compute_time = 0.0
+        self._io_time = 0.0
 
         mkdir_p(self.results_dir)
         init_logging(self.results_dir)
@@ -253,6 +266,7 @@ class Simulation:
 
     def sim_init(self):
         self._build_step()
+        self.estimate_memory_demands()
         loaded = None
         if self.flags.exists("loadstate"):
             loaded = ckpt.load_checkpoint(self.results_dir)
@@ -265,6 +279,11 @@ class Simulation:
             for name in ALL_COUNTERS:
                 if name in meta.get("counters", {}):
                     self.cnt[name].count = int(meta["counters"][name])
+            cycles = meta.get("probe_cycles", {})
+            for key, probes in (("1d", self.probes_1d), ("1dline", self.probes_1d_line),
+                                ("2d", self.probes_2d), ("3d", self.probes_3d)):
+                for p, cyc in zip(probes, cycles.get(key, [])):
+                    p.cycle = int(cyc)
             if "vm" in arrays:
                 self.vm = jnp.asarray(arrays["vm"])
                 self.vm2 = jnp.asarray(arrays["vm2"])
@@ -430,6 +449,55 @@ class Simulation:
                     )
             p.cycle += 1
 
+    def _write_probes_1d_line(self):
+        """Sample fields along physical from->to lines with trilinear-free
+        nearest sampling (reference state.hpp:174-372)."""
+        vals = self.probe_values()
+        units = self.domain.units
+        for p in self.probes_1d_line:
+            path = self._results_path("probes", f"{p.name}.dat")
+            ts = np.linspace(0.0, 1.0, p.n_samples)
+            pts_phys = np.outer(1 - ts, p.start) + np.outer(ts, p.end)
+            idx = np.stack([
+                np.clip(np.round(units.phys2lbm_x(pts_phys[:, a], a) ).astype(int), 0, self.domain.shape[a] - 1)
+                for a in range(self.cfg.lat.D)
+            ])
+            with open(path, "a") as fh:
+                if p.cycle == 0:
+                    fh.write("# time s " + " ".join(vals.keys()) + "\n")
+                t = self.phys_time()
+                cols = [v[tuple(idx)] for v in vals.values()]
+                for k in range(p.n_samples):
+                    fh.write(f"{t} {ts[k]} " + " ".join(str(float(c[k])) for c in cols) + "\n")
+            p.cycle += 1
+
+    def estimate_memory_demands(self) -> dict:
+        """Device-memory preflight (reference state.hpp:819-877): refuse to
+        start when the state pytree cannot fit."""
+        sites = self.domain.units.num_sites
+        Q = self.cfg.lat.Q
+        itemsize = jnp.dtype(self.cfg.compute_dtype).itemsize
+        n_buffers = 1 if self.cfg.streaming == "AA" else 2
+        bytes_dfs = Q * sites * itemsize * n_buffers
+        bytes_macro = (1 + self.cfg.lat.D) * sites * itemsize
+        bytes_map = sites * 4
+        total = bytes_dfs + bytes_macro + bytes_map
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            limit = stats.get("bytes_limit", 0)
+        except Exception:
+            limit = 0
+        n_dev = 1 if self.plan is None else int(np.prod(list(self.plan.mesh.shape.values())))
+        per_device = total // n_dev
+        info = {"total_bytes": total, "per_device_bytes": per_device, "device_limit": limit}
+        self.log.info(
+            "memory estimate: %.2f GB total, %.2f GB/device (limit %.2f GB)",
+            total / 1e9, per_device / 1e9, limit / 1e9 if limit else float("nan"),
+        )
+        if limit and per_device > 0.9 * limit:
+            raise MemoryError(f"state would not fit on device: {info}")
+        return info
+
     def save_state(self):
         """Checkpoint + loadstate flag (reference state.hpp:739-770)."""
         arrays = {"f": self.f}
@@ -440,6 +508,12 @@ class Simulation:
             "iterations": self.iterations,
             "stat_counter": self.stat_counter,
             "counters": {k: c.count for k, c in self.cnt.items()},
+            "probe_cycles": {
+                "1d": [p.cycle for p in self.probes_1d],
+                "1dline": [p.cycle for p in self.probes_1d_line],
+                "2d": [p.cycle for p in self.probes_2d],
+                "3d": [p.cycle for p in self.probes_3d],
+            },
             "phys_time": self.phys_time(),
         }
         ckpt.save_checkpoint(self.results_dir, arrays, meta)
@@ -480,6 +554,12 @@ class Simulation:
         self.log.info(
             "finished: %d iterations, wall %.2fs, avg GLUPS %.4f, compute GLUPS %.4f",
             it, wall, avg, comp,
+        )
+        # timer battery (analog of reference state.h:266-279 / state.hpp:1285-1300)
+        other = max(wall - self._compute_time - self._io_time, 0.0)
+        self.prof.info(
+            "timers: compute %.2fs, io %.2fs, other (host/actions) %.2fs",
+            self._compute_time, self._io_time, other,
         )
 
     # ---------------------------------------------------------------- loop
@@ -533,16 +613,25 @@ class Simulation:
                 hook()
         if c[VTK1D].action(t):
             c[VTK1D].count += 1
+            t_io = time.perf_counter()
             self._write_probes_1d()
+            self._write_probes_1d_line()
+            self._io_time += time.perf_counter() - t_io
         if c[VTK2D].action(t):
             c[VTK2D].count += 1
+            t_io = time.perf_counter()
             self._write_vtk_2d()
+            self._io_time += time.perf_counter() - t_io
         if c[VTK3D].action(t):
+            t_io = time.perf_counter()
             self._write_vtk_3d()
+            self._io_time += time.perf_counter() - t_io
             c[VTK3D].count += 1
         if c[VTK3DCUT].action(t):
             c[VTK3DCUT].count += 1
+            t_io = time.perf_counter()
             self._write_vtk_3dcut()
+            self._io_time += time.perf_counter() - t_io
         if c[SAVESTATE].period > 0:
             wall = time.time() - self._t_wall_start
             if wall >= c[SAVESTATE].count * c[SAVESTATE].period:
