@@ -75,6 +75,38 @@ def test_checkpoint_resume(tmp_path):
     sim2._lock.release()
 
 
+def test_use_fused_aa_driver(tmp_path):
+    """Simulation with the fused A-A Pallas pair (interpret mode on CPU)
+    matches the XLA path after a few steps."""
+    import jax.numpy as jnp
+
+    from tnl_lbm_tpu.models import D3Q27
+    from tnl_lbm_tpu.ops import collision as col3
+    from tnl_lbm_tpu.ops import equilibrium as eqlib
+
+    X, Y, Z = 16, 8, 8
+    m = np.zeros((X, Y, Z), np.uint8)
+    m[:, 0] = m[:, -1] = GEO.WALL
+    m[:, :, 0] = m[:, :, -1] = GEO.WALL
+    units = Lattice(global_size=(X, Y, Z), phys_origin=(0, 0, 0),
+                    phys_dl=0.01, phys_dt=0.001, phys_viscosity=1e-3)
+    dom = Domain(lat=D3Q27, units=units, map=m, periodic=(True, False, False))
+    cfg = LBMConfig(lat=D3Q27, collision=col3.collide_cum_well, eq=eqlib.eq_well,
+                    well=True, streaming="AA", compute_dtype=jnp.float32)
+
+    class ForcedSim(Simulation):
+        def body_force(self, phys_time):
+            return np.array([1e-5, 0.0, 0.0])
+
+    sims = []
+    for sid, fused in (("aa_xla", False), ("aa_fused", True)):
+        s = ForcedSim(cfg, dom, sim_id=sid, results_parent=tmp_path,
+                      phys_final_time=0.004, use_fused=fused)
+        assert s.run()
+        sims.append(s)
+    np.testing.assert_allclose(np.asarray(sims[0].f), np.asarray(sims[1].f), atol=1e-6)
+
+
 def test_nan_guard(tmp_path):
     sim = make_sim(tmp_path, sim_id="t4", phys_final_time=1.0)
     sim.cnt[PRINT].period = 0.001  # check every step

@@ -84,6 +84,57 @@ def test_fused_rejects_unsupported_codes():
         make_fused_step(cfg, dom)
 
 
+@pytest.mark.parametrize("periodic", [(True, True, True), (True, False, False)],
+                         ids=["torus", "duct"])
+def test_fused_aa_pair_matches_xla_aa(periodic):
+    from tnl_lbm_tpu.kernels.fused_aa import make_fused_step_aa
+
+    X, Y, Z = 16, 16, 16
+    m = np.zeros((X, Y, Z), np.uint8)
+    if not periodic[1]:
+        m[:, 0] = m[:, -1] = GEO.WALL
+        m[:, :, 0] = m[:, :, -1] = GEO.WALL
+        m[5, 5, 5] = GEO.NOTHING
+    units = Lattice((X, Y, Z), (0, 0, 0), 1.0, 1.0)
+    dom = Domain(lat=D3Q27, units=units, map=m, periodic=periodic)
+    cfg = LBMConfig(lat=D3Q27, collision=col.collide_cum_well, eq=eqlib.eq_well,
+                    well=True, streaming="AA")
+    step_ref = make_step(cfg, dom)
+    step_aa = make_fused_step_aa(cfg, dom, tile_even=(8, 8), tile_odd=(8, 8))
+    f1 = f2 = rand_f(dom, cfg, seed=5)
+    force = jnp.asarray([1e-5, 0, 0], jnp.float32)
+    for it in range(4):
+        f1, rho1, u1 = step_ref(f1, 0.02, force=force, parity=it % 2)
+        f2, rho2, u2 = step_aa(f2, 0.02, force=force, parity=it % 2)
+        assert float(jnp.abs(f1 - f2).max()) < 1e-6, f"step {it}"
+    assert float(jnp.abs(rho1 - rho2).max()) < 2e-6
+    assert float(jnp.abs(u1 - u2).max()) < 1e-6
+
+
+def test_fused_aa_channel_inflow_outflow():
+    from tnl_lbm_tpu.kernels.fused_aa import make_fused_step_aa
+
+    X, Y, Z = 16, 8, 8
+    m = np.zeros((X, Y, Z), np.uint8)
+    m[:, 0] = m[:, -1] = GEO.WALL
+    m[:, :, 0] = m[:, :, -1] = GEO.WALL
+    m[0, 1:-1, 1:-1] = GEO.INFLOW_LEFT
+    m[-1, 1:-1, 1:-1] = GEO.OUTFLOW_RIGHT
+    units = Lattice((X, Y, Z), (0, 0, 0), 1.0, 1.0)
+    dom = Domain(lat=D3Q27, units=units, map=m)
+    cfg = LBMConfig(lat=D3Q27, collision=col.collide_cum, eq=eqlib.eq_inv_cum,
+                    streaming="AA")
+    step_ref = make_step(cfg, dom)
+    step_aa = make_fused_step_aa(cfg, dom, tile_even=(8, 8), tile_odd=(8, 8))
+    u_in = jnp.asarray([0.03, 0.0, 0.0], jnp.float32)
+    f1 = f2 = rand_f(dom, cfg, seed=7)
+    for it in range(4):
+        f1, rho1, u1 = step_ref(f1, 0.02, u_in=u_in, parity=it % 2)
+        f2, rho2, u2 = step_aa(f2, 0.02, u_in=u_in, parity=it % 2)
+        assert float(jnp.abs(f1 - f2).max()) < 1e-6, f"step {it}"
+    assert float(jnp.abs(u1 - u2).max()) < 1e-6
+
+
 def test_sitemajor_kernel_matches_xla_step():
     from tnl_lbm_tpu.kernels.fused import from_sitemajor, make_fused_step_sitemajor, to_sitemajor
 

@@ -125,13 +125,19 @@ def _zshift(base, oz, Z, periodic_z):
 
 
 def _stream_bc_collide(lat, cfg, codes, sym_codes, eq_kind, do_coll_codes,
-                       dtype, shifted, m, params_ref):
+                       dtype, shifted, m, params_ref,
+                       out_perm=None, defer_nothing=False):
     """Pull-stream + BC mask-selects + collision for one VMEM tile.
 
     ``shifted(q, (ox, oy, oz))`` returns the [tx, ty, Z] slice of DF
     component q at the given offsets - the only layout-dependent piece, so
-    the Q-major and site-major kernels share this body.  Mirrors the XLA
-    step in sim/step.py (and is regression-tested against it).
+    the Q-major, site-major and A-A kernels share this body.  Mirrors the
+    XLA step in sim/step.py (and is regression-tested against it).
+
+    ``out_perm`` permutes the output components before the NOTHING restore
+    (the A-A even step writes opposite-direction, streaming_AA.h:16-45).
+    ``defer_nothing=True`` skips the NOTHING restore - the A-A odd kernel
+    applies it after its push shifts, at the destination site.
     """
     Q = lat.Q
     opp = np.asarray(lat.opp)
@@ -204,7 +210,9 @@ def _stream_bc_collide(lat, cfg, codes, sym_codes, eq_kind, do_coll_codes,
         do_coll = do_coll | (m == code)
     f_post = jnp.where(do_coll, f_post, f_in)
 
-    if GEO.NOTHING in codes:
+    if out_perm is not None:
+        f_post = jnp.stack([f_post[int(out_perm[q])] for q in range(Q)])
+    if GEO.NOTHING in codes and not defer_nothing:
         center = jnp.stack([shifted(q, (0, 0, 0)) for q in range(Q)])
         f_post = jnp.where(masks[GEO.NOTHING], center, f_post)
 
@@ -378,6 +386,7 @@ def make_fused_step(cfg: LBMConfig, domain: Domain, tile=None, tiles_per_program
         scratch_shapes=[pltpu.VMEM((Q, tx + 2, ty + 8, Z), dtype) for _ in range(K)]
         + [pltpu.SemaphoreType.DMA((K,))],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )
 
     map_arr = np.asarray(domain.map, np.int32)
@@ -499,6 +508,7 @@ def make_fused_step_sitemajor(cfg: LBMConfig, domain: Domain, tile=None,
         scratch_shapes=[pltpu.VMEM((tx + 2, ty + 2, QPAD, Z), dtype) for _ in range(K)]
         + [pltpu.SemaphoreType.DMA((K,))],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )
 
     map_arr = np.asarray(domain.map, np.int32)

@@ -1,0 +1,292 @@
+"""Fused A-A pattern Pallas kernels (even/odd parity pair).
+
+The A-A pattern (reference d3q27/streaming_AA.h) updates a single DF buffer
+in place:
+
+- **even step**: read same-site same-direction, write same-site
+  opposite-direction (streaming_AA.h:16-45).  No neighbor access at all, so
+  this compiles to a plain BlockSpec-tiled kernel with automatic pipeline
+  overlap - no halo pad pass, no manual halo DMA - and runs close to the
+  HBM roofline.
+- **odd step**: read neighbor opposite-direction (a pull of the
+  opposite-permuted field), write neighbor same-direction (a push,
+  streaming_AA.h:47-76).  The push is realized by computing the
+  post-collision state on a 1-site halo ring around each tile and writing
+  shifted slices of it, which needs 2-halo input windows.
+
+Semantics match sim/step.py's A-A branches exactly (regression-tested in
+tests/test_fused_kernel.py): the even step applies no streaming-stage BC
+pull modifications, the odd push equals ``pull(pad(f_post))`` including the
+edge-replicate/wrap treatment at domain boundaries, and NOTHING sites keep
+their stored DFs.
+
+Combined with XLA buffer donation the pair advances two steps with a single
+DF buffer resident - the reference's memory-halving A-A scheme realized
+functionally.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tnl_lbm_tpu.ops.boundary import GEO
+from tnl_lbm_tpu.kernels.fused import (
+    _params_vec,
+    _prep,
+    _stream_bc_collide,
+    _zshift,
+)
+from tnl_lbm_tpu.sim.config import Domain, LBMConfig
+
+
+def _pad_aa_odd(f, periodic):
+    """2-halo pad on X (origin 2) and a 4-row Y pad (origin 4) for the odd
+    kernel's DMA windows: fpad is [Q, X+4, Y+8, Z].  With the interior at
+    Y offset 4, an 8-aligned window [j*ty, j*ty+ty+8) covers the 2-halo rows
+    [j*ty-2, j*ty+ty+2) of the tile - minimal read amplification."""
+    X, Y = f.shape[1], f.shape[2]
+    fpad = jnp.pad(f, [(0, 0), (2, 2), (4, 4), (0, 0)], mode="edge")
+    if periodic[0]:
+        fpad = fpad.at[:, 0:2].set(fpad[:, X : X + 2])
+        fpad = fpad.at[:, X + 2 : X + 4].set(fpad[:, 2:4])
+    if periodic[1]:
+        fpad = fpad.at[:, :, 2:4].set(fpad[:, :, Y + 2 : Y + 4])
+        fpad = fpad.at[:, :, Y + 4 : Y + 6].set(fpad[:, :, 4:6])
+    return fpad
+
+
+def _pad_map_ring(map_arr, periodic):
+    """Static 1-halo map pad (X origin 1, Y origin 4): [X+2, Y+8, Z]."""
+    X, Y = map_arr.shape[0], map_arr.shape[1]
+    mp = np.pad(map_arr, [(1, 1), (4, 4), (0, 0)], mode="edge")
+    if periodic[0]:
+        mp[0] = mp[X]
+        mp[X + 1] = mp[1]
+    if periodic[1]:
+        mp[:, 3] = mp[:, Y + 3]
+        mp[:, 4 + Y] = mp[:, 4]
+    return mp
+
+
+def _edge_rep(v, axis, is_first, is_last):
+    """Replace the ring-halo layer of `v` with the adjacent interior layer
+    when this tile sits on a non-periodic domain boundary (matches the
+    edge-replicate jnp.pad in sim/step.py's odd push)."""
+    if axis == 0:
+        first = jnp.where(is_first, v[1:2], v[0:1])
+        last = jnp.where(is_last, v[-2:-1], v[-1:])
+        return jnp.concatenate([first, v[1:-1], last], axis=0)
+    first = jnp.where(is_first, v[:, 1:2], v[:, 0:1])
+    last = jnp.where(is_last, v[:, -2:-1], v[:, -1:])
+    return jnp.concatenate([first, v[:, 1:-1], last], axis=1)
+
+
+def _fit_tile(t: int, n: int, align: int = 1) -> int:
+    """Largest divisor of n that is <= t and a multiple of align."""
+    t = min(t, n)
+    while t >= align and (n % t != 0 or t % align != 0):
+        t -= align if t % align == 0 else t % align
+    assert t >= align, (t, n, align)
+    return t
+
+
+def make_fused_step_aa(cfg: LBMConfig, domain: Domain,
+                       tile_even=(8, 8), tile_odd=(4, 8),
+                       tiles_per_program: int = 1, with_macro: bool = True):
+    """A-A fused pair: ``step(f, nu, u_in, force, parity)`` with parity
+    0 = even, 1 = odd (Python-static).  Returns (f_new, rho, u)."""
+    assert cfg.streaming == "AA", "use make_fused_step for the A-B pattern"
+    cfg_ab = dataclasses.replace(cfg, streaming="AB")
+    lat, codes, sym_codes, eq_kind, do_coll_codes = _prep(cfg_ab, domain)
+    Q = lat.Q
+    X, Y, Z = domain.shape
+    dtype = cfg.compute_dtype
+    periodic = domain.periodic
+    periodic_z = bool(periodic[2])
+    opp = np.asarray(lat.opp)
+    interpret = jax.default_backend() == "cpu"
+    map_arr = np.asarray(domain.map, np.int32)
+
+    # ---------------------------------------------------------------- even
+    ex = _fit_tile(tile_even[0], X)
+    ey = _fit_tile(tile_even[1], Y)
+    assert X % ex == 0 and Y % ey == 0, (X, Y, tile_even)
+
+    def even_kernel(params_ref, map_ref, f_ref, fout_ref, rho_ref, u_ref):
+        def shifted(q, offs):
+            # even-step read: same site, same direction, regardless of the
+            # offsets (no streaming happens; BC pull modifications are
+            # no-ops on the even step, as in sim/step.py parity==0)
+            del offs
+            return f_ref[q]
+
+        f_post, rho_out, u_out = _stream_bc_collide(
+            lat, cfg_ab, codes, sym_codes, eq_kind, do_coll_codes, dtype,
+            shifted, map_ref[...], params_ref, out_perm=opp,
+        )
+        fout_ref[...] = f_post
+        if with_macro:
+            rho_ref[...] = rho_out
+            u_ref[...] = u_out
+
+    dummy = (8, 8, 128)
+    even_call = pl.pallas_call(
+        even_kernel,
+        grid=(X // ex, Y // ey),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((ex, ey, Z), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, ex, ey, Z), lambda i, j: (0, i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((Q, ex, ey, Z), lambda i, j: (0, i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ex, ey, Z) if with_macro else dummy,
+                         (lambda i, j: (i, j, 0)) if with_macro else (lambda i, j: (0, 0, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, ex, ey, Z) if with_macro else (3,) + dummy,
+                         (lambda i, j: (0, i, j, 0)) if with_macro else (lambda i, j: (0, 0, 0, 0)),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Q, X, Y, Z), dtype),
+            jax.ShapeDtypeStruct((X, Y, Z) if with_macro else dummy, dtype),
+            jax.ShapeDtypeStruct((3, X, Y, Z) if with_macro else (3,) + dummy, dtype),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+    # ----------------------------------------------------------------- odd
+    tx = _fit_tile(tile_odd[0], X)
+    ty = _fit_tile(tile_odd[1], Y, align=8)
+    K = tiles_per_program
+    while K > 1 and Y % (ty * K) != 0:
+        K -= 1
+    assert X % tx == 0 and Y % (ty * K) == 0, (X, Y, tile_odd, K)
+    assert ty % 8 == 0, "ty must be sublane-aligned (multiple of 8)"
+    txc, tyc = tx + 2, ty + 2  # ring (interior + 1-halo) extents
+    nx_t, ny_t = X // tx, Y // ty
+    tyK = ty * K
+    map_ring = _pad_map_ring(map_arr, periodic)
+
+    def odd_kernel(params_ref, fpad_hbm, mp_hbm, fout_ref, rho_ref, u_ref, *rest):
+        fscr = rest[:K]
+        mscr = rest[K : 2 * K]
+        sem = rest[2 * K]
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        dmas = []
+        for t in range(K):
+            jt = j * K + t
+            # fpad x-origin 2: window [i*tx-2, i*tx+tx+2) -> start i*tx
+            # fpad y-origin 4: window [jt*ty-4, jt*ty+ty+4) -> start jt*ty
+            d1 = pltpu.make_async_copy(
+                fpad_hbm.at[:, pl.ds(i * tx, tx + 4), pl.ds(jt * ty, ty + 8), :],
+                fscr[t], sem.at[t, 0],
+            )
+            d1.start()
+            d2 = pltpu.make_async_copy(
+                mp_hbm.at[pl.ds(i * tx, tx + 2), pl.ds(jt * ty, ty + 8), :],
+                mscr[t], sem.at[t, 1],
+            )
+            d2.start()
+            dmas.append((d1, d2))
+
+        for t in range(K):
+            jt = j * K + t
+            dmas[t][0].wait()
+            dmas[t][1].wait()
+            scratch = fscr[t]
+            # ring map: global rows [i*tx-1, ...); with map x-origin 1 and
+            # window start i*tx the ring begins at window x offset 0, y 3
+            m_ring = mscr[t][0:txc, 3 : 3 + tyc, :]
+
+            def shifted(q, offs, scratch=scratch):
+                # odd-step read: neighbor, opposite direction
+                # (streaming_AA.h:47-60); ring origin in-window: x 1, y 3
+                ox, oy, oz = offs
+                qo = int(opp[q])
+                base = scratch[qo, 1 + ox : 1 + ox + txc, 3 + oy : 3 + oy + tyc, :]
+                return _zshift(base, oz, Z, periodic_z)
+
+            f_post, rho_ring, u_ring = _stream_bc_collide(
+                lat, cfg_ab, codes, sym_codes, eq_kind, do_coll_codes, dtype,
+                shifted, m_ring, params_ref, defer_nothing=True,
+            )
+
+            # at non-periodic domain boundaries the XLA push pads f_post
+            # with edge replication; overwrite the out-of-domain ring layer
+            post = [f_post[q] for q in range(Q)]
+            if not periodic[0]:
+                post = [_edge_rep(v, 0, i == 0, i == nx_t - 1) for v in post]
+            if not periodic[1]:
+                post = [_edge_rep(v, 1, jt == 0, jt == ny_t - 1) for v in post]
+
+            # push: out[q](x) = f_post[q](x - c_q); ring covers x +- 1
+            rows = []
+            for q in range(Q):
+                cx, cy, cz = (int(v) for v in lat.c[q])
+                base = post[q][1 - cx : 1 - cx + tx, 1 - cy : 1 - cy + ty, :]
+                rows.append(_zshift(base, -cz, Z, periodic_z))
+            pushed = jnp.stack(rows)
+
+            if GEO.NOTHING in codes:
+                # destination-site restore: NOTHING keeps its stored DFs
+                # (same site, same direction = fpad window interior)
+                m_int = m_ring[1 : 1 + tx, 1 : 1 + ty, :]
+                center = scratch[:, 2 : 2 + tx, 4 : 4 + ty, :]
+                pushed = jnp.where(m_int == int(GEO.NOTHING), center, pushed)
+
+            fout_ref[:, :, t * ty : (t + 1) * ty, :] = pushed
+            if with_macro:
+                rho_ref[:, t * ty : (t + 1) * ty, :] = rho_ring[1 : 1 + tx, 1 : 1 + ty, :]
+                u_ref[:, :, t * ty : (t + 1) * ty, :] = u_ring[:, 1 : 1 + tx, 1 : 1 + ty, :]
+
+    odd_call = pl.pallas_call(
+        odd_kernel,
+        grid=(X // tx, Y // tyK),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # fpad stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # padded map stays in HBM
+        ],
+        out_specs=(
+            pl.BlockSpec((Q, tx, tyK, Z), lambda i, j: (0, i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tx, tyK, Z) if with_macro else dummy,
+                         (lambda i, j: (i, j, 0)) if with_macro else (lambda i, j: (0, 0, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tx, tyK, Z) if with_macro else (3,) + dummy,
+                         (lambda i, j: (0, i, j, 0)) if with_macro else (lambda i, j: (0, 0, 0, 0)),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Q, X, Y, Z), dtype),
+            jax.ShapeDtypeStruct((X, Y, Z) if with_macro else dummy, dtype),
+            jax.ShapeDtypeStruct((3, X, Y, Z) if with_macro else (3,) + dummy, dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((Q, tx + 4, ty + 8, Z), dtype) for _ in range(K)]
+        + [pltpu.VMEM((tx + 2, ty + 8, Z), jnp.int32) for _ in range(K)]
+        + [pltpu.SemaphoreType.DMA((K, 2))],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+    def step(f, nu, u_in=None, force=None, parity: int = 0):
+        params = _params_vec(dtype, nu, u_in, force)
+        if parity == 0:
+            f_new, rho, u = even_call(params, map_arr, f)
+        else:
+            fpad = _pad_aa_odd(f, periodic)
+            f_new, rho, u = odd_call(params, fpad, map_ring)
+        if not with_macro:
+            return f_new, None, None
+        return f_new, rho, u
+
+    return step

@@ -227,9 +227,14 @@ class Simulation:
     def _build_step(self):
         if self.plan is None:
             if self.use_fused:
-                from tnl_lbm_tpu.kernels.fused import make_fused_step
+                if self.cfg.streaming == "AA":
+                    from tnl_lbm_tpu.kernels.fused_aa import make_fused_step_aa
 
-                self._step = make_fused_step(self.cfg, self.domain)
+                    self._step = make_fused_step_aa(self.cfg, self.domain)
+                else:
+                    from tnl_lbm_tpu.kernels.fused import make_fused_step
+
+                    self._step = make_fused_step(self.cfg, self.domain)
             else:
                 self._step = make_step(self.cfg, self.domain)
         else:
