@@ -3,11 +3,14 @@
 Replicates the reference's GLUPS accounting: LUPS = X*Y*Z * iterations /
 compute_time with the kernel-only timer (reference: state.hpp:1302-1309,
 BASELINE.md "GLUPS formula").  Config matches BASELINE.json: 256^3 square
-duct, D3Q27 well-conditioned cumulant collision, float32, using the Pallas
-fused collide-and-stream kernel (tnl_lbm_tpu/kernels/fused.py) with XLA
-buffer donation (A-B pattern; donation reuses the DF buffer in place, which
-is the A-A pattern's memory win realized the XLA way - SURVEY.md section 7
-"Hard parts").
+duct, D3Q27 well-conditioned cumulant collision, float32, A-A in-place
+streaming (reference streaming_AA.h) via the fused Pallas even/odd kernel
+pair (tnl_lbm_tpu/kernels/fused_aa.py):
+
+- even step: halo-free same-site kernel (no pad pass, no halo DMA),
+- odd step: ring-recompute push kernel with 2-halo DMA windows,
+- the even step is NOT donated: aliasing a Pallas kernel's output onto its
+  input HBM buffer costs ~1.8x bandwidth on v5e (see fused_aa.py docstring).
 
 Baseline derivation (the reference repo publishes no absolute numbers -
 BASELINE.md): published TNL-LBM-class single-GPU throughput for the D3Q27
@@ -19,6 +22,7 @@ vs_baseline = MLUPS / 1000.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import time
 
@@ -30,7 +34,8 @@ def main():
     import jax.numpy as jnp
 
     import __graft_entry__ as ge
-    from tnl_lbm_tpu.kernels.fused import make_fused_step, supports
+    from tnl_lbm_tpu.kernels.fused import supports
+    from tnl_lbm_tpu.kernels.fused_aa import make_fused_step_aa
     from tnl_lbm_tpu.sim import initial_dfs, make_step
 
     dev = jax.devices()[0]
@@ -41,26 +46,40 @@ def main():
     force = jnp.asarray([1e-6, 0.0, 0.0], cfg.compute_dtype)
 
     if on_tpu and supports(dom):
-        step = make_fused_step(cfg, dom, tile=(4, 8), tiles_per_program=2)
-        kernel_name = "pallas-fused"
+        cfg = dataclasses.replace(cfg, streaming="AA")
+        step = make_fused_step_aa(cfg, dom, tile_even=(8, 16), tile_odd=(8, 16),
+                                  tiles_per_program=4)
+        kernel_name = "pallas-fused-AA"
+        # even: no donation (in/out aliasing costs ~1.8x HBM bandwidth)
+        jeven = jax.jit(lambda f: step(f, 0.02, force=force, parity=0)[0])
+        jodd = jax.jit(lambda f: step(f, 0.02, force=force, parity=1)[0],
+                       donate_argnums=0)
+
+        def advance_pair(f):
+            return jodd(jeven(f))
+
+        steps_per_call = 2
     else:
         step = make_step(cfg, dom)
         kernel_name = "xla"
-
-    jstep = jax.jit(lambda f: step(f, 0.02, force=force)[0], donate_argnums=0)
+        jstep = jax.jit(lambda f: step(f, 0.02, force=force)[0], donate_argnums=0)
+        advance_pair = jstep
+        steps_per_call = 1
 
     f = initial_dfs(cfg, dom)
-    f = jstep(f)  # compile + warm
+    f = advance_pair(f)  # compile + warm both parities
     float(f[0, 0, 0, 0])
 
-    iters = 100 if on_tpu else 10
+    calls = 50 if on_tpu else 10
     t0 = time.perf_counter()
-    for _ in range(iters):
-        f = jstep(f)
-    v = float(f[0, 0, 0, 0])  # forces completion
+    for _ in range(calls):
+        f = advance_pair(f)
+    v = float(f[0, 0, 0, 0])  # forces completion (block_until_ready does
+    # not actually block through the remote-TPU tunnel)
     dt = time.perf_counter() - t0
     assert v == v, "NaN in benchmark output"
 
+    iters = calls * steps_per_call
     mlups = shape[0] * shape[1] * shape[2] * iters / dt / 1e6
     print(json.dumps({
         "metric": f"MLUPS/chip (D3Q27 cumulant-well, {kernel_name}, {n}^3, f32, {dev.platform})",

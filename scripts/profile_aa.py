@@ -41,16 +41,16 @@ timeit("AB fused (4,8)x2", jab)
 
 best = {}
 for te, to, k, macro in [
-    ((8, 8), (16, 32), 1, True),
-    ((8, 8), (32, 16), 1, True),
-    ((8, 8), (16, 16), 2, True),
-    ((16, 8), (24, 16), 1, True),
-    ((4, 8), (16, 24), 1, True),
+    ((8, 32), (8, 16), 4, True),
+    ((8, 16), (8, 16), 6, True),
+    ((8, 32), (8, 32), 2, True),
+    ((8, 32), (8, 32), 4, True),
+    ((8, 32), (16, 16), 2, True),
 ]:
     try:
         step_aa = make_fused_step_aa(cfg_aa, dom, tile_even=te, tile_odd=to,
                                      tiles_per_program=k, with_macro=macro)
-        je = jax.jit(lambda f: step_aa(f, 0.02, force=force, parity=0)[0], donate_argnums=0)
+        je = jax.jit(lambda f: step_aa(f, 0.02, force=force, parity=0)[0])
         jo = jax.jit(lambda f: step_aa(f, 0.02, force=force, parity=1)[0], donate_argnums=0)
         de = best.get(("e", te, macro)) or timeit(f"AA even {te} macro={macro}", je)
         best[("e", te, macro)] = de

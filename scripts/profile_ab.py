@@ -29,7 +29,7 @@ def timeit(label, fn, iters=50):
     return dt
 
 
-for tile, k in [((4, 8), 2), ((8, 8), 2), ((8, 16), 1), ((8, 16), 2), ((16, 16), 1), ((8, 8), 4)]:
+for tile, k in [((8, 16), 6), ((4, 16), 8), ((8, 16), 8), ((4, 16), 16), ((8, 8), 8)]:
     try:
         step = make_fused_step(cfg, dom, tile=tile, tiles_per_program=k)
         j = jax.jit(lambda f: step(f, 0.02, force=force)[0], donate_argnums=0)

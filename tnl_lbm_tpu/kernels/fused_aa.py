@@ -20,9 +20,13 @@ pull modifications, the odd push equals ``pull(pad(f_post))`` including the
 edge-replicate/wrap treatment at domain boundaries, and NOTHING sites keep
 their stored DFs.
 
-Combined with XLA buffer donation the pair advances two steps with a single
-DF buffer resident - the reference's memory-halving A-A scheme realized
-functionally.
+Donation note: do NOT donate the input into the even step.  Donation makes
+XLA alias the kernel's output onto its input buffer, and simultaneous
+read/write DMA streams to the same HBM region run ~1.8x slower on v5e
+(measured: 12.2 ms vs 6.9 ms for the bare permuted copy).  The even step
+ping-pongs two buffers; the odd step may donate (its Pallas input is the
+separately built fpad).  Steady state is therefore two DF buffers, same as
+A-B - on TPU the A-A pattern's win is the halo-free even step, not memory.
 """
 
 from __future__ import annotations
@@ -97,8 +101,8 @@ def _fit_tile(t: int, n: int, align: int = 1) -> int:
 
 
 def make_fused_step_aa(cfg: LBMConfig, domain: Domain,
-                       tile_even=(8, 8), tile_odd=(4, 8),
-                       tiles_per_program: int = 1, with_macro: bool = True):
+                       tile_even=(8, 16), tile_odd=(8, 16),
+                       tiles_per_program: int = 4, with_macro: bool = True):
     """A-A fused pair: ``step(f, nu, u_in, force, parity)`` with parity
     0 = even, 1 = odd (Python-static).  Returns (f_new, rho, u)."""
     assert cfg.streaming == "AA", "use make_fused_step for the A-B pattern"

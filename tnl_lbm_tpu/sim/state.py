@@ -265,7 +265,14 @@ class Simulation:
                     parity=parity,
                 )
 
-        jfn = jax.jit(fn, donate_argnums=0)
+        # Donation would alias the Pallas A-A even kernel's output onto its
+        # input buffer; simultaneous read/write streams to the same HBM
+        # region run ~1.8x slower (measured on v5e).  The even step therefore
+        # ping-pongs buffers instead of updating in place.
+        donate_ok = not (
+            self.use_fused and self.cfg.streaming == "AA" and parity == 0
+        )
+        jfn = jax.jit(fn, donate_argnums=0 if donate_ok else ())
         self._jit_steps[key] = jfn
         return jfn
 
