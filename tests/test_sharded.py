@@ -102,6 +102,50 @@ def test_2d_channel_mesh42():
     _compare(cfg, dom, plan, n_steps=4, u_in=jnp.array([0.03, 0.0]))
 
 
+def test_3d_fused_aa_distributed_matches_single():
+    """Distributed Pallas A-A pair (even: no comms; odd: 2-wide ppermute
+    halos + prepadded push kernel) vs the single-device XLA A-A step."""
+    from tnl_lbm_tpu.parallel.sharded import make_sharded_fused_step_aa
+
+    X, Y, Z = 16, 16, 16
+    units = Lattice(global_size=(X, Y, Z), phys_origin=(0, 0, 0), phys_dl=1.0, phys_dt=1.0)
+    m = np.zeros((X, Y, Z), np.uint8)
+    m[:, 0], m[:, -1] = GEO.WALL, GEO.WALL
+    m[:, :, 0], m[:, :, -1] = GEO.WALL, GEO.WALL
+    m[0, 1:-1, 1:-1] = GEO.INFLOW_LEFT
+    dom = Domain(lat=D3Q27, units=units, map=m, periodic=(True, False, False))
+    cfg = LBMConfig(lat=D3Q27, collision=col3.collide_cum_well,
+                    eq=eqlib.eq_well, well=True, streaming="AA",
+                    compute_dtype=jnp.float32)
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("x", "y"))
+    plan = ShardPlan(mesh=mesh, spatial_axes=("x", "y", None))
+
+    step1 = make_step(cfg, dom)
+    stepN = make_sharded_fused_step_aa(cfg, dom, plan, tile_even=(4, 8), tile_odd=(4, 8))
+
+    rng = np.random.default_rng(11)
+    rho0 = jnp.asarray(1 + 0.01 * rng.standard_normal(dom.shape), jnp.float32)
+    u0 = jnp.asarray(0.02 * rng.standard_normal((3,) + dom.shape), jnp.float32)
+    f = eqlib.eq_well(D3Q27, rho0, u0).astype(jnp.float32)
+    u_in = jnp.asarray([0.02, 0.0, 0.0], jnp.float32)
+
+    f1 = f
+    for it in range(4):
+        f1, rho1, u1 = step1(f1, 0.03, u_in=u_in, parity=it % 2)
+
+    fN = plan.shard_field(f, like_f=True)
+    mapN = plan.shard_field(jnp.asarray(dom.map, jnp.int32), like_f=False)
+    jN = {
+        p: jax.jit(lambda f, p=p: stepN(f, mapN, 0.03, u_in=u_in, parity=p))
+        for p in (0, 1)
+    }
+    for it in range(4):
+        fN, rhoN, uN = jN[it % 2](fN)
+
+    np.testing.assert_allclose(np.asarray(fN), np.asarray(f1), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(rhoN), np.asarray(rho1), atol=5e-6)
+
+
 def test_3d_fused_distributed_matches_single():
     """Distributed Pallas path (ppermute halos + fused kernel) vs the
     single-device XLA step (interpret mode on the virtual CPU mesh)."""

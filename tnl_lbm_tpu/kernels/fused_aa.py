@@ -102,20 +102,33 @@ def _fit_tile(t: int, n: int, align: int = 1) -> int:
 
 def make_fused_step_aa(cfg: LBMConfig, domain: Domain,
                        tile_even=(8, 16), tile_odd=(8, 16),
-                       tiles_per_program: int = 4, with_macro: bool = True):
+                       tiles_per_program: int = 4, with_macro: bool = True,
+                       prepadded: bool = False, local_shape=None):
     """A-A fused pair: ``step(f, nu, u_in, force, parity)`` with parity
-    0 = even, 1 = odd (Python-static).  Returns (f_new, rho, u)."""
+    0 = even, 1 = odd (Python-static).  Returns (f_new, rho, u).
+
+    With ``prepadded=True`` (the distributed path - the reference never
+    finished multi-GPU A-A sync, defs.h:3-9 marks it TODO; the TPU build
+    supports it):
+    - the even step takes the plain local block plus ``map_arr_in`` (the
+      even step needs NO halo at all - zero communication);
+    - the odd step takes the already-haloed local block [Q, Xl+4, Yl+8, Z]
+      (x-origin 2, y-origin 4) plus ``map_ring_in`` [Xl+2, Yl+8, Z] and
+      ``bflags`` - four {0,1} floats (x_lo, x_hi, y_lo, y_hi) marking
+      whether this shard owns the respective global domain boundary (the
+      push's edge replication must only fire there).
+    """
     assert cfg.streaming == "AA", "use make_fused_step for the A-B pattern"
     cfg_ab = dataclasses.replace(cfg, streaming="AB")
     lat, codes, sym_codes, eq_kind, do_coll_codes = _prep(cfg_ab, domain)
     Q = lat.Q
-    X, Y, Z = domain.shape
+    X, Y, Z = local_shape if local_shape is not None else domain.shape
     dtype = cfg.compute_dtype
     periodic = domain.periodic
     periodic_z = bool(periodic[2])
     opp = np.asarray(lat.opp)
     interpret = jax.default_backend() == "cpu"
-    map_arr = np.asarray(domain.map, np.int32)
+    map_arr = None if prepadded else np.asarray(domain.map, np.int32)
 
     # ---------------------------------------------------------------- even
     ex = _fit_tile(tile_even[0], X)
@@ -177,7 +190,7 @@ def make_fused_step_aa(cfg: LBMConfig, domain: Domain,
     txc, tyc = tx + 2, ty + 2  # ring (interior + 1-halo) extents
     nx_t, ny_t = X // tx, Y // ty
     tyK = ty * K
-    map_ring = _pad_map_ring(map_arr, periodic)
+    map_ring = None if prepadded else _pad_map_ring(map_arr, periodic)
 
     def odd_kernel(params_ref, fpad_hbm, mp_hbm, fout_ref, rho_ref, u_ref, *rest):
         fscr = rest[:K]
@@ -225,13 +238,18 @@ def make_fused_step_aa(cfg: LBMConfig, domain: Domain,
                 shifted, m_ring, params_ref, defer_nothing=True,
             )
 
-            # at non-periodic domain boundaries the XLA push pads f_post
-            # with edge replication; overwrite the out-of-domain ring layer
+            # at non-periodic GLOBAL domain boundaries the XLA push pads
+            # f_post with edge replication; overwrite the out-of-domain ring
+            # layer (params[8:12] flag whether this shard owns each boundary)
             post = [f_post[q] for q in range(Q)]
             if not periodic[0]:
-                post = [_edge_rep(v, 0, i == 0, i == nx_t - 1) for v in post]
+                lo = (i == 0) & (params_ref[8] > 0)
+                hi = (i == nx_t - 1) & (params_ref[9] > 0)
+                post = [_edge_rep(v, 0, lo, hi) for v in post]
             if not periodic[1]:
-                post = [_edge_rep(v, 1, jt == 0, jt == ny_t - 1) for v in post]
+                lo = (jt == 0) & (params_ref[10] > 0)
+                hi = (jt == ny_t - 1) & (params_ref[11] > 0)
+                post = [_edge_rep(v, 1, lo, hi) for v in post]
 
             # push: out[q](x) = f_post[q](x - c_q); ring covers x +- 1
             rows = []
@@ -282,13 +300,22 @@ def make_fused_step_aa(cfg: LBMConfig, domain: Domain,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )
 
-    def step(f, nu, u_in=None, force=None, parity: int = 0):
-        params = _params_vec(dtype, nu, u_in, force)
+    def step(f, nu, u_in=None, force=None, parity: int = 0,
+             map_arr_in=None, map_ring_in=None, bflags=None):
+        flags = (jnp.ones((4,), dtype) if bflags is None
+                 else jnp.asarray(bflags, dtype).reshape(4))
+        params = jnp.concatenate([_params_vec(dtype, nu, u_in, force), flags])
         if parity == 0:
-            f_new, rho, u = even_call(params, map_arr, f)
+            mp = map_arr if map_arr_in is None else map_arr_in
+            f_new, rho, u = even_call(params, mp, f)
         else:
-            fpad = _pad_aa_odd(f, periodic)
-            f_new, rho, u = odd_call(params, fpad, map_ring)
+            if prepadded:
+                fpad = f
+                mr = map_ring_in
+            else:
+                fpad = _pad_aa_odd(f, periodic)
+                mr = map_ring
+            f_new, rho, u = odd_call(params, fpad, mr)
         if not with_macro:
             return f_new, None, None
         return f_new, rho, u

@@ -193,3 +193,113 @@ def make_sharded_fused_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan,
         return sharded(f, map_arr, nu, u_in_v, force_v)
 
     return step
+
+
+def make_sharded_fused_step_aa(cfg: LBMConfig, domain: Domain, plan: ShardPlan,
+                               tile_even=(8, 16), tile_odd=(8, 16),
+                               tiles_per_program: int = 4, with_macro: bool = True):
+    """Distributed Pallas A-A pair: ``step(f, map_arr, nu, u_in, force,
+    parity)`` under shard_map.
+
+    The even step is embarrassingly local (same-site read/write) - ZERO
+    communication.  The odd step exchanges 2-wide x/y halo slabs with
+    ``lax.ppermute`` and runs the prepadded odd push kernel; per-shard
+    boundary flags tell the kernel which shards own the global domain
+    boundaries.  Notably the reference never completed multi-GPU A-A
+    synchronization (reference defs.h:3-9: even-step corner sync marked
+    TODO) - the functional halo exchange sidesteps the corner races.
+    """
+    from jax import lax
+
+    from tnl_lbm_tpu.kernels.fused_aa import make_fused_step_aa
+
+    plan.check(domain)
+    assert plan.spatial_axes[2] is None or plan.mesh.shape[plan.spatial_axes[2]] == 1, (
+        "fused A-A distributed path requires the z axis unsharded"
+    )
+    local_shape = plan.local_shape(domain)
+    local_step = make_fused_step_aa(
+        cfg, domain, tile_even=tile_even, tile_odd=tile_odd,
+        tiles_per_program=tiles_per_program, with_macro=with_macro,
+        prepadded=True, local_shape=local_shape,
+    )
+    ax_x, ax_y = plan.spatial_axes[0], plan.spatial_axes[1]
+
+    def _exchange_w(f, axis, name, per, w):
+        """w-wide halo pad along `axis` via ppermute (or local pad)."""
+        n = plan.mesh.shape[name] if name is not None else 1
+        adim = axis + 1
+        if n == 1:
+            pad_width = [(0, 0)] * f.ndim
+            pad_width[adim] = (w, w)
+            return jnp.pad(f, pad_width, mode="wrap" if per else "edge")
+        sl_lo = [slice(None)] * f.ndim
+        sl_hi = [slice(None)] * f.ndim
+        sl_lo[adim] = slice(0, w)
+        sl_hi[adim] = slice(f.shape[adim] - w, f.shape[adim])
+        first = f[tuple(sl_lo)]
+        last = f[tuple(sl_hi)]
+        fwd = [(r, (r + 1) % n) for r in range(n)]
+        bwd = [(r, (r - 1) % n) for r in range(n)]
+        from_left = lax.ppermute(last, name, fwd)
+        from_right = lax.ppermute(first, name, bwd)
+        if not per:
+            # edge-replicate the global boundary rows (matches jnp.pad edge)
+            sl_edge_lo = [slice(None)] * f.ndim
+            sl_edge_hi = [slice(None)] * f.ndim
+            sl_edge_lo[adim] = slice(0, 1)
+            sl_edge_hi[adim] = slice(f.shape[adim] - 1, f.shape[adim])
+            rep = [1] * f.ndim
+            rep[adim] = w
+            edge_lo = jnp.tile(f[tuple(sl_edge_lo)], rep)
+            edge_hi = jnp.tile(f[tuple(sl_edge_hi)], rep)
+            idx = lax.axis_index(name)
+            from_left = jnp.where(idx == 0, edge_lo, from_left)
+            from_right = jnp.where(idx == n - 1, edge_hi, from_right)
+        return jnp.concatenate([from_left, f, from_right], axis=adim)
+
+    def _bflag(name, last):
+        if name is None or plan.mesh.shape[name] == 1:
+            return jnp.float32(1.0)
+        idx = lax.axis_index(name)
+        return ((idx == (plan.mesh.shape[name] - 1)) if last else (idx == 0)).astype(
+            cfg.compute_dtype
+        )
+
+    def local(parity, f, map_loc, nu, u_in, force):
+        if parity == 0:
+            return local_step(f, nu, u_in=u_in, force=force, parity=0,
+                              map_arr_in=map_loc.astype(jnp.int32))
+        # 2-wide f halos: x then y (sequential sweeps -> corner-correct),
+        # plus 2 junk y rows each side for the kernel's y-origin-4 layout
+        fpad = _exchange_w(f, 0, ax_x, domain.periodic[0], 2)
+        fpad = _exchange_w(fpad, 1, ax_y, domain.periodic[1], 2)
+        fpad = jnp.pad(fpad, [(0, 0), (0, 0), (2, 2), (0, 0)], mode="edge")
+        # 1-wide map ring in the [Xl+2, Yl+8, Z] layout (x-origin 1, y 4)
+        m = map_loc.astype(jnp.int32)[None]
+        mring = _exchange_w(m, 0, ax_x, domain.periodic[0], 1)
+        mring = _exchange_w(mring, 1, ax_y, domain.periodic[1], 1)
+        mring = jnp.pad(mring, [(0, 0), (0, 0), (3, 3), (0, 0)], mode="edge")[0]
+        bflags = jnp.stack([
+            _bflag(ax_x, False), _bflag(ax_x, True),
+            _bflag(ax_y, False), _bflag(ax_y, True),
+        ]).astype(cfg.compute_dtype)
+        return local_step(fpad, nu, u_in=u_in, force=force, parity=1,
+                          map_ring_in=mring, bflags=bflags)
+
+    def step(f, map_arr, nu, u_in=None, force=None, parity: int = 0):
+        dt = cfg.compute_dtype
+        nu = jnp.asarray(nu, dt)
+        u_in_v = jnp.zeros((3,), dt) if u_in is None else jnp.asarray(u_in, dt)
+        force_v = jnp.zeros((3,), dt) if force is None else jnp.asarray(force, dt)
+        out_macro = (plan.spec_site, plan.spec_f) if with_macro else (P(), P())
+        sharded = shard_map(
+            partial(local, parity),
+            mesh=plan.mesh,
+            in_specs=(plan.spec_f, plan.spec_site, P(), P(), P()),
+            out_specs=(plan.spec_f,) + out_macro,
+            check_vma=False,
+        )
+        return sharded(f, map_arr, nu, u_in_v, force_v)
+
+    return step
