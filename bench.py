@@ -4,13 +4,15 @@ Replicates the reference's GLUPS accounting: LUPS = X*Y*Z * iterations /
 compute_time with the kernel-only timer (reference: state.hpp:1302-1309,
 BASELINE.md "GLUPS formula").  Config matches BASELINE.json: 256^3 square
 duct, D3Q27 well-conditioned cumulant collision, float32, A-A in-place
-streaming (reference streaming_AA.h) via the fused Pallas even/odd kernel
-pair (tnl_lbm_tpu/kernels/fused_aa.py):
+streaming (reference streaming_AA.h) via the persistent-pad Pallas pair
+(tnl_lbm_tpu/kernels/fused_aa.py:make_fused_pair_aa):
 
-- even step: halo-free same-site kernel (no pad pass, no halo DMA),
+- even step: halo-free same-site kernel whose manual output DMA writes
+  straight into the odd kernel's padded layout (no separate pad pass),
 - odd step: ring-recompute push kernel with 2-halo DMA windows,
-- the even step is NOT donated: aliasing a Pallas kernel's output onto its
-  input HBM buffer costs ~1.8x bandwidth on v5e (see fused_aa.py docstring).
+- no in/out buffer aliasing inside either kernel: aliasing a Pallas
+  kernel's output onto its input HBM buffer costs ~1.8x bandwidth on v5e
+  (see fused_aa.py docstring).
 
 Baseline derivation (the reference repo publishes no absolute numbers -
 BASELINE.md): published TNL-LBM-class single-GPU throughput for the D3Q27
@@ -35,7 +37,7 @@ def main():
 
     import __graft_entry__ as ge
     from tnl_lbm_tpu.kernels.fused import supports
-    from tnl_lbm_tpu.kernels.fused_aa import make_fused_step_aa
+    from tnl_lbm_tpu.kernels.fused_aa import make_fused_pair_aa
     from tnl_lbm_tpu.sim import initial_dfs, make_step
 
     dev = jax.devices()[0]
@@ -47,17 +49,13 @@ def main():
 
     if on_tpu and supports(dom):
         cfg = dataclasses.replace(cfg, streaming="AA")
-        step = make_fused_step_aa(cfg, dom, tile_even=(8, 16), tile_odd=(8, 16),
-                                  tiles_per_program=4)
-        kernel_name = "pallas-fused-AA"
-        # even: no donation (in/out aliasing costs ~1.8x HBM bandwidth)
-        jeven = jax.jit(lambda f: step(f, 0.02, force=force, parity=0)[0])
-        jodd = jax.jit(lambda f: step(f, 0.02, force=force, parity=1)[0],
-                       donate_argnums=0)
-
-        def advance_pair(f):
-            return jodd(jeven(f))
-
+        # persistent-pad pair: the even kernel writes straight into the odd
+        # kernel's padded layout, eliminating the pad pass between parities
+        pair = make_fused_pair_aa(cfg, dom, tile_even=(8, 16), k_even=4,
+                                  tile_odd=(8, 32), k_odd=3)
+        kernel_name = "pallas-fused-AA-pair"
+        advance_pair = jax.jit(lambda f: pair(f, 0.02, force=force)[0],
+                               donate_argnums=0)
         steps_per_call = 2
     else:
         step = make_step(cfg, dom)

@@ -135,6 +135,36 @@ def test_fused_aa_channel_inflow_outflow():
     assert float(jnp.abs(u1 - u2).max()) < 1e-6
 
 
+@pytest.mark.parametrize("periodic", [(True, True, True), (True, False, False)],
+                         ids=["torus", "duct"])
+def test_fused_pair_aa_matches_xla(periodic):
+    """Persistent-pad pair (even writes the odd kernel's padded layout
+    directly) == two XLA A-A steps."""
+    from tnl_lbm_tpu.kernels.fused_aa import make_fused_pair_aa
+
+    X, Y, Z = 16, 16, 16
+    m = np.zeros((X, Y, Z), np.uint8)
+    if not periodic[1]:
+        m[:, 0] = m[:, -1] = GEO.WALL
+        m[:, :, 0] = m[:, :, -1] = GEO.WALL
+    units = Lattice((X, Y, Z), (0, 0, 0), 1.0, 1.0)
+    dom = Domain(lat=D3Q27, units=units, map=m, periodic=periodic)
+    cfg = LBMConfig(lat=D3Q27, collision=col.collide_cum_well, eq=eqlib.eq_well,
+                    well=True, streaming="AA")
+    step_ref = make_step(cfg, dom)
+    pair = make_fused_pair_aa(cfg, dom, tile_even=(8, 8), k_even=2,
+                              tile_odd=(8, 8), k_odd=1)
+    f1 = f2 = rand_f(dom, cfg, seed=9)
+    force = jnp.asarray([1e-5, 0, 0], jnp.float32)
+    for it in range(4):
+        f1, rho1, u1 = step_ref(f1, 0.02, force=force, parity=it % 2)
+    for _ in range(2):
+        f2, rho2, u2 = pair(f2, 0.02, force=force)
+    assert float(jnp.abs(f1 - f2).max()) < 1e-6
+    assert float(jnp.abs(rho1 - rho2).max()) < 2e-6
+    assert float(jnp.abs(u1 - u2).max()) < 1e-6
+
+
 def test_sitemajor_kernel_matches_xla_step():
     from tnl_lbm_tpu.kernels.fused import from_sitemajor, make_fused_step_sitemajor, to_sitemajor
 

@@ -146,6 +146,36 @@ def test_3d_fused_aa_distributed_matches_single():
     np.testing.assert_allclose(np.asarray(rhoN), np.asarray(rho1), atol=5e-6)
 
 
+def test_driver_sharded_fused_aa(tmp_path):
+    """Simulation(plan=..., use_fused=True) picks the distributed Pallas
+    A-A pair and matches the plain sharded driver."""
+    from tnl_lbm_tpu.sim.state import Simulation
+
+    X, Y, Z = 16, 16, 8
+    units = Lattice(global_size=(X, Y, Z), phys_origin=(0, 0, 0),
+                    phys_dl=0.01, phys_dt=0.001, phys_viscosity=1e-3)
+    m = np.zeros((X, Y, Z), np.uint8)
+    m[:, 0], m[:, -1] = GEO.WALL, GEO.WALL
+    dom = Domain(lat=D3Q27, units=units, map=m, periodic=(True, False, True))
+    cfg = LBMConfig(lat=D3Q27, collision=col3.collide_cum_well,
+                    eq=eqlib.eq_well, well=True, streaming="AA",
+                    compute_dtype=jnp.float32)
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("x", "y"))
+    plan = ShardPlan(mesh=mesh, spatial_axes=("x", "y", None))
+
+    class S(Simulation):
+        def body_force(self, t):
+            return np.array([2e-5, 0.0, 0.0])
+
+    res = []
+    for sid, fused in (("shxla", False), ("shfused", True)):
+        s = S(cfg, dom, sim_id=sid, results_parent=tmp_path,
+              phys_final_time=0.005, plan=plan, use_fused=fused)
+        assert s.run()
+        res.append(np.asarray(s.f))
+    np.testing.assert_allclose(res[0], res[1], atol=1e-6)
+
+
 def test_3d_fused_distributed_matches_single():
     """Distributed Pallas path (ppermute halos + fused kernel) vs the
     single-device XLA step (interpret mode on the virtual CPU mesh)."""

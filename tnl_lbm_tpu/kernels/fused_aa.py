@@ -100,6 +100,139 @@ def _fit_tile(t: int, n: int, align: int = 1) -> int:
     return t
 
 
+def _build_odd_call(lat, cfg_ab, codes, sym_codes, eq_kind, do_coll_codes,
+                    dtype, periodic, periodic_z, X, Y, Z, tile_odd,
+                    tiles_per_program, with_macro, interpret, y_org):
+    """The odd-parity push kernel.  ``y_org`` is the fpad Y origin: 4 for
+    the standalone step (minimal ty+8 windows on a [Q,X+4,Y+8,Z] pad), 8
+    for the persistent-pad pair (aligned even-step writes require origin 8,
+    costing ty+16 windows on [Q,X+4,Y+16,Z])."""
+    Q = lat.Q
+    opp = np.asarray(lat.opp)
+    tx = _fit_tile(tile_odd[0], X)
+    ty = _fit_tile(tile_odd[1], Y, align=8)
+    K = tiles_per_program
+    while K > 1 and Y % (ty * K) != 0:
+        K -= 1
+    assert X % tx == 0 and Y % (ty * K) == 0, (X, Y, tile_odd, K)
+    assert ty % 8 == 0, "ty must be sublane-aligned (multiple of 8)"
+    txc, tyc = tx + 2, ty + 2  # ring (interior + 1-halo) extents
+    nx_t, ny_t = X // tx, Y // ty
+    tyK = ty * K
+    wy = ty + 2 * y_org  # f window rows (8-aligned since y_org in {4, 8})
+    yr = y_org - 1  # in-window y offset of the ring
+    dummy = (8, 8, 128)
+
+    def odd_kernel(params_ref, fpad_hbm, mp_hbm, fout_ref, rho_ref, u_ref, *rest):
+        fscr = rest[:K]
+        mscr = rest[K : 2 * K]
+        sem = rest[2 * K]
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        dmas = []
+        for t in range(K):
+            jt = j * K + t
+            # fpad x-origin 2: window [i*tx-2, i*tx+tx+2) -> start i*tx
+            # fpad y-origin y_org: window [jt*ty-y_org, ...+ty+y_org) -> jt*ty
+            d1 = pltpu.make_async_copy(
+                fpad_hbm.at[:, pl.ds(i * tx, tx + 4), pl.ds(jt * ty, wy), :],
+                fscr[t], sem.at[t, 0],
+            )
+            d1.start()
+            d2 = pltpu.make_async_copy(
+                mp_hbm.at[pl.ds(i * tx, tx + 2), pl.ds(jt * ty, ty + 8), :],
+                mscr[t], sem.at[t, 1],
+            )
+            d2.start()
+            dmas.append((d1, d2))
+
+        for t in range(K):
+            jt = j * K + t
+            dmas[t][0].wait()
+            dmas[t][1].wait()
+            scratch = fscr[t]
+            # ring map: global rows [i*tx-1, ...); with map x-origin 1 and
+            # window start i*tx the ring begins at window x offset 0, y 3
+            m_ring = mscr[t][0:txc, 3 : 3 + tyc, :]
+
+            def shifted(q, offs, scratch=scratch):
+                # odd-step read: neighbor, opposite direction
+                # (streaming_AA.h:47-60); ring origin in-window: x 1, y yr
+                ox, oy, oz = offs
+                qo = int(opp[q])
+                base = scratch[qo, 1 + ox : 1 + ox + txc, yr + oy : yr + oy + tyc, :]
+                return _zshift(base, oz, Z, periodic_z)
+
+            f_post, rho_ring, u_ring = _stream_bc_collide(
+                lat, cfg_ab, codes, sym_codes, eq_kind, do_coll_codes, dtype,
+                shifted, m_ring, params_ref, defer_nothing=True,
+            )
+
+            # at non-periodic GLOBAL domain boundaries the XLA push pads
+            # f_post with edge replication; overwrite the out-of-domain ring
+            # layer (params[8:12] flag whether this shard owns each boundary)
+            post = [f_post[q] for q in range(Q)]
+            if not periodic[0]:
+                lo = (i == 0) & (params_ref[8] > 0)
+                hi = (i == nx_t - 1) & (params_ref[9] > 0)
+                post = [_edge_rep(v, 0, lo, hi) for v in post]
+            if not periodic[1]:
+                lo = (jt == 0) & (params_ref[10] > 0)
+                hi = (jt == ny_t - 1) & (params_ref[11] > 0)
+                post = [_edge_rep(v, 1, lo, hi) for v in post]
+
+            # push: out[q](x) = f_post[q](x - c_q); ring covers x +- 1
+            rows = []
+            for q in range(Q):
+                cx, cy, cz = (int(v) for v in lat.c[q])
+                base = post[q][1 - cx : 1 - cx + tx, 1 - cy : 1 - cy + ty, :]
+                rows.append(_zshift(base, -cz, Z, periodic_z))
+            pushed = jnp.stack(rows)
+
+            if GEO.NOTHING in codes:
+                # destination-site restore: NOTHING keeps its stored DFs
+                # (same site, same direction = fpad window interior)
+                m_int = m_ring[1 : 1 + tx, 1 : 1 + ty, :]
+                center = scratch[:, 2 : 2 + tx, y_org : y_org + ty, :]
+                pushed = jnp.where(m_int == int(GEO.NOTHING), center, pushed)
+
+            fout_ref[:, :, t * ty : (t + 1) * ty, :] = pushed
+            if with_macro:
+                rho_ref[:, t * ty : (t + 1) * ty, :] = rho_ring[1 : 1 + tx, 1 : 1 + ty, :]
+                u_ref[:, :, t * ty : (t + 1) * ty, :] = u_ring[:, 1 : 1 + tx, 1 : 1 + ty, :]
+
+    odd_call = pl.pallas_call(
+        odd_kernel,
+        grid=(X // tx, Y // tyK),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # fpad stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # padded map stays in HBM
+        ],
+        out_specs=(
+            pl.BlockSpec((Q, tx, tyK, Z), lambda i, j: (0, i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tx, tyK, Z) if with_macro else dummy,
+                         (lambda i, j: (i, j, 0)) if with_macro else (lambda i, j: (0, 0, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tx, tyK, Z) if with_macro else (3,) + dummy,
+                         (lambda i, j: (0, i, j, 0)) if with_macro else (lambda i, j: (0, 0, 0, 0)),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Q, X, Y, Z), dtype),
+            jax.ShapeDtypeStruct((X, Y, Z) if with_macro else dummy, dtype),
+            jax.ShapeDtypeStruct((3, X, Y, Z) if with_macro else (3,) + dummy, dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((Q, tx + 4, wy, Z), dtype) for _ in range(K)]
+        + [pltpu.VMEM((tx + 2, ty + 8, Z), jnp.int32) for _ in range(K)]
+        + [pltpu.SemaphoreType.DMA((K, 2))],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )
+    return odd_call, tx, ty, K
+
+
 def make_fused_step_aa(cfg: LBMConfig, domain: Domain,
                        tile_even=(8, 16), tile_odd=(8, 16),
                        tiles_per_program: int = 4, with_macro: bool = True,
@@ -180,125 +313,12 @@ def make_fused_step_aa(cfg: LBMConfig, domain: Domain,
     )
 
     # ----------------------------------------------------------------- odd
-    tx = _fit_tile(tile_odd[0], X)
-    ty = _fit_tile(tile_odd[1], Y, align=8)
-    K = tiles_per_program
-    while K > 1 and Y % (ty * K) != 0:
-        K -= 1
-    assert X % tx == 0 and Y % (ty * K) == 0, (X, Y, tile_odd, K)
-    assert ty % 8 == 0, "ty must be sublane-aligned (multiple of 8)"
-    txc, tyc = tx + 2, ty + 2  # ring (interior + 1-halo) extents
-    nx_t, ny_t = X // tx, Y // ty
-    tyK = ty * K
-    map_ring = None if prepadded else _pad_map_ring(map_arr, periodic)
-
-    def odd_kernel(params_ref, fpad_hbm, mp_hbm, fout_ref, rho_ref, u_ref, *rest):
-        fscr = rest[:K]
-        mscr = rest[K : 2 * K]
-        sem = rest[2 * K]
-        i = pl.program_id(0)
-        j = pl.program_id(1)
-
-        dmas = []
-        for t in range(K):
-            jt = j * K + t
-            # fpad x-origin 2: window [i*tx-2, i*tx+tx+2) -> start i*tx
-            # fpad y-origin 4: window [jt*ty-4, jt*ty+ty+4) -> start jt*ty
-            d1 = pltpu.make_async_copy(
-                fpad_hbm.at[:, pl.ds(i * tx, tx + 4), pl.ds(jt * ty, ty + 8), :],
-                fscr[t], sem.at[t, 0],
-            )
-            d1.start()
-            d2 = pltpu.make_async_copy(
-                mp_hbm.at[pl.ds(i * tx, tx + 2), pl.ds(jt * ty, ty + 8), :],
-                mscr[t], sem.at[t, 1],
-            )
-            d2.start()
-            dmas.append((d1, d2))
-
-        for t in range(K):
-            jt = j * K + t
-            dmas[t][0].wait()
-            dmas[t][1].wait()
-            scratch = fscr[t]
-            # ring map: global rows [i*tx-1, ...); with map x-origin 1 and
-            # window start i*tx the ring begins at window x offset 0, y 3
-            m_ring = mscr[t][0:txc, 3 : 3 + tyc, :]
-
-            def shifted(q, offs, scratch=scratch):
-                # odd-step read: neighbor, opposite direction
-                # (streaming_AA.h:47-60); ring origin in-window: x 1, y 3
-                ox, oy, oz = offs
-                qo = int(opp[q])
-                base = scratch[qo, 1 + ox : 1 + ox + txc, 3 + oy : 3 + oy + tyc, :]
-                return _zshift(base, oz, Z, periodic_z)
-
-            f_post, rho_ring, u_ring = _stream_bc_collide(
-                lat, cfg_ab, codes, sym_codes, eq_kind, do_coll_codes, dtype,
-                shifted, m_ring, params_ref, defer_nothing=True,
-            )
-
-            # at non-periodic GLOBAL domain boundaries the XLA push pads
-            # f_post with edge replication; overwrite the out-of-domain ring
-            # layer (params[8:12] flag whether this shard owns each boundary)
-            post = [f_post[q] for q in range(Q)]
-            if not periodic[0]:
-                lo = (i == 0) & (params_ref[8] > 0)
-                hi = (i == nx_t - 1) & (params_ref[9] > 0)
-                post = [_edge_rep(v, 0, lo, hi) for v in post]
-            if not periodic[1]:
-                lo = (jt == 0) & (params_ref[10] > 0)
-                hi = (jt == ny_t - 1) & (params_ref[11] > 0)
-                post = [_edge_rep(v, 1, lo, hi) for v in post]
-
-            # push: out[q](x) = f_post[q](x - c_q); ring covers x +- 1
-            rows = []
-            for q in range(Q):
-                cx, cy, cz = (int(v) for v in lat.c[q])
-                base = post[q][1 - cx : 1 - cx + tx, 1 - cy : 1 - cy + ty, :]
-                rows.append(_zshift(base, -cz, Z, periodic_z))
-            pushed = jnp.stack(rows)
-
-            if GEO.NOTHING in codes:
-                # destination-site restore: NOTHING keeps its stored DFs
-                # (same site, same direction = fpad window interior)
-                m_int = m_ring[1 : 1 + tx, 1 : 1 + ty, :]
-                center = scratch[:, 2 : 2 + tx, 4 : 4 + ty, :]
-                pushed = jnp.where(m_int == int(GEO.NOTHING), center, pushed)
-
-            fout_ref[:, :, t * ty : (t + 1) * ty, :] = pushed
-            if with_macro:
-                rho_ref[:, t * ty : (t + 1) * ty, :] = rho_ring[1 : 1 + tx, 1 : 1 + ty, :]
-                u_ref[:, :, t * ty : (t + 1) * ty, :] = u_ring[:, 1 : 1 + tx, 1 : 1 + ty, :]
-
-    odd_call = pl.pallas_call(
-        odd_kernel,
-        grid=(X // tx, Y // tyK),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),  # fpad stays in HBM
-            pl.BlockSpec(memory_space=pl.ANY),  # padded map stays in HBM
-        ],
-        out_specs=(
-            pl.BlockSpec((Q, tx, tyK, Z), lambda i, j: (0, i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tx, tyK, Z) if with_macro else dummy,
-                         (lambda i, j: (i, j, 0)) if with_macro else (lambda i, j: (0, 0, 0)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tx, tyK, Z) if with_macro else (3,) + dummy,
-                         (lambda i, j: (0, i, j, 0)) if with_macro else (lambda i, j: (0, 0, 0, 0)),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((Q, X, Y, Z), dtype),
-            jax.ShapeDtypeStruct((X, Y, Z) if with_macro else dummy, dtype),
-            jax.ShapeDtypeStruct((3, X, Y, Z) if with_macro else (3,) + dummy, dtype),
-        ),
-        scratch_shapes=[pltpu.VMEM((Q, tx + 4, ty + 8, Z), dtype) for _ in range(K)]
-        + [pltpu.VMEM((tx + 2, ty + 8, Z), jnp.int32) for _ in range(K)]
-        + [pltpu.SemaphoreType.DMA((K, 2))],
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    odd_call, tx, ty, K = _build_odd_call(
+        lat, cfg_ab, codes, sym_codes, eq_kind, do_coll_codes, dtype,
+        periodic, periodic_z, X, Y, Z, tile_odd, tiles_per_program,
+        with_macro, interpret, y_org=4,
     )
+    map_ring = None if prepadded else _pad_map_ring(map_arr, periodic)
 
     def step(f, nu, u_in=None, force=None, parity: int = 0,
              map_arr_in=None, map_ring_in=None, bflags=None):
@@ -321,3 +341,155 @@ def make_fused_step_aa(cfg: LBMConfig, domain: Domain,
         return f_new, rho, u
 
     return step
+
+
+def make_fused_pair_aa(cfg: LBMConfig, domain: Domain,
+                       tile_even=(8, 16), k_even: int = 4,
+                       tile_odd=(8, 32), k_odd: int = 3,
+                       with_macro: bool = True):
+    """Persistent-pad A-A pair: ``pair(f, nu, u_in, force) -> (f2, rho, u)``
+    advances TWO lattice steps (even then odd) with one dispatch.
+
+    The even kernel writes its output directly into the odd kernel's padded
+    layout [Q, X+4, Y+16, Z] (x-origin 2, y-origin 8 - manual output DMA
+    needs the 8-aligned Y origin), so the odd step's separate pad pass
+    (read f + write fpad, ~2 full passes) disappears; only thin halo-layer
+    fills remain between the kernels.  Macro outputs come from the odd
+    (second) step.
+    """
+    assert cfg.streaming == "AA"
+    cfg_ab = dataclasses.replace(cfg, streaming="AB")
+    lat, codes, sym_codes, eq_kind, do_coll_codes = _prep(cfg_ab, domain)
+    Q = lat.Q
+    X, Y, Z = domain.shape
+    dtype = cfg.compute_dtype
+    periodic = domain.periodic
+    periodic_z = bool(periodic[2])
+    opp = np.asarray(lat.opp)
+    interpret = jax.default_backend() == "cpu"
+    map_arr = np.asarray(domain.map, np.int32)
+    map_ring = _pad_map_ring(map_arr, periodic)
+
+    # ------------------------------------------------- even (writes fpad)
+    ex = _fit_tile(tile_even[0], X)
+    ey = _fit_tile(tile_even[1], Y, align=8)
+    K = k_even
+    while K > 1 and Y % (ey * K) != 0:
+        K -= 1
+    eyK = ey * K
+    dummy = (8, 8, 128)
+
+    def even_kernel(params_ref, map_ref, f_hbm, fpad_out, rho_ref, u_ref, *rest):
+        ins = rest[:K]
+        outs = rest[K : 2 * K]
+        sem = rest[2 * K]
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        din = []
+        for t in range(K):
+            jt = j * K + t
+            d = pltpu.make_async_copy(
+                f_hbm.at[:, pl.ds(i * ex, ex), pl.ds(jt * ey, ey), :],
+                ins[t], sem.at[t, 0],
+            )
+            d.start()
+            din.append(d)
+
+        dout = []
+        for t in range(K):
+            jt = j * K + t
+            din[t].wait()
+            scr = ins[t]
+
+            def shifted(q, offs, scr=scr):
+                del offs  # same-site read (streaming_AA.h:16-45)
+                return scr[q]
+
+            m = map_ref[:, t * ey : (t + 1) * ey, :]
+            f_post, rho_out, u_out = _stream_bc_collide(
+                lat, cfg_ab, codes, sym_codes, eq_kind, do_coll_codes, dtype,
+                shifted, m, params_ref, out_perm=opp,
+            )
+            outs[t][...] = f_post
+            # interior write at fpad origin (2, 8): both offsets DMA-legal
+            # (x free, y 8-aligned)
+            d = pltpu.make_async_copy(
+                outs[t],
+                fpad_out.at[:, pl.ds(2 + i * ex, ex), pl.ds(8 + jt * ey, ey), :],
+                sem.at[t, 1],
+            )
+            d.start()
+            dout.append(d)
+            if with_macro:
+                rho_ref[:, t * ey : (t + 1) * ey, :] = rho_out
+                u_ref[:, :, t * ey : (t + 1) * ey, :] = u_out
+        for d in dout:
+            d.wait()
+
+    even_call = pl.pallas_call(
+        even_kernel,
+        grid=(X // ex, Y // eyK),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((ex, eyK, Z), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # f stays in HBM
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),  # fpad written by manual DMA
+            pl.BlockSpec((ex, eyK, Z) if with_macro else dummy,
+                         (lambda i, j: (i, j, 0)) if with_macro else (lambda i, j: (0, 0, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, ex, eyK, Z) if with_macro else (3,) + dummy,
+                         (lambda i, j: (0, i, j, 0)) if with_macro else (lambda i, j: (0, 0, 0, 0)),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Q, X + 4, Y + 16, Z), dtype),
+            jax.ShapeDtypeStruct((X, Y, Z) if with_macro else dummy, dtype),
+            jax.ShapeDtypeStruct((3, X, Y, Z) if with_macro else (3,) + dummy, dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((Q, ex, ey, Z), dtype) for _ in range(2 * K)]
+        + [pltpu.SemaphoreType.DMA((K, 2))],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+    def _fill_halos(fpad):
+        """Fill the 2 halo layers on each side (x first, then y, so corners
+        match _pad_aa_odd's sequential pad+wrap semantics)."""
+        if periodic[0]:
+            fpad = fpad.at[:, 0:2].set(fpad[:, X : X + 2])
+            fpad = fpad.at[:, X + 2 : X + 4].set(fpad[:, 2:4])
+        else:
+            fpad = fpad.at[:, 0:2].set(jnp.broadcast_to(
+                fpad[:, 2:3], (Q, 2) + fpad.shape[2:]))
+            fpad = fpad.at[:, X + 2 : X + 4].set(jnp.broadcast_to(
+                fpad[:, X + 1 : X + 2], (Q, 2) + fpad.shape[2:]))
+        if periodic[1]:
+            fpad = fpad.at[:, :, 6:8].set(fpad[:, :, Y + 6 : Y + 8])
+            fpad = fpad.at[:, :, Y + 8 : Y + 10].set(fpad[:, :, 8:10])
+        else:
+            fpad = fpad.at[:, :, 6:8].set(jnp.broadcast_to(
+                fpad[:, :, 8:9], fpad.shape[:2] + (2, Z)))
+            fpad = fpad.at[:, :, Y + 8 : Y + 10].set(jnp.broadcast_to(
+                fpad[:, :, Y + 7 : Y + 8], fpad.shape[:2] + (2, Z)))
+        return fpad
+
+    odd_call, *_ = _build_odd_call(
+        lat, cfg_ab, codes, sym_codes, eq_kind, do_coll_codes, dtype,
+        periodic, periodic_z, X, Y, Z, tile_odd, k_odd,
+        with_macro, interpret, y_org=8,
+    )
+
+    def pair(f, nu, u_in=None, force=None):
+        params = jnp.concatenate([
+            _params_vec(dtype, nu, u_in, force), jnp.ones((4,), dtype)])
+        fpad, rho_e, u_e = even_call(params, map_arr, f)
+        fpad = _fill_halos(fpad)
+        f2, rho, u = odd_call(params, fpad, map_ring)
+        if not with_macro:
+            return f2, None, None
+        return f2, rho, u
+
+    return pair

@@ -238,10 +238,33 @@ class Simulation:
             else:
                 self._step = make_step(self.cfg, self.domain)
         else:
-            from tnl_lbm_tpu.parallel.sharded import make_sharded_step
+            from tnl_lbm_tpu.kernels.fused import supports
+            from tnl_lbm_tpu.parallel.sharded import (
+                make_sharded_fused_step,
+                make_sharded_fused_step_aa,
+                make_sharded_step,
+            )
 
-            self._step = make_sharded_step(self.cfg, self.domain, self.plan)
-            self._map_sharded = self.plan.shard_field(jnp.asarray(self.domain.map), like_f=False)
+            z_ok = (
+                self.cfg.lat.D == 3
+                and (self.plan.spatial_axes[2] is None
+                     or self.plan.mesh.shape[self.plan.spatial_axes[2]] == 1)
+            )
+            if self.use_fused and supports(self.domain) and z_ok:
+                if self.cfg.streaming == "AA":
+                    self._step = make_sharded_fused_step_aa(self.cfg, self.domain, self.plan)
+                else:
+                    ab = make_sharded_fused_step(self.cfg, self.domain, self.plan)
+                    self._step = lambda f, m, nu, u_in=None, force=None, parity=0: ab(
+                        f, m, nu, u_in=u_in, force=force
+                    )
+                map_dtype = jnp.int32
+            else:
+                self._step = make_sharded_step(self.cfg, self.domain, self.plan)
+                map_dtype = None
+            self._map_sharded = self.plan.shard_field(
+                jnp.asarray(self.domain.map, dtype=map_dtype), like_f=False
+            )
 
     def _jit_step(self, parity, have_uin, have_force):
         key = (parity, have_uin, have_force)
