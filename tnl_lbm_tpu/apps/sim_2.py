@@ -133,6 +133,7 @@ def build(
     n_devices: int = 1,
     sharded: bool = False,
     streaming: str = "AB",
+    use_fused: bool = False,
 ):
     import jax.numpy as jnp
 
@@ -215,6 +216,7 @@ def build(
         u_profile=u_profile,
         analytical=analytical,
         steps_per_dispatch=10,
+        use_fused=use_fused,
     )
     sim.cnt[PRINT].period = 10.0
     sim.cnt[PROBE1].period = 1.0
@@ -236,6 +238,8 @@ def main(argv=None):
     p.add_argument("--results-dir", default=".")
     p.add_argument("--sharded", action="store_true")
     p.add_argument("--streaming", choices=["AB", "AA"], default="AB")
+    p.add_argument("--use-fused", action="store_true",
+                   help="run the Pallas fused kernels (A-B or A-A pair)")
     args = p.parse_args(argv)
 
     import jax
@@ -253,6 +257,7 @@ def main(argv=None):
         n_devices=n_devices,
         sharded=args.sharded,
         streaming=args.streaming,
+        use_fused=args.use_fused,
     )
     ok = sim.run()
     l1, l2 = sim.last_errors

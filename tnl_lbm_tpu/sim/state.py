@@ -224,9 +224,27 @@ class Simulation:
             return False
         return True
 
+    def _fused_ok(self) -> bool:
+        """The Pallas kernels need 3D, supported GEO codes, and - on real
+        TPU - a lane (Z) extent that is a multiple of 128 (manual halo DMA
+        slices the HBM lane tiling; interpret mode on CPU has no such
+        constraint)."""
+        from tnl_lbm_tpu.kernels.fused import supports
+
+        if self.cfg.lat.D != 3 or not supports(self.domain):
+            return False
+        if jax.default_backend() != "cpu" and self.domain.shape[-1] % 128 != 0:
+            self.log.warning(
+                "use_fused requested but Z=%d is not a multiple of 128 "
+                "(TPU lane tiling); falling back to the XLA step",
+                self.domain.shape[-1],
+            )
+            return False
+        return True
+
     def _build_step(self):
         if self.plan is None:
-            if self.use_fused:
+            if self.use_fused and self._fused_ok():
                 if self.cfg.streaming == "AA":
                     from tnl_lbm_tpu.kernels.fused_aa import make_fused_step_aa
 
@@ -238,7 +256,6 @@ class Simulation:
             else:
                 self._step = make_step(self.cfg, self.domain)
         else:
-            from tnl_lbm_tpu.kernels.fused import supports
             from tnl_lbm_tpu.parallel.sharded import (
                 make_sharded_fused_step,
                 make_sharded_fused_step_aa,
@@ -250,7 +267,7 @@ class Simulation:
                 and (self.plan.spatial_axes[2] is None
                      or self.plan.mesh.shape[self.plan.spatial_axes[2]] == 1)
             )
-            if self.use_fused and supports(self.domain) and z_ok:
+            if self.use_fused and self._fused_ok() and z_ok:
                 if self.cfg.streaming == "AA":
                     self._step = make_sharded_fused_step_aa(self.cfg, self.domain, self.plan)
                 else:
