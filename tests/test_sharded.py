@@ -146,6 +146,27 @@ def test_3d_fused_aa_distributed_matches_single():
     np.testing.assert_allclose(np.asarray(rhoN), np.asarray(rho1), atol=5e-6)
 
 
+def test_weak_scaling_prediction_meets_baseline():
+    """BASELINE.md requires >= 90% weak-scaling efficiency.  The halo
+    model (exact slab bytes over ICI vs the measured 256^3 per-chip step
+    time) predicts ~99.5% even with fully serialized exchanges."""
+    from tnl_lbm_tpu.parallel.profiling import halo_traffic, predicted_weak_scaling
+
+    units = Lattice(global_size=(1024, 512, 256), phys_origin=(0, 0, 0),
+                    phys_dl=1.0, phys_dt=1.0)
+    dom = Domain(lat=D3Q27, units=units, map=np.zeros((1024, 512, 256), np.uint8))
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("x", "y"))
+    plan = ShardPlan(mesh=mesh, spatial_axes=("x", "y", None))
+    ht = halo_traffic(dom, plan)
+    assert ht.messages_per_step_per_device == 4  # 2 slabs per sharded axis
+    # local block 256^3: 27 comps * 2 slabs/axis * 256*256 sites * 4 B * 2 axes
+    assert ht.bytes_per_step_per_device == 27 * 2 * (256 * 256 + 256 * 256) * 4
+    # measured persistent-pad pair: 27.9 ms / 2 steps at 256^3 per chip
+    eff = predicted_weak_scaling(dom, plan, 0.0139, overlapped=False)
+    assert eff > 0.99
+    assert predicted_weak_scaling(dom, plan, 0.0139, overlapped=True) >= eff
+
+
 def test_driver_sharded_fused_aa(tmp_path):
     """Simulation(plan=..., use_fused=True) picks the distributed Pallas
     A-A pair and matches the plain sharded driver."""

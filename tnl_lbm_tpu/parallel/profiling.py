@@ -34,6 +34,47 @@ class HaloTraffic:
         )
 
 
+#: v5e per-chip figures (public specs): HBM ~819 GB/s; one ICI link
+#: ~186 GB/s each way per axis on the 2D torus (v5e has 4 links/chip).
+V5E_HBM_GBPS = 819.0
+V5E_ICI_GBPS_PER_LINK = 186.0
+
+
+def predicted_weak_scaling(domain: Domain, plan,
+                           step_seconds: float,
+                           hbm_gbps: float = V5E_HBM_GBPS,
+                           ici_gbps: float = V5E_ICI_GBPS_PER_LINK,
+                           overlapped: bool = True) -> float:
+    """Model the weak-scaling efficiency of a sharded run.
+
+    The reference reports measured weak scaling >= 90% on GPU clusters
+    (BASELINE.md); with a single physical chip we predict it from the
+    measured per-step wall time (one chip, its local block size) plus the
+    ICI time for the per-step halo slabs:
+
+      eff = t_step / (t_step + t_halo)          (serialized exchange)
+      eff = t_step / max(t_step, t_halo)        (overlapped exchange)
+
+    XLA overlaps ppermute with independent compute, so `overlapped=True`
+    is the realistic estimate; the serialized figure is the lower bound.
+    """
+    ht = halo_traffic(domain, plan)
+    # each sharded axis uses its own ICI links; the slab bytes per axis
+    # transfer concurrently, so the halo time is set by the busiest axis
+    local = plan.local_shape(domain)
+    Q = domain.lat.Q
+    worst = 0.0
+    for a, name in enumerate(plan.spatial_axes):
+        if name is None or plan.mesh.shape[name] == 1:
+            continue
+        slab_sites = int(np.prod([s for i, s in enumerate(local) if i != a]))
+        axis_bytes = 2 * Q * slab_sites * 4
+        worst = max(worst, axis_bytes / (ici_gbps * 1e9))
+    if overlapped:
+        return step_seconds / max(step_seconds, worst)
+    return step_seconds / (step_seconds + worst)
+
+
 def halo_traffic(domain: Domain, plan, itemsize: int = 4) -> HaloTraffic:
     """Exact per-device halo bytes per step for a ShardPlan.
 
