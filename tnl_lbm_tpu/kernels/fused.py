@@ -285,6 +285,11 @@ def _params_vec(dtype, nu, u_in, force):
 def _prep(cfg, domain):
     if cfg.streaming != "AB":
         raise NotImplementedError("fused kernels currently implement the A-B pattern")
+    if cfg.forcing_hook is not None:
+        raise NotImplementedError(
+            "forcing hooks (IBM / non-Newtonian) run at the XLA level; "
+            "use sim.step.make_step for hooked configs"
+        )
     lat = cfg.lat
     assert lat.D == 3, "fused kernels are for the 3D lattices"
     codes = domain.codes_present()

@@ -122,6 +122,7 @@ class Simulation:
         phys_final_time: float = np.inf,
         steps_per_dispatch: int = 1,
         use_fused: bool = False,
+        profile_dir=None,
     ):
         self.cfg = cfg
         self.domain = domain
@@ -132,6 +133,10 @@ class Simulation:
         self.phys_final_time = phys_final_time
         self.steps_per_dispatch = max(1, int(steps_per_dispatch))
         self.use_fused = use_fused
+        # jax.profiler trace directory (analog of the reference's
+        # cuda_profiler_api integration, reference defs.h:36-38); view with
+        # TensorBoard or xprof
+        self.profile_dir = profile_dir
 
         self.cnt = {name: Counter() for name in ALL_COUNTERS}
         self.probes_1d: list[Probe1DCut] = []
@@ -232,6 +237,15 @@ class Simulation:
         from tnl_lbm_tpu.kernels.fused import supports
 
         if self.cfg.lat.D != 3 or not supports(self.domain):
+            return False
+        if self.cfg.forcing_hook is not None:
+            # forcing hooks (IBM, non-Newtonian div-S) run as XLA-level
+            # field computations between kernels; the fused kernels would
+            # silently drop them
+            self.log.warning(
+                "use_fused requested but cfg.forcing_hook is set; "
+                "falling back to the XLA step"
+            )
             return False
         if jax.default_backend() != "cpu" and self.domain.shape[-1] % 128 != 0:
             self.log.warning(
@@ -619,8 +633,12 @@ class Simulation:
         """The execute() loop (reference core.h:38-101)."""
         if not self.can_compute():
             return False
+        tracing = False
         try:
             self.sim_init()
+            if self.profile_dir is not None:
+                jax.profiler.start_trace(str(self.profile_dir))
+                tracing = True
             while True:
                 if self.domain.units.lbm_viscosity() <= 0:
                     self.log.error("zero viscosity - terminating (reference state.hpp:985-990)")
@@ -643,6 +661,8 @@ class Simulation:
             self.after_sim_finished()
             return not self.nan_detected
         finally:
+            if tracing:
+                jax.profiler.stop_trace()
             self._lock.release()
 
     def _after_sim_update(self):
