@@ -128,3 +128,115 @@ def test_coupled_nse_ade_runs_and_conserves_scalar(tmp_path):
     assert np.isclose(float(jnp.sum(sim.phi)), phi_total0, rtol=1e-12)
     assert float(jnp.abs(sim.u).max()) > 0  # flow developed and advects phi
     sim._lock.release()
+
+
+def _rand_g(cfg, dom, seed=0):
+    rng = np.random.default_rng(seed)
+    phi = jnp.asarray(0.5 + 0.1 * rng.standard_normal(dom.shape), cfg.compute_dtype)
+    u = jnp.asarray(0.02 * rng.standard_normal((3,) + dom.shape), cfg.compute_dtype)
+    return eqlib.eq_quadratic(cfg.lat, phi, u).astype(cfg.compute_dtype), u
+
+
+def test_fused_ade_kernel_matches_xla():
+    """Pallas D3Q7 kernel (interpret mode) == XLA ADE step, across the
+    supported BC set incl. the 2-halo Peclet outflow pull."""
+    import pytest
+
+    from tnl_lbm_tpu.kernels.fused_ade import make_fused_ade_step, supports_ade
+    from tnl_lbm_tpu.ops import collision_ade as cade
+
+    X, Y, Z = 16, 16, 16
+    m = np.zeros((X, Y, Z), np.uint8)
+    m[:, 0] = ADEGEO.WALL
+    m[:, -1] = ADEGEO.WALL_BODY
+    m[:, :, 0] = ADEGEO.SYM_BOTTOM
+    m[:, :, -1] = ADEGEO.SYM_TOP
+    m[0, 1:-1, 1:-1] = ADEGEO.INFLOW
+    m[-1, 1:-1, 1:-1] = ADEGEO.OUTFLOW_PE
+    m[5, 5, 5] = ADEGEO.NOTHING
+    units = Lattice(global_size=(X, Y, Z), phys_origin=(0, 0, 0), phys_dl=1.0, phys_dt=1.0)
+    dom = Domain(lat=D3Q7, units=units, map=m)
+    for name, collide in ade.COLLISIONS_D3Q7.items():
+        cfg = LBMConfig(lat=D3Q7, collision=collide, eq=eqlib.eq_quadratic,
+                        compute_dtype=jnp.float32)
+        assert supports_ade(dom)
+        step_ref = make_ade_step(cfg, dom)
+        step_fused = make_fused_ade_step(cfg, dom, tile=(8, 8), tiles_per_program=1)
+        g, u = _rand_g(cfg, dom, seed=3)
+        g1, g2 = g, g
+        for _ in range(3):
+            g1, phi1 = step_ref(g1, u, 0.02, phi_in=0.3)
+            g2, phi2 = step_fused(g2, u, 0.02, phi_in=0.3)
+        assert float(jnp.abs(g1 - g2).max()) < 1e-6, name
+        assert float(jnp.abs(phi1 - phi2).max()) < 1e-6, name
+
+
+def test_fused_ade_rejects_transfer_codes():
+    import pytest
+
+    from tnl_lbm_tpu.kernels.fused_ade import make_fused_ade_step, supports_ade
+
+    m = np.zeros((8, 8, 8), np.uint8)
+    m[4] = ADEGEO.TRANSFER_FS
+    units = Lattice(global_size=(8, 8, 8), phys_origin=(0, 0, 0), phys_dl=1.0, phys_dt=1.0)
+    dom = Domain(lat=D3Q7, units=units, map=m)
+    cfg = LBMConfig(lat=D3Q7, collision=ade.collide_srt_ade)
+    assert not supports_ade(dom)
+    with pytest.raises(NotImplementedError):
+        make_fused_ade_step(cfg, dom)
+
+
+def test_outflow_pe_pull_offset_reads_x_minus_2():
+    """Regression: the Peclet-outflow pull reaches x-2, which a 1-wide halo
+    pad sliced into an empty array before the 2-wide pad fix."""
+    from tnl_lbm_tpu.sim.step_ade import _pull_offset
+
+    n = 8
+    g = jnp.asarray(np.arange(7 * n * 4 * 4, dtype=np.float64).reshape(7, n, 4, 4))
+    out = _pull_offset(D3Q7, g, (False, False, False), (n, 4, 4), -1)
+    assert out.shape == (7, n, 4, 4)
+    # component pzz (c=(1,0,0)): out(x) = g(x - 2), edge-clamped
+    q = D3Q7.idx("pzz")
+    np.testing.assert_array_equal(np.asarray(out[q][4]), np.asarray(g[q][2]))
+    np.testing.assert_array_equal(np.asarray(out[q][0]), np.asarray(g[q][0]))
+
+
+def test_coupled_fused_matches_xla(tmp_path):
+    """CoupledSimulation(use_fused=True) (fused NSE + fused ADE kernels in
+    one dispatch) matches the XLA coupled driver."""
+    from tnl_lbm_tpu.ops import collision as col3
+    from tnl_lbm_tpu.sim.coupled import CoupledSimulation
+
+    n = 16
+    units = Lattice(global_size=(n, 16, 16), phys_origin=(0, 0, 0), phys_dl=1.0, phys_dt=1.0,
+                    phys_viscosity=0.02)
+    nse_dom = Domain(lat=D3Q27, units=units, map=np.zeros((n, 16, 16), np.uint8), periodic=(True,) * 3)
+    ade_dom = Domain(lat=D3Q7, units=units, map=np.zeros((n, 16, 16), np.uint8), periodic=(True,) * 3)
+    cfg = LBMConfig(lat=D3Q27, collision=col3.collide_cum_well, eq=eqlib.eq_well,
+                    well=True, compute_dtype=jnp.float32)
+    ade_cfg = LBMConfig(lat=D3Q7, collision=ade.collide_clbm_ade, compute_dtype=jnp.float32)
+
+    class Sim(CoupledSimulation):
+        def body_force(self, t):
+            return np.array([1e-4, 0.0, 0.0])
+
+        def initial_phi(self):
+            x = np.arange(n) - n / 2
+            g = np.exp(-(x**2) / 8.0)
+            return jnp.asarray(np.broadcast_to(g[:, None, None], (n, 16, 16)).copy(),
+                               jnp.float32)
+
+    res = []
+    for sid, fused in (("cf_xla", False), ("cf_fused", True)):
+        sim = Sim(cfg, nse_dom, ade_cfg, ade_dom, ade_diffusion=0.01,
+                  sim_id=sid, results_parent=tmp_path, phys_final_time=1e9,
+                  use_fused=fused)
+        assert sim.can_compute()
+        sim.sim_init()
+        if fused:
+            assert sim._ade_fused
+        sim._advance(6)
+        res.append((np.asarray(sim.f), np.asarray(sim.g), np.asarray(sim.phi)))
+        sim._lock.release()
+    for a, b in zip(res[0], res[1]):
+        np.testing.assert_allclose(a, b, atol=2e-6)

@@ -65,6 +65,24 @@ def test_density_velocity_half_force():
     assert np.allclose(u, (j + 0.5 * force) / rho, atol=1e-14)
 
 
+def test_high_precision_rho_beats_naive_sum_f32():
+    """Neumaier summation (reference USE_HIGH_PRECISION_RHO) recovers the
+    tiny deviations a plain f32 sum of O(1) weights rounds away."""
+    lat = D3Q27
+    rng = np.random.default_rng(4)
+    dev = 1e-8 * rng.standard_normal((lat.Q,) + SHAPE)
+    f64 = np.asarray(lat.w, np.float64).reshape((lat.Q,) + (1,) * 3) + dev
+    exact = f64.sum(axis=0)
+    f32 = jnp.asarray(f64, jnp.float32)
+    naive = np.asarray(mom.density(lat, f32), np.float64)
+    kahan = np.asarray(mom.density(lat, f32, high_precision=True), np.float64)
+    err_naive = np.abs(naive - exact).max()
+    err_kahan = np.abs(kahan - exact).max()
+    assert err_kahan <= err_naive
+    # compensated sum should be at the single-rounding level
+    assert err_kahan < 1.5e-7
+
+
 NU = 0.02
 
 

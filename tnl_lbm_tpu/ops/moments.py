@@ -17,9 +17,30 @@ import jax.numpy as jnp
 from tnl_lbm_tpu.models.descriptors import LatticeDescriptor
 
 
-def density(lat: LatticeDescriptor, f: jnp.ndarray, well: bool = False) -> jnp.ndarray:
-    """rho = sum_q f_q (+1 for well-conditioned deviation storage)."""
-    rho = jnp.sum(f, axis=0)
+def density(lat: LatticeDescriptor, f: jnp.ndarray, well: bool = False,
+            high_precision: bool = False) -> jnp.ndarray:
+    """rho = sum_q f_q (+1 for well-conditioned deviation storage).
+
+    ``high_precision`` uses Neumaier compensated summation over the Q axis
+    (reference USE_HIGH_PRECISION_RHO, d3q27/common.h:19-28, which Kahan-
+    sums the 27 DFs); mostly redundant with well-conditioned storage, which
+    removes the O(1) weight offsets before any rounding happens, but kept
+    for exact option parity and for total-DF float32 configs.
+    """
+    if high_precision:
+        s = f[0]
+        comp = jnp.zeros_like(s)
+        for q in range(1, f.shape[0]):
+            x = f[q]
+            t = s + x
+            # Neumaier: pick the larger-magnitude operand for the residual
+            comp = comp + jnp.where(
+                jnp.abs(s) >= jnp.abs(x), (s - t) + x, (x - t) + s
+            )
+            s = t
+        rho = s + comp
+    else:
+        rho = jnp.sum(f, axis=0)
     if well:
         # well-conditioned DFs store deviations from the lattice weights:
         # rho = 1 + sum_q f_q (reference common_well.h:37)

@@ -57,7 +57,36 @@ class CoupledSimulation(Simulation):
         self.phi = phi0
         flags = transfer_direction_flags(self.ade_cfg.lat, self.ade_domain.map)
         self._transfer_dirs = jnp.asarray(flags)
-        self._ade_step = make_ade_step(self.ade_cfg, self.ade_domain)
+        self._ade_fused = False
+        if self.use_fused:
+            from tnl_lbm_tpu.kernels.fused_ade import make_fused_ade_step, supports_ade
+
+            ade_ok = (
+                supports_ade(self.ade_domain)
+                and self.ade_cfg.streaming == "AB"
+                and np.isscalar(self.ade_diffusion)
+                and (jax.default_backend() == "cpu"
+                     or self.ade_domain.shape[-1] % 128 == 0)
+            )
+            if ade_ok:
+                fused = make_fused_ade_step(self.ade_cfg, self.ade_domain)
+
+                def ade_step(g, u, nu_ade, phi_in=None, transfer_dirs=None,
+                             transfer_coeff=0.0, parity=0):
+                    del transfer_dirs, transfer_coeff, parity
+                    return fused(g, u, nu_ade,
+                                 phi_in=phi_in if phi_in is not None else 0.0)
+
+                self._ade_step = ade_step
+                self._ade_fused = True
+            else:
+                self.log.warning(
+                    "use_fused requested but the ADE lattice is unsupported "
+                    "by the fused kernel; running the ADE half on XLA"
+                )
+                self._ade_step = make_ade_step(self.ade_cfg, self.ade_domain)
+        else:
+            self._ade_step = make_ade_step(self.ade_cfg, self.ade_domain)
 
     def _advance(self, n_steps: int):
         """One fused coupled step per iteration (NSE then ADE)."""

@@ -68,13 +68,27 @@ _SYM = {
 }
 
 
-def _pull_offset(lat, fpad, shape, extra_dx):
-    """Standard pull with all x-offsets shifted by ``extra_dx``."""
+def _pull_offset(lat, g, periodic, shape, extra_dx):
+    """Standard pull with all x-offsets shifted by ``extra_dx``.
+
+    The x offsets reach ``-1 + extra_dx`` (= -2 for the Peclet outflow), so
+    this pads its own 2-wide x halo; a 1-wide pad would slice negatively
+    and silently produce empty arrays.
+    """
+    widths = (2,) + (1,) * (len(shape) - 1)
+    gpad = g
+    for axis, (w, per) in enumerate(zip(widths, periodic)):
+        pad_width = [(0, 0)] * g.ndim
+        pad_width[axis + 1] = (w, w)
+        gpad = jnp.pad(gpad, pad_width, mode="wrap" if per else "edge")
     out = []
     for q in range(lat.Q):
         off = [-int(c) for c in lat.c[q]]
         off[0] += extra_dx
-        out.append(stream._shift_slices(fpad[q], off, shape))
+        index = tuple(
+            slice(w + o, w + o + n) for w, o, n in zip(widths, off, shape)
+        )
+        out.append(gpad[(q,) + index])
     return jnp.stack(out)
 
 
@@ -96,6 +110,8 @@ def make_ade_step(cfg: LBMConfig, domain: Domain, pad_halo=None, local_shape=Non
 
     sym_codes = [c for c in codes if c in _SYM]
     do_coll_codes = np.array([int(c) for c in (_COLLIDING & codes)], dtype=domain.map.dtype)
+    if cfg.streaming == "AA" and ADEGEO.OUTFLOW_PE in codes:
+        raise NotImplementedError("OUTFLOW_PE requires the A-B pattern")
 
     def step(g, u, nu, phi_in=None, transfer_dirs=None, transfer_coeff=0.0,
              parity: int = 0, map_arr=None):
@@ -118,7 +134,11 @@ def make_ade_step(cfg: LBMConfig, domain: Domain, pad_halo=None, local_shape=Non
             if ADEGEO.OUTFLOW_RIGHT in codes:
                 f_in = jnp.where(masks[ADEGEO.OUTFLOW_RIGHT], stream.pull_shift_x(lat, fpad, S, dx=-1), f_in)
             if ADEGEO.OUTFLOW_PE in codes:
-                f_in = jnp.where(masks[ADEGEO.OUTFLOW_PE], _pull_offset(lat, fpad, S, -1), f_in)
+                f_in = jnp.where(
+                    masks[ADEGEO.OUTFLOW_PE],
+                    _pull_offset(lat, g, domain.periodic, S, -1),
+                    f_in,
+                )
 
         # wall bounce-back (swap all opposite pairs)
         for wall_code in (ADEGEO.WALL, ADEGEO.WALL_BODY):
