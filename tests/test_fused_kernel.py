@@ -165,6 +165,39 @@ def test_fused_pair_aa_matches_xla(periodic):
     assert float(jnp.abs(u1 - u2).max()) < 1e-6
 
 
+@pytest.mark.parametrize("periodic", [(True, True, True), (True, False, False)],
+                         ids=["torus", "duct"])
+def test_fused_pair2_aa_matches_xla(periodic):
+    """One-kernel pair on persistent-padded state == two XLA A-A steps."""
+    from tnl_lbm_tpu.kernels.fused_aa import (
+        from_padded_aa, make_fused_pair2_aa, to_padded_aa,
+    )
+
+    X, Y, Z = 16, 16, 16
+    m = np.zeros((X, Y, Z), np.uint8)
+    if not periodic[1]:
+        m[:, 0] = m[:, -1] = GEO.WALL
+        m[:, :, 0] = m[:, :, -1] = GEO.WALL
+        m[4, 4, 4] = GEO.NOTHING
+    units = Lattice((X, Y, Z), (0, 0, 0), 1.0, 1.0)
+    dom = Domain(lat=D3Q27, units=units, map=m, periodic=periodic)
+    cfg = LBMConfig(lat=D3Q27, collision=col.collide_cum_well, eq=eqlib.eq_well,
+                    well=True, streaming="AA")
+    step_ref = make_step(cfg, dom)
+    pair2 = make_fused_pair2_aa(cfg, dom, tile=(8, 8))
+    f1 = rand_f(dom, cfg, seed=13)
+    force = jnp.asarray([1e-5, 0, 0], jnp.float32)
+    fp = to_padded_aa(f1, dom.periodic)
+    for it in range(4):
+        f1, rho1, u1 = step_ref(f1, 0.02, force=force, parity=it % 2)
+    for _ in range(2):
+        fp, rho2, u2 = pair2(fp, 0.02, force=force)
+    f2 = from_padded_aa(fp)
+    assert float(jnp.abs(f1 - f2).max()) < 1e-6
+    assert float(jnp.abs(rho1 - rho2).max()) < 2e-6
+    assert float(jnp.abs(u1 - u2).max()) < 1e-6
+
+
 def test_sitemajor_kernel_matches_xla_step():
     from tnl_lbm_tpu.kernels.fused import from_sitemajor, make_fused_step_sitemajor, to_sitemajor
 

@@ -343,6 +343,276 @@ def make_fused_step_aa(cfg: LBMConfig, domain: Domain,
     return step
 
 
+def _edge_rep2(v, axis, is_lo, is_hi, lo_src, hi_src, n_lo, n_hi):
+    """Window-wide 2-layer edge replication: when ``is_lo``, the first
+    ``n_lo`` layers along ``axis`` (out-of-domain) are replaced by the layer
+    at ``lo_src`` (the first in-domain site); symmetric for the high side.
+    Layers before ``n_lo``/after the window stay untouched by construction
+    of the callers (they pass the slice covering exactly the window)."""
+    if axis == 0:
+        lo = jnp.where(is_lo, jnp.concatenate([v[lo_src : lo_src + 1]] * n_lo, 0),
+                       v[:n_lo])
+        hi = jnp.where(is_hi, jnp.concatenate([v[hi_src : hi_src + 1]] * n_hi, 0),
+                       v[v.shape[0] - n_hi :])
+        return jnp.concatenate([lo, v[n_lo : v.shape[0] - n_hi], hi], 0)
+    lo = jnp.where(is_lo, jnp.concatenate([v[:, lo_src : lo_src + 1]] * n_lo, 1),
+                   v[:, :n_lo])
+    hi = jnp.where(is_hi, jnp.concatenate([v[:, hi_src : hi_src + 1]] * n_hi, 1),
+                   v[:, v.shape[1] - n_hi :])
+    return jnp.concatenate([lo, v[:, n_lo : v.shape[1] - n_hi], hi], 1)
+
+
+def to_padded_aa(f, periodic):
+    """[Q, X, Y, Z] -> the persistent-pad pair state [Q, X+4, Y+16, Z]
+    (x-origin 2, y-origin 8) with halo layers filled."""
+    Q, X, Y, Z = f.shape
+    fpad = jnp.pad(f, [(0, 0), (2, 2), (8, 8), (0, 0)], mode="edge")
+    return _fill_halos_pad8(fpad, periodic, X, Y, Z, Q)
+
+
+def from_padded_aa(fpad):
+    """Persistent-pad state -> plain [Q, X, Y, Z]."""
+    Q, Xp, Yp, Z = fpad.shape
+    return fpad[:, 2 : Xp - 2, 8 : Yp - 8, :]
+
+
+def _fill_halos_pad8(fpad, periodic, X, Y, Z, Q):
+    """Fill 2 halo layers each side of the interior at origin (2, 8)
+    (x first, then y, matching _pad_aa_odd's corner semantics)."""
+    if periodic[0]:
+        fpad = fpad.at[:, 0:2].set(fpad[:, X : X + 2])
+        fpad = fpad.at[:, X + 2 : X + 4].set(fpad[:, 2:4])
+    else:
+        fpad = fpad.at[:, 0:2].set(jnp.broadcast_to(
+            fpad[:, 2:3], (Q, 2) + fpad.shape[2:]))
+        fpad = fpad.at[:, X + 2 : X + 4].set(jnp.broadcast_to(
+            fpad[:, X + 1 : X + 2], (Q, 2) + fpad.shape[2:]))
+    if periodic[1]:
+        fpad = fpad.at[:, :, 6:8].set(fpad[:, :, Y + 6 : Y + 8])
+        fpad = fpad.at[:, :, Y + 8 : Y + 10].set(fpad[:, :, 8:10])
+    else:
+        fpad = fpad.at[:, :, 6:8].set(jnp.broadcast_to(
+            fpad[:, :, 8:9], fpad.shape[:2] + (2, Z)))
+        fpad = fpad.at[:, :, Y + 8 : Y + 10].set(jnp.broadcast_to(
+            fpad[:, :, Y + 7 : Y + 8], fpad.shape[:2] + (2, Z)))
+    return fpad
+
+
+def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
+                        tile=(8, 32), tiles_per_program: int = 1,
+                        with_macro: bool = True):
+    """One-kernel A-A pair on persistent-padded state: ``pair(fpad, nu,
+    u_in, force) -> (fpad_new, rho, u)`` advances TWO lattice steps with a
+    single windowed read and a single interior write.
+
+    Per grid tile the kernel loads the 2-halo window of the padded state,
+    runs the even (same-site) collision over the WHOLE window, edge-
+    replicates the out-of-domain window layers (non-periodic global
+    boundaries), then runs the odd pull+collide+push on the 1-halo ring of
+    the even output entirely in VMEM and writes the interior back into the
+    padded layout.  The intermediate field between the parities never
+    touches HBM - per 2 steps the traffic is one ~2.25x-amplified read plus
+    one interior write (plus thin halo fills), about 60% of the two-kernel
+    pair.  Do NOT donate: input/output aliasing costs ~1.8x bandwidth.
+
+    Measured (256^3 cumulant-well on v5e): best 30.4 ms/pair at (8,32)K1 -
+    SLOWER than the two-kernel pair's 27.9 ms despite the traffic saving.
+    Running both cascades back-to-back per program makes it compute/VREG-
+    bound with little DMA overlap, so ``make_fused_pair_aa`` remains the
+    production path; this kernel is kept as the measured data point and
+    for memory-constrained cases (one windowed read, no intermediate
+    buffer).
+
+    State helpers: to_padded_aa / from_padded_aa.
+    """
+    assert cfg.streaming == "AA"
+    cfg_ab = dataclasses.replace(cfg, streaming="AB")
+    lat, codes, sym_codes, eq_kind, do_coll_codes = _prep(cfg_ab, domain)
+    Q = lat.Q
+    X, Y, Z = domain.shape
+    dtype = cfg.compute_dtype
+    periodic = domain.periodic
+    periodic_z = bool(periodic[2])
+    opp = np.asarray(lat.opp)
+    interpret = jax.default_backend() == "cpu"
+
+    tx = _fit_tile(tile[0], X)
+    ty = _fit_tile(tile[1], Y, align=8)
+    K = tiles_per_program
+    while K > 1 and Y % (ty * K) != 0:
+        K -= 1
+    tyK = ty * K
+    wx, wy = tx + 4, ty + 16  # window extents (x-origin 2, y-origin 8)
+    txc, tyc = tx + 2, ty + 2  # odd ring extents
+    nx_t, ny_t = X // tx, Y // ty
+    dummy = (8, 8, 128)
+
+    # static padded map, same layout/origins as the state
+    mp = np.pad(np.asarray(domain.map, np.int32), [(2, 2), (8, 8), (0, 0)],
+                mode="edge")
+    if periodic[0]:
+        mp[0:2] = mp[X : X + 2]
+        mp[X + 2 : X + 4] = mp[2:4]
+    if periodic[1]:
+        mp[:, 6:8] = mp[:, Y + 6 : Y + 8]
+        mp[:, Y + 8 : Y + 10] = mp[:, 8:10]
+    map_pad = mp
+
+    def kernel(params_ref, fpad_hbm, mp_hbm, fout_ref, rho_ref, u_ref, *rest):
+        fscr = rest[:K]
+        mscr = rest[K : 2 * K]
+        outs = rest[2 * K : 3 * K]
+        sem = rest[3 * K]
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        dmas = []
+        for t in range(K):
+            jt = j * K + t
+            d1 = pltpu.make_async_copy(
+                fpad_hbm.at[:, pl.ds(i * tx, wx), pl.ds(jt * ty, wy), :],
+                fscr[t], sem.at[t, 0],
+            )
+            d1.start()
+            d2 = pltpu.make_async_copy(
+                mp_hbm.at[pl.ds(i * tx, wx), pl.ds(jt * ty, wy), :],
+                mscr[t], sem.at[t, 1],
+            )
+            d2.start()
+            dmas.append((d1, d2))
+
+        douts = []
+        for t in range(K):
+            jt = j * K + t
+            dmas[t][0].wait()
+            dmas[t][1].wait()
+            scratch = fscr[t]
+            m_win = mscr[t][...]
+
+            # ---- even pass over the whole window (same-site collide) ----
+            def shifted_e(q, offs, scratch=scratch):
+                del offs
+                return scratch[q]
+
+            even_out, _, _ = _stream_bc_collide(
+                lat, cfg_ab, codes, sym_codes, eq_kind, do_coll_codes, dtype,
+                shifted_e, m_win, params_ref, out_perm=opp,
+            )
+            ev = [even_out[q] for q in range(Q)]
+
+            # out-of-domain window layers <- edge replication of the even
+            # output (what the two-kernel pair's halo fill would produce)
+            if not periodic[0]:
+                lo = (i == 0) & (params_ref[8] > 0)
+                hi = (i == nx_t - 1) & (params_ref[9] > 0)
+                ev = [_edge_rep2(v, 0, lo, hi, 2, wx - 3, 2, 2) for v in ev]
+            if not periodic[1]:
+                lo = (jt == 0) & (params_ref[10] > 0)
+                hi = (jt == ny_t - 1) & (params_ref[11] > 0)
+                # rows 6,7 <- row 8; rows ty+8, ty+9 <- row ty+7: replicate
+                # the 2 out-of-domain layers inside the used band [6, ty+10)
+                ev2 = []
+                for v in ev:
+                    l = jnp.where(lo, jnp.concatenate([v[:, 8:9]] * 2, 1), v[:, 6:8])
+                    h = jnp.where(hi, jnp.concatenate([v[:, ty + 7 : ty + 8]] * 2, 1),
+                                  v[:, ty + 8 : ty + 10])
+                    ev2.append(jnp.concatenate(
+                        [v[:, :6], l, v[:, 8 : ty + 8], h, v[:, ty + 10 :]], 1))
+                ev = ev2
+
+            # ---- odd pass on the 1-halo ring of the even output ----
+            def shifted_o(q, offs):
+                # ring origin in-window: x 1, y 7
+                ox, oy, oz = offs
+                qo = int(opp[q])
+                base = ev[qo][1 + ox : 1 + ox + txc, 7 + oy : 7 + oy + tyc, :]
+                return _zshift(base, oz, Z, periodic_z)
+
+            m_ring = m_win[1 : 1 + txc, 7 : 7 + tyc, :]
+            f_post, rho_ring, u_ring = _stream_bc_collide(
+                lat, cfg_ab, codes, sym_codes, eq_kind, do_coll_codes, dtype,
+                shifted_o, m_ring, params_ref, defer_nothing=True,
+            )
+
+            post = [f_post[q] for q in range(Q)]
+            if not periodic[0]:
+                lo = (i == 0) & (params_ref[8] > 0)
+                hi = (i == nx_t - 1) & (params_ref[9] > 0)
+                post = [_edge_rep(v, 0, lo, hi) for v in post]
+            if not periodic[1]:
+                lo = (jt == 0) & (params_ref[10] > 0)
+                hi = (jt == ny_t - 1) & (params_ref[11] > 0)
+                post = [_edge_rep(v, 1, lo, hi) for v in post]
+
+            rows = []
+            for q in range(Q):
+                cx, cy, cz = (int(v) for v in lat.c[q])
+                base = post[q][1 - cx : 1 - cx + tx, 1 - cy : 1 - cy + ty, :]
+                rows.append(_zshift(base, -cz, Z, periodic_z))
+            pushed = jnp.stack(rows)
+
+            if GEO.NOTHING in codes:
+                # the stored field between the parities is the even output
+                m_int = m_ring[1 : 1 + tx, 1 : 1 + ty, :]
+                center = jnp.stack([ev[q][2 : 2 + tx, 8 : 8 + ty, :] for q in range(Q)])
+                pushed = jnp.where(m_int == int(GEO.NOTHING), center, pushed)
+
+            outs[t][...] = pushed
+            d = pltpu.make_async_copy(
+                outs[t],
+                fout_ref.at[:, pl.ds(2 + i * tx, tx), pl.ds(8 + jt * ty, ty), :],
+                sem.at[t, 2],
+            )
+            d.start()
+            douts.append(d)
+            if with_macro:
+                rho_ref[:, t * ty : (t + 1) * ty, :] = rho_ring[1 : 1 + tx, 1 : 1 + ty, :]
+                u_ref[:, :, t * ty : (t + 1) * ty, :] = u_ring[:, 1 : 1 + tx, 1 : 1 + ty, :]
+        for d in douts:
+            d.wait()
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(X // tx, Y // tyK),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),  # fpad_new via manual DMA
+            pl.BlockSpec((tx, tyK, Z) if with_macro else dummy,
+                         (lambda i, j: (i, j, 0)) if with_macro else (lambda i, j: (0, 0, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tx, tyK, Z) if with_macro else (3,) + dummy,
+                         (lambda i, j: (0, i, j, 0)) if with_macro else (lambda i, j: (0, 0, 0, 0)),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Q, X + 4, Y + 16, Z), dtype),
+            jax.ShapeDtypeStruct((X, Y, Z) if with_macro else dummy, dtype),
+            jax.ShapeDtypeStruct((3, X, Y, Z) if with_macro else (3,) + dummy, dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((Q, wx, wy, Z), dtype) for _ in range(K)]
+        + [pltpu.VMEM((wx, wy, Z), jnp.int32) for _ in range(K)]
+        + [pltpu.VMEM((Q, tx, ty, Z), dtype) for _ in range(K)]
+        + [pltpu.SemaphoreType.DMA((K, 3))],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+    def pair(fpad, nu, u_in=None, force=None):
+        params = jnp.concatenate([
+            _params_vec(dtype, nu, u_in, force), jnp.ones((4,), dtype)])
+        fpad_new, rho, u = call(params, fpad, map_pad)
+        fpad_new = _fill_halos_pad8(fpad_new, periodic, X, Y, Z, Q)
+        if not with_macro:
+            return fpad_new, None, None
+        return fpad_new, rho, u
+
+    return pair
+
+
 def make_fused_pair_aa(cfg: LBMConfig, domain: Domain,
                        tile_even=(8, 16), k_even: int = 4,
                        tile_odd=(8, 32), k_odd: int = 3,
