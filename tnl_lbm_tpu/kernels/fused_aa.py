@@ -228,7 +228,7 @@ def _build_odd_call(lat, cfg_ab, codes, sym_codes, eq_kind, do_coll_codes,
         + [pltpu.VMEM((tx + 2, ty + 8, Z), jnp.int32) for _ in range(K)]
         + [pltpu.SemaphoreType.DMA((K, 2))],
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=112 * 1024 * 1024),
     )
     return odd_call, tx, ty, K
 
