@@ -240,3 +240,44 @@ def test_coupled_fused_matches_xla(tmp_path):
         sim._lock.release()
     for a, b in zip(res[0], res[1]):
         np.testing.assert_allclose(a, b, atol=2e-6)
+
+
+def test_coupled_checkpoint_resume_preserves_scalar(tmp_path):
+    """Checkpoint/resume must restore the ADE lattice too (the reference
+    saves all DF buffers, state.hpp:677-727)."""
+    from tnl_lbm_tpu.ops import collision as col3
+    from tnl_lbm_tpu.sim.coupled import CoupledSimulation
+
+    n = 16
+    units = Lattice(global_size=(n, 8, 8), phys_origin=(0, 0, 0), phys_dl=1.0, phys_dt=1.0,
+                    phys_viscosity=0.02)
+    nse_dom = Domain(lat=D3Q27, units=units, map=np.zeros((n, 8, 8), np.uint8), periodic=(True,) * 3)
+    ade_dom = Domain(lat=D3Q7, units=units, map=np.zeros((n, 8, 8), np.uint8), periodic=(True,) * 3)
+    cfg = LBMConfig(lat=D3Q27, collision=col3.collide_cum, compute_dtype=jnp.float64)
+    ade_cfg = LBMConfig(lat=D3Q7, collision=ade.collide_clbm_ade, compute_dtype=jnp.float64)
+
+    class Sim(CoupledSimulation):
+        def body_force(self, t):
+            return np.array([1e-5, 0.0, 0.0])
+
+        def initial_phi(self):
+            return gaussian_phi(n)[:, :8, :8] * 1.0
+
+    sim = Sim(cfg, nse_dom, ade_cfg, ade_dom, ade_diffusion=0.01,
+              sim_id="ck", results_parent=tmp_path, phys_final_time=1e9)
+    assert sim.can_compute()
+    sim.sim_init()
+    sim._advance(5)
+    sim.save_state()
+    g0 = np.asarray(sim.g)
+    phi0 = np.asarray(sim.phi)
+    sim._lock.release()
+
+    sim2 = Sim(cfg, nse_dom, ade_cfg, ade_dom, ade_diffusion=0.01,
+               sim_id="ck", results_parent=tmp_path, phys_final_time=1e9)
+    assert sim2.can_compute()
+    sim2.sim_init()
+    np.testing.assert_allclose(np.asarray(sim2.g), g0)
+    np.testing.assert_allclose(np.asarray(sim2.phi), phi0)
+    assert sim2.iterations == 5
+    sim2._lock.release()

@@ -49,12 +49,22 @@ class CoupledSimulation(Simulation):
         """Initial scalar field (override in apps)."""
         return jnp.ones(self.ade_domain.shape, self.ade_cfg.compute_dtype)
 
+    def checkpoint_arrays_extra(self):
+        # the ADE lattice must survive a checkpoint/resume cycle too
+        # (the reference saves ALL DF buffers, state.hpp:677-727)
+        return {"g": self.g} if self.g is not None else {}
+
     def sim_init(self):
         super().sim_init()
-        phi0 = self.initial_phi()
-        u0 = jnp.zeros((3,) + self.ade_domain.shape, self.ade_cfg.compute_dtype)
-        self.g = self.ade_cfg.eq(self.ade_cfg.lat, phi0, u0).astype(self.ade_cfg.compute_dtype)
-        self.phi = phi0
+        restored = getattr(self, "_restored_arrays", None)
+        if restored is not None and "g" in restored:
+            self.g = jnp.asarray(restored["g"], self.ade_cfg.compute_dtype)
+            self.phi = mom.density(self.ade_cfg.lat, self.g)
+        else:
+            phi0 = self.initial_phi()
+            u0 = jnp.zeros((3,) + self.ade_domain.shape, self.ade_cfg.compute_dtype)
+            self.g = self.ade_cfg.eq(self.ade_cfg.lat, phi0, u0).astype(self.ade_cfg.compute_dtype)
+            self.phi = phi0
         flags = transfer_direction_flags(self.ade_cfg.lat, self.ade_domain.map)
         self._transfer_dirs = jnp.asarray(flags)
         self._ade_fused = False

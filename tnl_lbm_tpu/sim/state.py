@@ -353,8 +353,10 @@ class Simulation:
             if "vm" in arrays:
                 self.vm = jnp.asarray(arrays["vm"])
                 self.vm2 = jnp.asarray(arrays["vm2"])
+            self._restored_arrays = arrays
             self.log.info("resumed from checkpoint at iteration %d", self.iterations)
         else:
+            self._restored_arrays = None
             self.f = initial_dfs(self.cfg, self.domain)
         if self.plan is not None:
             self.f = self.plan.shard_field(self.f, like_f=True)
@@ -564,12 +566,18 @@ class Simulation:
             raise MemoryError(f"state would not fit on device: {info}")
         return info
 
+    def checkpoint_arrays_extra(self) -> dict:
+        """App-extension hook: extra arrays to checkpoint (analog of the
+        reference's checkpointStateLocal, state.h:260)."""
+        return {}
+
     def save_state(self):
         """Checkpoint + loadstate flag (reference state.hpp:739-770)."""
         arrays = {"f": self.f}
         if self.vm is not None:
             arrays["vm"] = self.vm
             arrays["vm2"] = self.vm2
+        arrays.update(self.checkpoint_arrays_extra())
         meta = {
             "iterations": self.iterations,
             "stat_counter": self.stat_counter,
