@@ -15,9 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from tnl_lbm_tpu.ops import moments as mom
-from tnl_lbm_tpu.sim.config import Domain, LBMConfig, initial_dfs
+from tnl_lbm_tpu.sim.config import Domain, LBMConfig
 from tnl_lbm_tpu.sim.state import Simulation
-from tnl_lbm_tpu.sim.step import make_step
 from tnl_lbm_tpu.sim.step_ade import make_ade_step, transfer_direction_flags
 
 
