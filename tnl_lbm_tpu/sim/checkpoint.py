@@ -18,11 +18,19 @@ import numpy as np
 from tnl_lbm_tpu.utils.fileutils import mkdir_p, rename_exchange
 
 
-def save_checkpoint(directory, arrays: dict, meta: dict) -> Path:
+def save_checkpoint(directory, arrays: dict, meta: dict,
+                    background: bool = False) -> Path:
     """Save ``arrays`` (name -> device/host array) + ``meta`` (JSON-able).
 
     Publishes ``<dir>/checkpoint.npz`` atomically; returns the path.
+    With ``background=True`` the serialized blob is handed to the native
+    C++ writer pool (io/native.py), so a multi-GB checkpoint does not
+    block the simulation loop (the device fetch itself is synchronous -
+    the state must be consistent); call ``io.native.flush()`` before
+    relying on the file.
     """
+    import io as _io
+
     directory = Path(directory)
     mkdir_p(directory)
     tmp = directory / "checkpoint_tmp.npz"
@@ -30,6 +38,14 @@ def save_checkpoint(directory, arrays: dict, meta: dict) -> Path:
 
     host = {k: np.asarray(jax.device_get(v)) for k, v in arrays.items()}
     host["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    if background:
+        from tnl_lbm_tpu.io import native
+
+        buf = _io.BytesIO()
+        np.savez(buf, **host)
+        if native.write_blob_async(final, buf.getvalue(), atomic=True):
+            return final
+        # native backend unavailable: fall through to the synchronous path
     with open(tmp, "wb") as fh:
         np.savez(fh, **host)
     rename_exchange(tmp, final)

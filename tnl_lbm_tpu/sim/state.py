@@ -571,8 +571,12 @@ class Simulation:
         reference's checkpointStateLocal, state.h:260)."""
         return {}
 
-    def save_state(self):
-        """Checkpoint + loadstate flag (reference state.hpp:739-770)."""
+    def save_state(self, background: bool = False):
+        """Checkpoint + loadstate flag (reference state.hpp:739-770).
+
+        ``background=True`` hands the serialized blob to the native C++
+        writer pool so the sim loop is not blocked; after_sim_finished
+        flushes the pool, so periodic saves are safe to background."""
         arrays = {"f": self.f}
         if self.vm is not None:
             arrays["vm"] = self.vm
@@ -590,9 +594,11 @@ class Simulation:
             },
             "phys_time": self.phys_time(),
         }
-        ckpt.save_checkpoint(self.results_dir, arrays, meta)
+        ckpt.save_checkpoint(self.results_dir, arrays, meta,
+                             background=background)
         self.flags.create("loadstate")
-        self.log.info("checkpoint saved at iteration %d", self.iterations)
+        self.log.info("checkpoint saved at iteration %d%s", self.iterations,
+                      " (background write)" if background else "")
 
     def _print_stats(self):
         now = time.time()
@@ -717,4 +723,4 @@ class Simulation:
             if wall >= c[SAVESTATE].count * c[SAVESTATE].period:
                 c[SAVESTATE].count += 1
                 if c[SAVESTATE].count > 1:  # skip initial save (reference state.hpp:948)
-                    self.save_state()
+                    self.save_state(background=True)
