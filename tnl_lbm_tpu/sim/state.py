@@ -617,6 +617,13 @@ class Simulation:
         self.log.info(
             "iter %d t=%.6g GLUPS=%.4f%s", it, t, glups, eta
         )
+        if self.plan is not None and d_it > 0 and d_t > 0:
+            # halo-bandwidth profile (analog of the reference's MPI stats
+            # logged every 100 iterations, lbm.hpp:238-279)
+            from tnl_lbm_tpu.parallel.profiling import halo_traffic
+
+            ht = halo_traffic(self.domain, self.plan)
+            self.prof.info(ht.log_line(d_it, d_t))
         self._glups_prev_iter = it
         self._glups_prev_time = now
 
