@@ -73,6 +73,10 @@ def write_blob_async(path, data: bytes, atomic: bool = True) -> bool:
     lib = get_lib()
     if lib is None:
         return False
+    try:
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+    except OSError:
+        pass  # the native writer reports open() failures via errors()
     buf = ctypes.create_string_buffer(data, len(data))
     lib.lbm_io_write(str(path).encode(), buf, len(data), 1 if atomic else 0)
     return True
@@ -85,6 +89,10 @@ def write_vti_async(path, header: bytes, footer: bytes, blobs, atomic: bool = Tr
     lib = get_lib()
     if lib is None:
         return False
+    try:
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+    except OSError:
+        pass
     arrs = [
         np.frombuffer(b, np.uint8) if isinstance(b, (bytes, bytearray)) else np.ascontiguousarray(b)
         for b in blobs
