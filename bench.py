@@ -47,21 +47,34 @@ def main():
     cfg, dom = ge._flagship(shape)
     force = jnp.asarray([1e-6, 0.0, 0.0], cfg.compute_dtype)
 
+    advance_pair = None
     if on_tpu and supports(dom):
-        cfg = dataclasses.replace(cfg, streaming="AA")
-        # persistent-pad pair: the even kernel writes straight into the odd
-        # kernel's padded layout, eliminating the pad pass between parities
-        pair = make_fused_pair_aa(cfg, dom, tile_even=(8, 16), k_even=4,
-                                  tile_odd=(8, 32), k_odd=3)
-        kernel_name = "pallas-fused-AA-pair"
-        advance_pair = jax.jit(lambda f: pair(f, 0.02, force=force)[0],
-                               donate_argnums=0)
-        steps_per_call = 2
-    else:
+        try:
+            cfg_aa = dataclasses.replace(cfg, streaming="AA")
+            # persistent-pad pair: the even kernel writes straight into the
+            # odd kernel's padded layout - no pad pass between parities
+            pair = make_fused_pair_aa(cfg_aa, dom, tile_even=(8, 16), k_even=4,
+                                      tile_odd=(8, 32), k_odd=3)
+            kernel_name = "pallas-fused-AA-pair"
+            advance_pair = jax.jit(lambda f: pair(f, 0.02, force=force)[0],
+                                   donate_argnums=0)
+            steps_per_call = 2
+            cfg = cfg_aa
+            # force the compile now so a Mosaic failure falls back cleanly
+            _probe = advance_pair(initial_dfs(cfg, dom))
+            float(_probe[0, 0, 0, 0])
+            del _probe
+        except Exception as exc:  # unknown hardware/Mosaic regression
+            import sys
+
+            print(f"pallas path failed ({type(exc).__name__}); falling back to XLA",
+                  file=sys.stderr, flush=True)
+            advance_pair = None
+    if advance_pair is None:
         step = make_step(cfg, dom)
         kernel_name = "xla"
-        jstep = jax.jit(lambda f: step(f, 0.02, force=force)[0], donate_argnums=0)
-        advance_pair = jstep
+        advance_pair = jax.jit(lambda f: step(f, 0.02, force=force)[0],
+                               donate_argnums=0)
         steps_per_call = 1
 
     f = initial_dfs(cfg, dom)
