@@ -122,3 +122,52 @@ def test_nan_guard(tmp_path):
     assert sim.terminate and sim.nan_detected
     sim._lock.release()
     assert any((sim.results_dir / "vtk3D").glob("*nan_dump*"))
+
+
+def test_nan_guard_fires_without_print_period(tmp_path):
+    """The NaN scan runs on its own step cadence, so a run with no PRINT
+    counter configured still detects NaNs (the reference scans every step,
+    state.hpp:1166-1188)."""
+    import jax.numpy as jnp
+
+    sim = make_sim(tmp_path, sim_id="t5", phys_final_time=1.0)
+    assert sim.cnt[PRINT].period <= 0  # PRINT genuinely unset
+    sim.nan_check_every = 3
+    assert sim.can_compute()
+    sim.sim_init()
+    f = np.array(sim.f)
+    f[0, 5, 5] = np.nan
+    sim.f = jnp.asarray(f)
+    for _ in range(4):
+        sim._advance(1)
+        sim._after_sim_update()
+        if sim.terminate:
+            break
+    assert sim.terminate and sim.nan_detected
+    sim._lock.release()
+
+
+def test_second_statistics_window(tmp_path):
+    """STAT2 semantics: two independent mean/covariance windows with
+    separate reset counters (reference d3q27/macro.h:117-160,
+    state.hpp:1231-1242)."""
+    from tnl_lbm_tpu.sim.state import STAT2_RESET, STAT_RESET
+
+    sim = make_sim(tmp_path, sim_id="t6", phys_final_time=0.02)
+    sim.collect_stats = True
+    sim.collect_stats2 = True
+    # window 2 resets halfway; window 1 never does
+    sim.cnt[STAT2_RESET].period = 0.012
+    ok = sim.run()
+    assert ok
+    assert sim.stat_counter == sim.iterations
+    assert 0 < sim.stat2_counter < sim.stat_counter
+    # the two windows genuinely differ (different sample sets)
+    assert not np.allclose(np.asarray(sim.vm), np.asarray(sim.vm_b))
+    # both windows survive a checkpoint round-trip
+    sim.save_state()
+    sim2 = make_sim(tmp_path, sim_id="t6")
+    sim2.collect_stats = sim2.collect_stats2 = True
+    sim2.sim_init()
+    assert sim2.stat2_counter == sim.stat2_counter
+    np.testing.assert_allclose(np.asarray(sim2.vm_b), np.asarray(sim.vm_b))

@@ -96,3 +96,27 @@ def test_generators_shapes_and_spacing():
     ibm = IBM(units, pts_s, dirac="phi3")
     dmin, dmax = ibm.min_max_spacing()
     assert 0.1 < dmin <= dmax < 3.0
+
+
+def test_cg_reports_iterations_and_residual():
+    """The CG solve logs iterations + relative residual and converges to the
+    configured tolerance (reference lagrange_3D.hpp:661-668, maxIter 10000 /
+    residue 3e-4 at :899-906)."""
+    import jax.numpy as jnp
+
+    from tnl_lbm_tpu.ibm.generators import points_cylinder
+    from tnl_lbm_tpu.ibm.lagrange import IBM
+    from tnl_lbm_tpu.utils import Lattice
+
+    units = Lattice(global_size=(32, 32, 32), phys_origin=(0, 0, 0),
+                    phys_dl=1 / 32, phys_dt=1e-3, phys_viscosity=1e-3)
+    pts = points_cylinder((0.5, 0.5, 0.5), diameter=0.4, length=0.4, sigma=0.05)
+    ibm = IBM(units, pts)
+    assert ibm.max_iters == 10000  # reference default
+    u = jnp.zeros((3, 32, 32, 32)).at[0].set(0.05)
+    rho = jnp.ones((32, 32, 32))
+    ibm.compute_forces(u, rho)
+    iters = int(ibm.last_cg_iters)
+    rel = float(ibm.last_cg_residual)
+    assert 0 < iters < ibm.max_iters
+    assert rel <= ibm.tol

@@ -48,7 +48,7 @@ class IBM:
         points_phys: np.ndarray,
         dirac: str = "phi2",
         method: str = "modified",
-        max_iters: int = 100,
+        max_iters: int = 10000,
         tol: float = 3e-4,
         use_ll_velocity: bool = False,
     ):
@@ -144,6 +144,40 @@ class IBM:
             return self.A.astype(x.dtype) @ x
         return self.interpolate(self.spread(x, shape))
 
+    def _cg(self, matvec, b):
+        """Batched CG over the C right-hand sides with iteration/residual
+        reporting (the reference logs both per solve and defaults to
+        maxIter 10000, residue 3e-4 - lagrange_3D.hpp:661-668, 899-906;
+        jax.scipy's cg discards them, so we run our own while_loop).
+
+        Returns (x, iters, rel_residual) where rel_residual is the max over
+        columns of ||r||/||b||."""
+        bb = jnp.sum(b * b, axis=0)  # [C]
+        bb_safe = jnp.where(bb == 0, 1.0, bb)
+        tol2 = jnp.asarray(self.tol, b.dtype) ** 2
+
+        def cond(state):
+            x, r, p, rr, k = state
+            return (k < self.max_iters) & jnp.any(rr / bb_safe > tol2)
+
+        def body(state):
+            x, r, p, rr, k = state
+            ap = matvec(p)
+            pap = jnp.sum(p * ap, axis=0)
+            alpha = jnp.where(pap == 0, 0.0, rr / jnp.where(pap == 0, 1.0, pap))
+            x = x + alpha * p
+            r = r - alpha * ap
+            rr_new = jnp.sum(r * r, axis=0)
+            beta = jnp.where(rr == 0, 0.0, rr_new / jnp.where(rr == 0, 1.0, rr))
+            p = r + beta * p
+            return x, r, p, rr_new, k + 1
+
+        x0 = jnp.zeros_like(b)
+        rr0 = jnp.sum(b * b, axis=0)
+        x, r, _, rr, k = jax.lax.while_loop(cond, body, (x0, b, b, rr0, jnp.asarray(0)))
+        rel = jnp.sqrt(jnp.max(rr / bb_safe))
+        return x, k, rel
+
     # ------------------------------------------------------------- solve
     def compute_forces(self, u_star: jnp.ndarray, rho: jnp.ndarray) -> jnp.ndarray:
         """Solve for the velocity-correction forces and spread them.
@@ -159,10 +193,32 @@ class IBM:
             b = b + jnp.asarray(self.prescribed_velocity, b.dtype)
 
         matvec = partial(self._matvec, shape=shape)
-        x, _ = jax.scipy.sparse.linalg.cg(matvec, b, tol=self.tol, maxiter=self.max_iters)
+        x, iters, rel = self._cg(matvec, b)
+        self.last_cg_iters = iters      # traced under jit; concrete eagerly
+        self.last_cg_residual = rel
+        self._log_cg(iters, rel)
         f_pts = 2.0 * x  # [m, 3]
         force = self.spread(f_pts, shape)
         return force * rho[None]
+
+    def _log_cg(self, iters, rel):
+        """CG diagnostics (reference lagrange_3D.hpp:661-668).  Eager: log
+        directly; under jit: via debug.callback so the solve stays traced."""
+
+        def emit(iters, rel):
+            line = (
+                '{"ibm": "computeForces", "cg_iterations": %d, '
+                '"cg_residual": %.3e}' % (int(iters), float(rel))
+            )
+            if float(rel) > self.tol and int(iters) >= self.max_iters:
+                self.log.warning("CG did not converge: %s", line)
+            else:
+                self.log.info(line)
+
+        if isinstance(iters, jax.core.Tracer):
+            jax.debug.callback(emit, iters, rel)
+        else:
+            emit(iters, rel)
 
     def forcing_hook(self):
         """Adapter: LBMConfig.forcing_hook closing over this solver."""

@@ -152,10 +152,22 @@ class Simulation:
         self.f = None
         self.rho = None
         self.u = None
+        # two independent statistics windows (reference D3Q27_MACRO_Mean
+        # keeps two mean/covariance accumulator sets with separate reset
+        # counters, d3q27/macro.h:117-160, reset at state.hpp:1231-1242)
         self.stat_counter = 0
-        self.vm = None   # running mean velocity [D,*S]
-        self.vm2 = None  # running (co)variance accumulators [.. ,*S]
+        self.vm = None   # window-1 running mean velocity [D,*S]
+        self.vm2 = None  # window-1 running (co)variance accumulators
+        self.stat2_counter = 0
+        self.vm_b = None   # window-2 running mean
+        self.vm2_b = None  # window-2 running (co)variance
         self.collect_stats = False
+        self.collect_stats2 = False
+        # NaN scan cadence in iterations, independent of the PRINT counter
+        # (the reference scans every step, state.hpp:1166-1188; scanning on
+        # a step cadence never leaves the guard off when PRINT is unset)
+        self.nan_check_every = 100
+        self._last_nan_check = 0
 
         self._lock = FileLock(self.results_dir / "lock")
         self.flags = Flags(self.results_dir)
@@ -350,9 +362,13 @@ class Simulation:
                                 ("2d", self.probes_2d), ("3d", self.probes_3d)):
                 for p, cyc in zip(probes, cycles.get(key, [])):
                     p.cycle = int(cyc)
+            self.stat2_counter = int(meta.get("stat2_counter", 0))
             if "vm" in arrays:
                 self.vm = jnp.asarray(arrays["vm"])
                 self.vm2 = jnp.asarray(arrays["vm2"])
+            if "vm_b" in arrays:
+                self.vm_b = jnp.asarray(arrays["vm_b"])
+                self.vm2_b = jnp.asarray(arrays["vm2_b"])
             self._restored_arrays = arrays
             self.log.info("resumed from checkpoint at iteration %d", self.iterations)
         else:
@@ -360,11 +376,14 @@ class Simulation:
             self.f = initial_dfs(self.cfg, self.domain)
         if self.plan is not None:
             self.f = self.plan.shard_field(self.f, like_f=True)
+        D = self.cfg.lat.D
+        shape = self.domain.shape
         if self.collect_stats and self.vm is None:
-            D = self.cfg.lat.D
-            shape = self.domain.shape
             self.vm = jnp.zeros((D,) + shape, self.cfg.compute_dtype)
             self.vm2 = jnp.zeros((D * (D + 1) // 2,) + shape, self.cfg.compute_dtype)
+        if self.collect_stats2 and self.vm_b is None:
+            self.vm_b = jnp.zeros((D,) + shape, self.cfg.compute_dtype)
+            self.vm2_b = jnp.zeros((D * (D + 1) // 2,) + shape, self.cfg.compute_dtype)
         # initial macro without advancing (reference computeInitialMacro,
         # lbm_block.hpp:252-277)
         self._initial_macro()
@@ -406,6 +425,9 @@ class Simulation:
             if self.collect_stats:
                 self.vm, self.vm2 = self._update_stats(self.u, self.vm, self.vm2, self.stat_counter)
                 self.stat_counter += 1
+            if self.collect_stats2:
+                self.vm_b, self.vm2_b = self._update_stats(self.u, self.vm_b, self.vm2_b, self.stat2_counter)
+                self.stat2_counter += 1
             self.iterations += 1
             self.compute_after_step()
         jax.block_until_ready(self.f)
@@ -581,10 +603,14 @@ class Simulation:
         if self.vm is not None:
             arrays["vm"] = self.vm
             arrays["vm2"] = self.vm2
+        if self.vm_b is not None:
+            arrays["vm_b"] = self.vm_b
+            arrays["vm2_b"] = self.vm2_b
         arrays.update(self.checkpoint_arrays_extra())
         meta = {
             "iterations": self.iterations,
             "stat_counter": self.stat_counter,
+            "stat2_counter": self.stat2_counter,
             "counters": {k: c.count for k, c in self.cnt.items()},
             "probe_cycles": {
                 "1d": [p.cycle for p in self.probes_1d],
@@ -689,6 +715,16 @@ class Simulation:
     def _after_sim_update(self):
         t = self.phys_time()
         c = self.cnt
+        # NaN scan on its own step cadence so the guard is live even when
+        # no PRINT period is configured (reference scans every step,
+        # state.hpp:1166-1188)
+        if (
+            self.nan_check_every
+            and self.iterations - self._last_nan_check >= self.nan_check_every
+        ):
+            self._last_nan_check = self.iterations
+            if self._nan_guard():
+                return
         if c[PRINT].action(t):
             c[PRINT].count += 1
             if self._nan_guard():
@@ -700,6 +736,12 @@ class Simulation:
                 self.vm = jnp.zeros_like(self.vm)
                 self.vm2 = jnp.zeros_like(self.vm2)
             self.stat_counter = 0
+        if c[STAT2_RESET].action(t):
+            c[STAT2_RESET].count += 1
+            if self.vm_b is not None:
+                self.vm_b = jnp.zeros_like(self.vm_b)
+                self.vm2_b = jnp.zeros_like(self.vm2_b)
+            self.stat2_counter = 0
         for name, hook in ((PROBE1, self.probe1), (PROBE2, self.probe2), (PROBE3, self.probe3)):
             if c[name].action(t):
                 c[name].count += 1
