@@ -4,15 +4,20 @@ Replicates the reference's GLUPS accounting: LUPS = X*Y*Z * iterations /
 compute_time with the kernel-only timer (reference: state.hpp:1302-1309,
 BASELINE.md "GLUPS formula").  Config matches BASELINE.json: 256^3 square
 duct, D3Q27 well-conditioned cumulant collision, float32, A-A in-place
-streaming (reference streaming_AA.h) via the persistent-pad Pallas pair
-(tnl_lbm_tpu/kernels/fused_aa.py:make_fused_pair_aa):
+streaming (reference streaming_AA.h) via the one-kernel Pallas pair
+(tnl_lbm_tpu/kernels/fused_aa.py:make_fused_pair2_aa):
 
-- even step: halo-free same-site kernel whose manual output DMA writes
-  straight into the odd kernel's padded layout (no separate pad pass),
-- odd step: ring-recompute push kernel with 2-halo DMA windows,
-- no in/out buffer aliasing inside either kernel: aliasing a Pallas
-  kernel's output onto its input HBM buffer costs ~1.8x bandwidth on v5e
-  (see fused_aa.py docstring).
+- one windowed 2-halo read per tile, even (same-site) cascade on the
+  consumed y-band, odd pull+collide+push on its 1-halo ring entirely in
+  VMEM, one interior write - the intermediate field never touches HBM,
+- K-slot cross-program prefetch overlaps input DMA, compute and output
+  DMA across the whole grid,
+- no in/out buffer aliasing: aliasing a Pallas kernel's output onto its
+  input HBM buffer costs ~1.8x bandwidth on v5e (fused_aa.py docstring).
+
+Fallback chain: pair2 -> two-kernel pair (make_fused_pair_aa) -> XLA
+step; each compile-probed so a Mosaic regression falls through loudly
+(stderr) rather than silently posting the slow path's number.
 
 Baseline derivation (the reference repo publishes no absolute numbers -
 BASELINE.md): published TNL-LBM-class single-GPU throughput for the D3Q27
@@ -37,7 +42,11 @@ def main():
 
     import __graft_entry__ as ge
     from tnl_lbm_tpu.kernels.fused import supports
-    from tnl_lbm_tpu.kernels.fused_aa import make_fused_pair_aa
+    from tnl_lbm_tpu.kernels.fused_aa import (
+        make_fused_pair2_aa,
+        make_fused_pair_aa,
+        to_padded_aa,
+    )
     from tnl_lbm_tpu.sim import initial_dfs, make_step
 
     dev = jax.devices()[0]
@@ -48,36 +57,61 @@ def main():
     force = jnp.asarray([1e-6, 0.0, 0.0], cfg.compute_dtype)
 
     advance_pair = None
+    init_state = None
     if on_tpu and supports(dom):
+        cfg_aa = dataclasses.replace(cfg, streaming="AA")
         try:
-            cfg_aa = dataclasses.replace(cfg, streaming="AA")
-            # persistent-pad pair: the even kernel writes straight into the
-            # odd kernel's padded layout - no pad pass between parities
-            pair = make_fused_pair_aa(cfg_aa, dom, tile_even=(8, 16), k_even=4,
-                                      tile_odd=(8, 32), k_odd=3)
-            kernel_name = "pallas-fused-AA-pair"
-            advance_pair = jax.jit(lambda f: pair(f, 0.02, force=force)[0],
-                                   donate_argnums=0)
+            # one-kernel pair: both parities in VMEM per tile, single
+            # windowed read + interior write per 2 steps
+            pair2 = make_fused_pair2_aa(cfg_aa, dom, tile=(8, 32),
+                                        tiles_per_program=2)
+            kernel_name = "pallas-fused-AA-pair2"
+            # no donation: in/out are same-shape, XLA would alias them and
+            # aliased in/out DMA costs ~1.8x bandwidth
+            advance_pair = jax.jit(lambda f: pair2(f, 0.02, force=force)[0])
             steps_per_call = 2
             cfg = cfg_aa
+            init_state = to_padded_aa(initial_dfs(cfg, dom), dom.periodic)
             # force the compile now so a Mosaic failure falls back cleanly
-            _probe = advance_pair(initial_dfs(cfg, dom))
+            _probe = advance_pair(init_state)
             float(_probe[0, 0, 0, 0])
             del _probe
         except Exception as exc:  # unknown hardware/Mosaic regression
             import sys
 
-            print(f"pallas path failed ({type(exc).__name__}); falling back to XLA",
+            print(f"pair2 path failed ({type(exc).__name__}); trying two-kernel pair",
                   file=sys.stderr, flush=True)
             advance_pair = None
+        if advance_pair is None:
+            try:
+                # persistent-pad two-kernel pair: even kernel writes straight
+                # into the odd kernel's padded layout
+                pair = make_fused_pair_aa(cfg_aa, dom, tile_even=(8, 16),
+                                          k_even=4, tile_odd=(8, 32), k_odd=3)
+                kernel_name = "pallas-fused-AA-pair"
+                advance_pair = jax.jit(lambda f: pair(f, 0.02, force=force)[0],
+                                       donate_argnums=0)
+                steps_per_call = 2
+                cfg = cfg_aa
+                init_state = initial_dfs(cfg, dom)
+                _probe = advance_pair(init_state)
+                float(_probe[0, 0, 0, 0])
+                del _probe
+            except Exception as exc:
+                import sys
+
+                print(f"pallas path failed ({type(exc).__name__}); falling back to XLA",
+                      file=sys.stderr, flush=True)
+                advance_pair = None
     if advance_pair is None:
         step = make_step(cfg, dom)
         kernel_name = "xla"
         advance_pair = jax.jit(lambda f: step(f, 0.02, force=force)[0],
                                donate_argnums=0)
         steps_per_call = 1
+        init_state = initial_dfs(cfg, dom)
 
-    f = initial_dfs(cfg, dom)
+    f = init_state
     f = advance_pair(f)  # compile + warm both parities
     float(f[0, 0, 0, 0])
 

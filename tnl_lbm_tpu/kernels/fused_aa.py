@@ -399,29 +399,34 @@ def _fill_halos_pad8(fpad, periodic, X, Y, Z, Q):
 
 
 def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
-                        tile=(8, 32), tiles_per_program: int = 1,
-                        with_macro: bool = True):
+                        tile=(16, 32), tiles_per_program: int = 2,
+                        with_macro: bool = True, even_band: str = "aligned",
+                        _debug_dma: str = "full"):
     """One-kernel A-A pair on persistent-padded state: ``pair(fpad, nu,
     u_in, force) -> (fpad_new, rho, u)`` advances TWO lattice steps with a
     single windowed read and a single interior write.
 
-    Per grid tile the kernel loads the 2-halo window of the padded state,
-    runs the even (same-site) collision over the WHOLE window, edge-
-    replicates the out-of-domain window layers (non-periodic global
-    boundaries), then runs the odd pull+collide+push on the 1-halo ring of
-    the even output entirely in VMEM and writes the interior back into the
-    padded layout.  The intermediate field between the parities never
-    touches HBM - per 2 steps the traffic is one ~2.25x-amplified read plus
-    one interior write (plus thin halo fills), about 60% of the two-kernel
-    pair.  Do NOT donate: input/output aliasing costs ~1.8x bandwidth.
+    Per tile the kernel loads the 2-halo window [Q, tx+4, ty+16, Z] of the
+    padded state (ty+16: DMA sublane starts must be 8-aligned - unaligned
+    starts fail Mosaic compilation, scripts/probe_dma_align.py), runs the
+    even (same-site) collision ONLY on the (tx+4, ty+4) subwindow the odd
+    pass consumes, edge-replicates the out-of-domain layers (non-periodic
+    global boundaries), then runs the odd pull+collide+push on the 1-halo
+    ring of the even output entirely in VMEM and writes the interior back
+    into the padded layout.  The intermediate field between the parities
+    never touches HBM.
 
-    Measured (256^3 cumulant-well on v5e): best 30.4 ms/pair at (8,32)K1 -
-    SLOWER than the two-kernel pair's 27.9 ms despite the traffic saving.
-    Running both cascades back-to-back per program makes it compute/VREG-
-    bound with little DMA overlap, so ``make_fused_pair_aa`` remains the
-    production path; this kernel is kept as the measured data point and
-    for memory-constrained cases (one windowed read, no intermediate
-    buffer).
+    Pipelining: K static scratch slots; after tile t's compute releases
+    slot t, the kernel immediately starts the input DMA for the NEXT grid
+    program's slot-t tile (static slot indices - traced slot indexing
+    poisons Mosaic, docs/PERFORMANCE.md), so input DMA, compute and output
+    DMA all overlap across the whole grid.  Do NOT donate at the jit level:
+    in/out buffer aliasing costs ~1.8x HBM bandwidth.
+
+    History: the first pair2 ran the even cascade on the WHOLE 2.25x
+    window with K=1 (no overlap) and measured 30.4 ms/pair - slower than
+    the two-kernel pair's 27.9 ms.  This rebuild (subwindow cascade +
+    cross-program prefetch) is the production path.
 
     State helpers: to_padded_aa / from_padded_aa.
     """
@@ -438,14 +443,14 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
 
     tx = _fit_tile(tile[0], X)
     ty = _fit_tile(tile[1], Y, align=8)
-    K = tiles_per_program
-    while K > 1 and Y % (ty * K) != 0:
-        K -= 1
-    tyK = ty * K
     wx, wy = tx + 4, ty + 16  # window extents (x-origin 2, y-origin 8)
     txc, tyc = tx + 2, ty + 2  # odd ring extents
     nx_t, ny_t = X // tx, Y // ty
-    dummy = (8, 8, 128)
+    n_tiles = nx_t * ny_t
+    K = tiles_per_program
+    while K > 1 and n_tiles % K != 0:
+        K -= 1
+    n_prog = n_tiles // K
 
     # static padded map, same layout/origins as the state
     mp = np.pad(np.asarray(domain.map, np.int32), [(2, 2), (8, 8), (0, 0)],
@@ -462,46 +467,100 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
         fscr = rest[:K]
         mscr = rest[K : 2 * K]
         outs = rest[2 * K : 3 * K]
-        sem = rest[3 * K]
-        i = pl.program_id(0)
-        j = pl.program_id(1)
+        rscr = rest[3 * K : 4 * K]
+        uscr = rest[4 * K : 5 * K]
+        sem = rest[5 * K]
+        p = pl.program_id(0)
 
-        dmas = []
-        for t in range(K):
-            jt = j * K + t
+        def tile_ij(tau):
+            return tau // ny_t, tau % ny_t
+
+        def in_dmas(tau, t):
+            i, jt = tile_ij(tau)
             d1 = pltpu.make_async_copy(
                 fpad_hbm.at[:, pl.ds(i * tx, wx), pl.ds(jt * ty, wy), :],
                 fscr[t], sem.at[t, 0],
             )
-            d1.start()
             d2 = pltpu.make_async_copy(
                 mp_hbm.at[pl.ds(i * tx, wx), pl.ds(jt * ty, wy), :],
                 mscr[t], sem.at[t, 1],
             )
-            d2.start()
-            dmas.append((d1, d2))
+            return d1, d2
 
-        douts = []
+        def out_dmas(tau, t):
+            i, jt = tile_ij(tau)
+            ds = [pltpu.make_async_copy(
+                outs[t],
+                fout_ref.at[:, pl.ds(2 + i * tx, tx), pl.ds(8 + jt * ty, ty), :],
+                sem.at[t, 2],
+            )]
+            if with_macro:
+                ds.append(pltpu.make_async_copy(
+                    rscr[t],
+                    rho_ref.at[pl.ds(i * tx, tx), pl.ds(jt * ty, ty), :],
+                    sem.at[t, 3],
+                ))
+                ds.append(pltpu.make_async_copy(
+                    uscr[t],
+                    u_ref.at[:, pl.ds(i * tx, tx), pl.ds(jt * ty, ty), :],
+                    sem.at[t, 4],
+                ))
+            return ds
+
+        # warm-up: the first program starts its own input DMAs; every later
+        # program's inputs were prefetched by its predecessor
+        @pl.when(p == 0)
+        def _():
+            for t in range(K):
+                for d in in_dmas(t, t):
+                    if _debug_dma == "none":
+                        d.start()
+                        d.wait()
+                    else:
+                        d.start()
+
         for t in range(K):
-            jt = j * K + t
-            dmas[t][0].wait()
-            dmas[t][1].wait()
+            tau = p * K + t
+
+            # slot t's previous output DMA (started by program p-1) must
+            # land before outs/rscr/uscr are overwritten
+            if _debug_dma == "full":
+                @pl.when(p > 0)
+                def _(t=t, tau=tau):
+                    for d in out_dmas(tau - K, t):
+                        d.wait()
+
+                din = in_dmas(tau, t)
+                din[0].wait()
+                din[1].wait()
             scratch = fscr[t]
             m_win = mscr[t][...]
+            i, jt = tile_ij(tau)
 
-            # ---- even pass over the whole window (same-site collide) ----
+            # ---- even pass on the y-band the odd pass consumes ----
+            # needed: rows [6, ty+10) of the window.  "sub" computes exactly
+            # that band (fewest sites, but the sublane offset 6 misaligns
+            # every cascade op); "aligned" computes [0, ty+10) (start at
+            # sublane 0, ragged end - ~17% more cascade sites but aligned
+            # vector ops, measured faster on v5e)
+            yb = 0 if even_band in ("aligned", "full") else 6  # band start
+            ybe = wy if even_band == "full" else ty + 10  # band end (excl.)
+
             def shifted_e(q, offs, scratch=scratch):
-                del offs
-                return scratch[q]
+                del offs  # same-site read (streaming_AA.h:16-45)
+                return scratch[q, :, yb:ybe, :]
 
+            m_sub = m_win[:, yb:ybe, :]
             even_out, _, _ = _stream_bc_collide(
                 lat, cfg_ab, codes, sym_codes, eq_kind, do_coll_codes, dtype,
-                shifted_e, m_win, params_ref, out_perm=opp,
+                shifted_e, m_sub, params_ref, out_perm=opp,
             )
             ev = [even_out[q] for q in range(Q)]
 
-            # out-of-domain window layers <- edge replication of the even
-            # output (what the two-kernel pair's halo fill would produce)
+            # out-of-domain band layers <- edge replication of the even
+            # output (what the two-kernel pair's halo fill would produce);
+            # in band coords the used halo rows are 6-yb..7-yb, the first
+            # in-domain row is 8-yb
             if not periodic[0]:
                 lo = (i == 0) & (params_ref[8] > 0)
                 hi = (i == nx_t - 1) & (params_ref[9] > 0)
@@ -509,23 +568,28 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
             if not periodic[1]:
                 lo = (jt == 0) & (params_ref[10] > 0)
                 hi = (jt == ny_t - 1) & (params_ref[11] > 0)
-                # rows 6,7 <- row 8; rows ty+8, ty+9 <- row ty+7: replicate
-                # the 2 out-of-domain layers inside the used band [6, ty+10)
-                ev2 = []
-                for v in ev:
-                    l = jnp.where(lo, jnp.concatenate([v[:, 8:9]] * 2, 1), v[:, 6:8])
-                    h = jnp.where(hi, jnp.concatenate([v[:, ty + 7 : ty + 8]] * 2, 1),
-                                  v[:, ty + 8 : ty + 10])
-                    ev2.append(jnp.concatenate(
-                        [v[:, :6], l, v[:, 8 : ty + 8], h, v[:, ty + 10 :]], 1))
-                ev = ev2
+                if yb == 6:
+                    ev = [_edge_rep2(v, 1, lo, hi, 2, ty + 1, 2, 2) for v in ev]
+                else:
+                    # rows 6,7 <- row 8; rows ty+8,ty+9 <- row ty+7 (rows
+                    # 0..5 are junk the ring never reads)
+                    ev2 = []
+                    for v in ev:
+                        l = jnp.where(lo, jnp.concatenate([v[:, 8:9]] * 2, 1),
+                                      v[:, 6:8])
+                        h = jnp.where(hi,
+                                      jnp.concatenate([v[:, ty + 7 : ty + 8]] * 2, 1),
+                                      v[:, ty + 8 : ty + 10])
+                        ev2.append(jnp.concatenate([v[:, :6], l, v[:, 8 : ty + 8], h], 1))
+                    ev = ev2
 
             # ---- odd pass on the 1-halo ring of the even output ----
+            yr = 7 - yb  # ring y origin in band coords
+
             def shifted_o(q, offs):
-                # ring origin in-window: x 1, y 7
                 ox, oy, oz = offs
                 qo = int(opp[q])
-                base = ev[qo][1 + ox : 1 + ox + txc, 7 + oy : 7 + oy + tyc, :]
+                base = ev[qo][1 + ox : 1 + ox + txc, yr + oy : yr + oy + tyc, :]
                 return _zshift(base, oz, Z, periodic_z)
 
             m_ring = m_win[1 : 1 + txc, 7 : 7 + tyc, :]
@@ -554,26 +618,38 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
             if GEO.NOTHING in codes:
                 # the stored field between the parities is the even output
                 m_int = m_ring[1 : 1 + tx, 1 : 1 + ty, :]
-                center = jnp.stack([ev[q][2 : 2 + tx, 8 : 8 + ty, :] for q in range(Q)])
+                center = jnp.stack(
+                    [ev[q][2 : 2 + tx, 8 - yb : 8 - yb + ty, :] for q in range(Q)])
                 pushed = jnp.where(m_int == int(GEO.NOTHING), center, pushed)
 
             outs[t][...] = pushed
-            d = pltpu.make_async_copy(
-                outs[t],
-                fout_ref.at[:, pl.ds(2 + i * tx, tx), pl.ds(8 + jt * ty, ty), :],
-                sem.at[t, 2],
-            )
-            d.start()
-            douts.append(d)
             if with_macro:
-                rho_ref[:, t * ty : (t + 1) * ty, :] = rho_ring[1 : 1 + tx, 1 : 1 + ty, :]
-                u_ref[:, :, t * ty : (t + 1) * ty, :] = u_ring[:, 1 : 1 + tx, 1 : 1 + ty, :]
-        for d in douts:
-            d.wait()
+                rscr[t][...] = rho_ring[1 : 1 + tx, 1 : 1 + ty, :]
+                uscr[t][...] = u_ring[:, 1 : 1 + tx, 1 : 1 + ty, :]
+            if _debug_dma == "full":
+                for d in out_dmas(tau, t):
+                    d.start()
 
+                # slot t is free: prefetch the next program's slot-t tile so
+                # its input DMA overlaps this program's remaining compute
+                @pl.when(p + 1 < n_prog)
+                def _(t=t, tau=tau):
+                    for d in in_dmas(tau + K, t):
+                        d.start()
+
+        @pl.when(p == n_prog - 1)
+        def _():
+            for t in range(K):
+                for d in out_dmas(p * K + t, t):
+                    if _debug_dma == "none":
+                        d.start()
+                    d.wait()
+
+    n_sems = 5 if with_macro else 3
+    dummy_scr = (1, 8, 128)
     call = pl.pallas_call(
         kernel,
-        grid=(X // tx, Y // tyK),
+        grid=(n_prog,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -581,24 +657,23 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),  # fpad_new via manual DMA
-            pl.BlockSpec((tx, tyK, Z) if with_macro else dummy,
-                         (lambda i, j: (i, j, 0)) if with_macro else (lambda i, j: (0, 0, 0)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tx, tyK, Z) if with_macro else (3,) + dummy,
-                         (lambda i, j: (0, i, j, 0)) if with_macro else (lambda i, j: (0, 0, 0, 0)),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # rho via manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # u via manual DMA
         ),
         out_shape=(
             jax.ShapeDtypeStruct((Q, X + 4, Y + 16, Z), dtype),
-            jax.ShapeDtypeStruct((X, Y, Z) if with_macro else dummy, dtype),
-            jax.ShapeDtypeStruct((3, X, Y, Z) if with_macro else (3,) + dummy, dtype),
+            jax.ShapeDtypeStruct((X, Y, Z) if with_macro else dummy_scr, dtype),
+            jax.ShapeDtypeStruct(((3, X, Y, Z) if with_macro else (3,) + dummy_scr), dtype),
         ),
         scratch_shapes=[pltpu.VMEM((Q, wx, wy, Z), dtype) for _ in range(K)]
         + [pltpu.VMEM((wx, wy, Z), jnp.int32) for _ in range(K)]
         + [pltpu.VMEM((Q, tx, ty, Z), dtype) for _ in range(K)]
-        + [pltpu.SemaphoreType.DMA((K, 3))],
+        + [pltpu.VMEM((tx, ty, Z) if with_macro else dummy_scr, dtype) for _ in range(K)]
+        + [pltpu.VMEM((3, tx, ty, Z) if with_macro else (3,) + dummy_scr, dtype)
+           for _ in range(K)]
+        + [pltpu.SemaphoreType.DMA((K, n_sems))],
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=112 * 1024 * 1024),
     )
 
     def pair(fpad, nu, u_in=None, force=None):
