@@ -214,3 +214,50 @@ def test_sitemajor_kernel_matches_xla_step():
     assert float(jnp.abs(rho1 - rho2).max()) < 2e-6
     # round-trip of the layout transforms
     assert float(jnp.abs(from_sitemajor(to_sitemajor(f), 27) - f).max()) == 0.0
+
+
+@pytest.mark.parametrize("streaming", ["AB", "AA"])
+def test_hooked_fused_matches_xla(streaming):
+    """Forcing-hook configs on the fused path (u* pass + force-field
+    kernel, kernels/hooked.py) == the hooked XLA step."""
+    from tnl_lbm_tpu.kernels.hooked import make_hooked_fused_step
+
+    def hook(lat, rho, u, nu, fluid):
+        # velocity-dependent per-site force (IBM/non-Newtonian stand-in)
+        return jnp.where(fluid, -0.01 * u * rho, jnp.zeros_like(u))
+
+    dom = duct_domain()
+    cfg = LBMConfig(lat=D3Q27, collision=col.collide_cum_well, eq=eqlib.eq_well,
+                    well=True, streaming=streaming, forcing_hook=hook)
+    step_ref = make_step(cfg, dom)
+    step_fused = make_hooked_fused_step(
+        cfg, dom, **({"tile": (8, 8)} if streaming == "AB"
+                     else {"tile_even": (8, 8), "tile_odd": (8, 8)}))
+    f1 = f2 = rand_f(dom, cfg, seed=21)
+    force = jnp.asarray([1e-5, 0, 0], jnp.float32)
+    for it in range(4):
+        f1, rho1, u1 = step_ref(f1, 0.02, force=force, parity=it % 2)
+        f2, rho2, u2 = step_fused(f2, 0.02, force=force, parity=it % 2)
+        assert float(jnp.abs(f1 - f2).max()) < 1e-6, f"step {it}"
+    assert float(jnp.abs(rho1 - rho2).max()) < 2e-6
+    assert float(jnp.abs(u1 - u2).max()) < 1e-6
+
+
+def test_hooked_fused_nn_rheology():
+    """Non-Newtonian Carreau-Yasuda forcing hook rides the fused path."""
+    from tnl_lbm_tpu.kernels.hooked import make_hooked_fused_step
+    from tnl_lbm_tpu.ops.non_newtonian import CarreauYasuda, make_nn_forcing_hook
+
+    dom = duct_domain()
+    model = CarreauYasuda(nu0=0.1, lam=1.0, a=2.0, n=0.5)
+    cfg = LBMConfig(lat=D3Q27, collision=col.collide_cum_well, eq=eqlib.eq_well,
+                    well=True, forcing_hook=make_nn_forcing_hook(model))
+    step_ref = make_step(cfg, dom)
+    step_fused = make_hooked_fused_step(cfg, dom, tile=(8, 8))
+    f1 = f2 = rand_f(dom, cfg, seed=23)
+    force = jnp.asarray([1e-5, 0, 0], jnp.float32)
+    for _ in range(3):
+        f1, rho1, u1 = step_ref(f1, 0.02, force=force)
+        f2, rho2, u2 = step_fused(f2, 0.02, force=force)
+    assert float(jnp.abs(f1 - f2).max()) < 1e-6
+    assert float(jnp.abs(u1 - u2).max()) < 1e-6

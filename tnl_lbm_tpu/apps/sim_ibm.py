@@ -64,7 +64,7 @@ class SimIBM(Simulation):
 
 
 def build(resolution: int = 1, dirac: str = "phi2", method: str = "modified",
-          final_time: float = 0.5, results_parent="."):
+          final_time: float = 0.5, results_parent=".", use_fused: bool = True):
     from tnl_lbm_tpu.utils import Lattice
 
     X = 96 * resolution
@@ -110,6 +110,9 @@ def build(resolution: int = 1, dirac: str = "phi2", method: str = "modified",
         sim_id=f"sim_ibm_res{resolution:02d}_{dirac}_{method}",
         results_parent=results_parent,
         phys_final_time=final_time,
+        # IBM rides the fused Pallas path: u* pass + hook + force-field
+        # kernel (kernels/hooked.py); falls back to XLA when unsupported
+        use_fused=use_fused,
     )
     sim.ibm = ibm
     sim.lbm_inflow_vx = units.phys2lbm_velocity(phys_velocity)
@@ -127,8 +130,11 @@ def main(argv=None):
     p.add_argument("--method", default="modified", choices=["modified", "original"])
     p.add_argument("--final-time", type=float, default=0.5)
     p.add_argument("--results-dir", default=".")
+    p.add_argument("--no-fused", action="store_true",
+                   help="force the XLA step (skip the Pallas kernels)")
     args = p.parse_args(argv)
-    sim = build(args.resolution, args.dirac, args.method, args.final_time, args.results_dir)
+    sim = build(args.resolution, args.dirac, args.method, args.final_time,
+                args.results_dir, use_fused=not args.no_fused)
     sim.run()
 
 

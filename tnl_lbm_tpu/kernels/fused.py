@@ -126,7 +126,7 @@ def _zshift(base, oz, Z, periodic_z):
 
 def _stream_bc_collide(lat, cfg, codes, sym_codes, eq_kind, do_coll_codes,
                        dtype, shifted, m, params_ref,
-                       out_perm=None, defer_nothing=False):
+                       out_perm=None, defer_nothing=False, force_tile=None):
     """Pull-stream + BC mask-selects + collision for one VMEM tile.
 
     ``shifted(q, (ox, oy, oz))`` returns the [tx, ty, Z] slice of DF
@@ -138,12 +138,19 @@ def _stream_bc_collide(lat, cfg, codes, sym_codes, eq_kind, do_coll_codes,
     (the A-A even step writes opposite-direction, streaming_AA.h:16-45).
     ``defer_nothing=True`` skips the NOTHING restore - the A-A odd kernel
     applies it after its push shifts, at the destination site.
+    ``force_tile`` is an optional per-site [3, tx, ty, Z] force (the TPU
+    analog of the reference's macro force channels e_fx..e_fz consumed by
+    MACRO::computeForcing, kernels.h:92); it overrides the homogeneous
+    force scalars from params.
     """
     Q = lat.Q
     opp = np.asarray(lat.opp)
     nu = params_ref[0]
     u_in = [params_ref[1], params_ref[2], params_ref[3]]
-    force = [params_ref[4], params_ref[5], params_ref[6]]
+    if force_tile is not None:
+        force = force_tile  # [3, tx, ty, Z] array; force[a] broadcasts
+    else:
+        force = [params_ref[4], params_ref[5], params_ref[6]]
     masks = {c: (m == int(c)) for c in codes}
 
     rows = []
@@ -302,7 +309,7 @@ def _prep(cfg, domain):
 
 def make_fused_step(cfg: LBMConfig, domain: Domain, tile=None, tiles_per_program: int = 2,
                     with_macro: bool = True, prepadded: bool = False,
-                    local_shape=None):
+                    local_shape=None, force_field: bool = False):
     """Q-major fused step: step(f, nu, u_in, force) -> (f_new, rho, u).
 
     With ``with_macro=False`` the macro outputs are skipped (returns
@@ -310,6 +317,10 @@ def make_fused_step(cfg: LBMConfig, domain: Domain, tile=None, tiles_per_program
     With ``prepadded=True`` the step expects the already-haloed array
     [Q, X+2, Y+2+6, Z] (the distributed path builds it with ppermute
     halo exchange inside shard_map - parallel/sharded.py).
+    With ``force_field=True`` the step's ``force`` argument is a per-site
+    [3, X, Y, Z] field DMA'd tile-by-tile into the kernel (reference macro
+    force channels, kernels.h:92) - the carrier for IBM / non-Newtonian
+    forcing (kernels/hooked.py).
     """
     lat, codes, sym_codes, eq_kind, do_coll_codes = _prep(cfg, domain)
     Q = lat.Q
@@ -326,7 +337,12 @@ def make_fused_step(cfg: LBMConfig, domain: Domain, tile=None, tiles_per_program
     assert X % tx == 0 and Y % (ty * K) == 0, (X, Y, tile, K)
     assert ty % 8 == 0, "ty must be sublane-aligned (multiple of 8)"
 
-    def kernel(params_ref, map_ref, fpad_hbm, fout_ref, rho_ref, u_ref, *rest):
+    def kernel(params_ref, map_ref, *args):
+        if force_field:
+            force_ref, fpad_hbm, fout_ref, rho_ref, u_ref, *rest = args
+        else:
+            fpad_hbm, fout_ref, rho_ref, u_ref, *rest = args
+            force_ref = None
         scratches = rest[:K]
         sem = rest[K]
         i = pl.program_id(0)
@@ -353,9 +369,11 @@ def make_fused_step(cfg: LBMConfig, domain: Domain, tile=None, tiles_per_program
                 return _zshift(base, oz, Z, periodic_z)
 
             m = map_ref[:, t * ty : (t + 1) * ty, :]
+            ft = (force_ref[:, :, t * ty : (t + 1) * ty, :]
+                  if force_ref is not None else None)
             f_post, rho_out, u_out = _stream_bc_collide(
                 lat, cfg, codes, sym_codes, eq_kind, do_coll_codes, dtype,
-                shifted, m, params_ref,
+                shifted, m, params_ref, force_tile=ft,
             )
             fout_ref[:, :, t * ty : (t + 1) * ty, :] = f_post
             if with_macro:
@@ -366,12 +384,17 @@ def make_fused_step(cfg: LBMConfig, domain: Domain, tile=None, tiles_per_program
     tyK = ty * K
     interpret = jax.default_backend() == "cpu"
     dummy = (8, 8, 128)
+    force_specs = [pl.BlockSpec((3, tx, tyK, Z), lambda i, j: (0, i, j, 0),
+                                memory_space=pltpu.VMEM)] if force_field else []
     call = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # params [8]
             pl.BlockSpec((tx, tyK, Z), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ]
+        + force_specs
+        + [
             pl.BlockSpec(memory_space=pl.ANY),  # fpad stays in HBM
         ],
         out_specs=(
@@ -400,7 +423,13 @@ def make_fused_step(cfg: LBMConfig, domain: Domain, tile=None, tiles_per_program
         del parity
         mp = map_arr if map_arr_in is None else map_arr_in
         fpad = f if prepadded else _pad_once(f, domain.periodic, extra_y=6)
-        f_new, rho, u = call(_params_vec(dtype, nu, u_in, force), mp, fpad)
+        if force_field:
+            assert force is not None and force.ndim == 4, \
+                "force_field kernel expects a [3, X, Y, Z] force"
+            params = _params_vec(dtype, nu, u_in, None)
+            f_new, rho, u = call(params, mp, force.astype(dtype), fpad)
+        else:
+            f_new, rho, u = call(_params_vec(dtype, nu, u_in, force), mp, fpad)
         if not with_macro:
             return f_new, None, None
         return f_new, rho, u

@@ -100,9 +100,26 @@ def _fit_tile(t: int, n: int, align: int = 1) -> int:
     return t
 
 
+def _pad_force_ring(force, periodic):
+    """1-halo pad of a [3, X, Y, Z] force field on the odd kernel's map-ring
+    origins (x 1, y 4): [3, X+2, Y+8, Z].  Edge-replication matches the XLA
+    push's jnp.pad of f_post (halo-ring sites carry the force their own
+    collision saw)."""
+    X, Y = force.shape[1], force.shape[2]
+    fp = jnp.pad(force, [(0, 0), (1, 1), (4, 4), (0, 0)], mode="edge")
+    if periodic[0]:
+        fp = fp.at[:, 0:1].set(fp[:, X : X + 1])
+        fp = fp.at[:, X + 1 : X + 2].set(fp[:, 1:2])
+    if periodic[1]:
+        fp = fp.at[:, :, 3:4].set(fp[:, :, Y + 3 : Y + 4])
+        fp = fp.at[:, :, Y + 4 : Y + 5].set(fp[:, :, 4:5])
+    return fp
+
+
 def _build_odd_call(lat, cfg_ab, codes, sym_codes, eq_kind, do_coll_codes,
                     dtype, periodic, periodic_z, X, Y, Z, tile_odd,
-                    tiles_per_program, with_macro, interpret, y_org):
+                    tiles_per_program, with_macro, interpret, y_org,
+                    force_field: bool = False):
     """The odd-parity push kernel.  ``y_org`` is the fpad Y origin: 4 for
     the standalone step (minimal ty+8 windows on a [Q,X+4,Y+8,Z] pad), 8
     for the persistent-pad pair (aligned even-step writes require origin 8,
@@ -123,10 +140,16 @@ def _build_odd_call(lat, cfg_ab, codes, sym_codes, eq_kind, do_coll_codes,
     yr = y_org - 1  # in-window y offset of the ring
     dummy = (8, 8, 128)
 
-    def odd_kernel(params_ref, fpad_hbm, mp_hbm, fout_ref, rho_ref, u_ref, *rest):
+    def odd_kernel(params_ref, *args):
+        if force_field:
+            fpad_hbm, mp_hbm, fr_hbm, fout_ref, rho_ref, u_ref, *rest = args
+        else:
+            fpad_hbm, mp_hbm, fout_ref, rho_ref, u_ref, *rest = args
+            fr_hbm = None
         fscr = rest[:K]
         mscr = rest[K : 2 * K]
-        sem = rest[2 * K]
+        frscr = rest[2 * K : 3 * K] if force_field else []
+        sem = rest[3 * K] if force_field else rest[2 * K]
         i = pl.program_id(0)
         j = pl.program_id(1)
 
@@ -145,12 +168,20 @@ def _build_odd_call(lat, cfg_ab, codes, sym_codes, eq_kind, do_coll_codes,
                 mscr[t], sem.at[t, 1],
             )
             d2.start()
-            dmas.append((d1, d2))
+            ds = [d1, d2]
+            if force_field:
+                d3 = pltpu.make_async_copy(
+                    fr_hbm.at[:, pl.ds(i * tx, tx + 2), pl.ds(jt * ty, ty + 8), :],
+                    frscr[t], sem.at[t, 2],
+                )
+                d3.start()
+                ds.append(d3)
+            dmas.append(ds)
 
         for t in range(K):
             jt = j * K + t
-            dmas[t][0].wait()
-            dmas[t][1].wait()
+            for d in dmas[t]:
+                d.wait()
             scratch = fscr[t]
             # ring map: global rows [i*tx-1, ...); with map x-origin 1 and
             # window start i*tx the ring begins at window x offset 0, y 3
@@ -164,9 +195,10 @@ def _build_odd_call(lat, cfg_ab, codes, sym_codes, eq_kind, do_coll_codes,
                 base = scratch[qo, 1 + ox : 1 + ox + txc, yr + oy : yr + oy + tyc, :]
                 return _zshift(base, oz, Z, periodic_z)
 
+            ft = (frscr[t][:, 0:txc, 3 : 3 + tyc, :] if force_field else None)
             f_post, rho_ring, u_ring = _stream_bc_collide(
                 lat, cfg_ab, codes, sym_codes, eq_kind, do_coll_codes, dtype,
-                shifted, m_ring, params_ref, defer_nothing=True,
+                shifted, m_ring, params_ref, defer_nothing=True, force_tile=ft,
             )
 
             # at non-periodic GLOBAL domain boundaries the XLA push pads
@@ -209,7 +241,8 @@ def _build_odd_call(lat, cfg_ab, codes, sym_codes, eq_kind, do_coll_codes,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # fpad stays in HBM
             pl.BlockSpec(memory_space=pl.ANY),  # padded map stays in HBM
-        ],
+        ]
+        + ([pl.BlockSpec(memory_space=pl.ANY)] if force_field else []),
         out_specs=(
             pl.BlockSpec((Q, tx, tyK, Z), lambda i, j: (0, i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tx, tyK, Z) if with_macro else dummy,
@@ -226,7 +259,9 @@ def _build_odd_call(lat, cfg_ab, codes, sym_codes, eq_kind, do_coll_codes,
         ),
         scratch_shapes=[pltpu.VMEM((Q, tx + 4, wy, Z), dtype) for _ in range(K)]
         + [pltpu.VMEM((tx + 2, ty + 8, Z), jnp.int32) for _ in range(K)]
-        + [pltpu.SemaphoreType.DMA((K, 2))],
+        + ([pltpu.VMEM((3, tx + 2, ty + 8, Z), dtype) for _ in range(K)]
+           if force_field else [])
+        + [pltpu.SemaphoreType.DMA((K, 3 if force_field else 2))],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=112 * 1024 * 1024),
     )
@@ -236,7 +271,8 @@ def _build_odd_call(lat, cfg_ab, codes, sym_codes, eq_kind, do_coll_codes,
 def make_fused_step_aa(cfg: LBMConfig, domain: Domain,
                        tile_even=(8, 16), tile_odd=(8, 16),
                        tiles_per_program: int = 4, with_macro: bool = True,
-                       prepadded: bool = False, local_shape=None):
+                       prepadded: bool = False, local_shape=None,
+                       force_field: bool = False):
     """A-A fused pair: ``step(f, nu, u_in, force, parity)`` with parity
     0 = even, 1 = odd (Python-static).  Returns (f_new, rho, u).
 
@@ -268,7 +304,13 @@ def make_fused_step_aa(cfg: LBMConfig, domain: Domain,
     ey = _fit_tile(tile_even[1], Y)
     assert X % ex == 0 and Y % ey == 0, (X, Y, tile_even)
 
-    def even_kernel(params_ref, map_ref, f_ref, fout_ref, rho_ref, u_ref):
+    def even_kernel(params_ref, map_ref, *args):
+        if force_field:
+            force_ref, f_ref, fout_ref, rho_ref, u_ref = args
+        else:
+            f_ref, fout_ref, rho_ref, u_ref = args
+            force_ref = None
+
         def shifted(q, offs):
             # even-step read: same site, same direction, regardless of the
             # offsets (no streaming happens; BC pull modifications are
@@ -276,9 +318,10 @@ def make_fused_step_aa(cfg: LBMConfig, domain: Domain,
             del offs
             return f_ref[q]
 
+        ft = force_ref[...] if force_ref is not None else None
         f_post, rho_out, u_out = _stream_bc_collide(
             lat, cfg_ab, codes, sym_codes, eq_kind, do_coll_codes, dtype,
-            shifted, map_ref[...], params_ref, out_perm=opp,
+            shifted, map_ref[...], params_ref, out_perm=opp, force_tile=ft,
         )
         fout_ref[...] = f_post
         if with_macro:
@@ -292,6 +335,10 @@ def make_fused_step_aa(cfg: LBMConfig, domain: Domain,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((ex, ey, Z), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ]
+        + ([pl.BlockSpec((3, ex, ey, Z), lambda i, j: (0, i, j, 0),
+                         memory_space=pltpu.VMEM)] if force_field else [])
+        + [
             pl.BlockSpec((Q, ex, ey, Z), lambda i, j: (0, i, j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -316,7 +363,7 @@ def make_fused_step_aa(cfg: LBMConfig, domain: Domain,
     odd_call, tx, ty, K = _build_odd_call(
         lat, cfg_ab, codes, sym_codes, eq_kind, do_coll_codes, dtype,
         periodic, periodic_z, X, Y, Z, tile_odd, tiles_per_program,
-        with_macro, interpret, y_org=4,
+        with_macro, interpret, y_org=4, force_field=force_field,
     )
     map_ring = None if prepadded else _pad_map_ring(map_arr, periodic)
 
@@ -324,10 +371,19 @@ def make_fused_step_aa(cfg: LBMConfig, domain: Domain,
              map_arr_in=None, map_ring_in=None, bflags=None):
         flags = (jnp.ones((4,), dtype) if bflags is None
                  else jnp.asarray(bflags, dtype).reshape(4))
-        params = jnp.concatenate([_params_vec(dtype, nu, u_in, force), flags])
+        if force_field:
+            assert force is not None and force.ndim == 4, \
+                "force_field kernel expects a [3, X, Y, Z] force"
+            fvec = None
+        else:
+            fvec = force
+        params = jnp.concatenate([_params_vec(dtype, nu, u_in, fvec), flags])
         if parity == 0:
             mp = map_arr if map_arr_in is None else map_arr_in
-            f_new, rho, u = even_call(params, mp, f)
+            if force_field:
+                f_new, rho, u = even_call(params, mp, force.astype(dtype), f)
+            else:
+                f_new, rho, u = even_call(params, mp, f)
         else:
             if prepadded:
                 fpad = f
@@ -335,7 +391,11 @@ def make_fused_step_aa(cfg: LBMConfig, domain: Domain,
             else:
                 fpad = _pad_aa_odd(f, periodic)
                 mr = map_ring
-            f_new, rho, u = odd_call(params, fpad, mr)
+            if force_field:
+                fr = _pad_force_ring(force.astype(dtype), periodic)
+                f_new, rho, u = odd_call(params, fpad, mr, fr)
+            else:
+                f_new, rho, u = odd_call(params, fpad, mr)
         if not with_macro:
             return f_new, None, None
         return f_new, rho, u

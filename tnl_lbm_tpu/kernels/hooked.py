@@ -1,0 +1,69 @@
+"""Forcing-hook configs (IBM, non-Newtonian) on the fused Pallas path.
+
+The reference folds per-site forcing into its single production kernel via
+macro force channels: a pre-kernel computes u* and zeroes the channels
+(kernels.h:178-218), the hook (IBM force solve / non-Newtonian stress
+kernels) fills them, and the main kernel consumes them through
+MACRO::computeForcing (kernels.h:92).  The TPU equivalent here is the same
+three-phase structure per step:
+
+1. **u* pass** (XLA): streamed + f-transformed moments with the homogeneous
+   force only - ``make_step(...).ustar`` (sim/step.py), bitwise the hook
+   input of the XLA reference step.
+2. **hook** (XLA): ``cfg.forcing_hook(lat, rho0, u0, nu, fluid)`` returns
+   the per-site force field; the homogeneous force is added to it.
+3. **fused kernel** with a per-site ``[3, X, Y, Z]`` force operand
+   (``force_field=True`` in kernels/fused.py / fused_aa.py), DMA'd
+   tile-by-tile next to the map.
+
+The u* pass re-reads the DF field (~0.6 of a fused step's traffic), exactly
+like the reference's separate pre-kernel - still ~5x faster than running
+the whole step on the XLA path.  Regression-tested against make_step with
+the same hooked config (tests/test_fused_kernel.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from tnl_lbm_tpu.sim.config import Domain, LBMConfig
+
+
+def make_hooked_fused_step(cfg: LBMConfig, domain: Domain, **kernel_kwargs):
+    """Fused step for a config with ``forcing_hook`` set.
+
+    Returns ``step(f, nu, u_in=None, force=None, parity=0) ->
+    (f_new, rho, u)`` matching ``sim.step.make_step(cfg, domain)`` (the
+    XLA path) to fp tolerance.  ``force`` is the homogeneous body force
+    ([3] vector or [3, X, Y, Z] field); the hook's output is added to it.
+    """
+    assert cfg.forcing_hook is not None, "use make_fused_step for plain configs"
+    from tnl_lbm_tpu.kernels.fused import make_fused_step
+    from tnl_lbm_tpu.kernels.fused_aa import make_fused_step_aa
+    from tnl_lbm_tpu.sim.step import make_step
+
+    lat = cfg.lat
+    dtype = cfg.compute_dtype
+    hook = cfg.forcing_hook
+    cfg_nohook = dataclasses.replace(cfg, forcing_hook=None)
+    if cfg.streaming == "AA":
+        base = make_fused_step_aa(cfg_nohook, domain, force_field=True,
+                                  **kernel_kwargs)
+    else:
+        base = make_fused_step(cfg_nohook, domain, force_field=True,
+                               **kernel_kwargs)
+    ustar = make_step(cfg_nohook, domain).ustar
+
+    def step(f, nu, u_in=None, force=None, parity: int = 0):
+        rho0, u0, fluid = ustar(f, force=force, parity=parity)
+        extra = hook(lat, rho0, u0, nu, fluid).astype(dtype)
+        if force is not None:
+            fb = jnp.asarray(force, dtype)
+            if fb.ndim == 1:
+                fb = fb.reshape((3, 1, 1, 1))
+            extra = extra + fb
+        return base(f, nu, u_in=u_in, force=extra, parity=parity)
+
+    return step

@@ -250,15 +250,6 @@ class Simulation:
 
         if self.cfg.lat.D != 3 or not supports(self.domain):
             return False
-        if self.cfg.forcing_hook is not None:
-            # forcing hooks (IBM, non-Newtonian div-S) run as XLA-level
-            # field computations between kernels; the fused kernels would
-            # silently drop them
-            self.log.warning(
-                "use_fused requested but cfg.forcing_hook is set; "
-                "falling back to the XLA step"
-            )
-            return False
         if jax.default_backend() != "cpu" and self.domain.shape[-1] % 128 != 0:
             self.log.warning(
                 "use_fused requested but Z=%d is not a multiple of 128 "
@@ -271,7 +262,13 @@ class Simulation:
     def _build_step(self):
         if self.plan is None:
             if self.use_fused and self._fused_ok():
-                if self.cfg.streaming == "AA":
+                if self.cfg.forcing_hook is not None:
+                    # IBM / non-Newtonian: u* pass + hook at the XLA level,
+                    # force-field fused kernel (reference kernels.h:92,178-218)
+                    from tnl_lbm_tpu.kernels.hooked import make_hooked_fused_step
+
+                    self._step = make_hooked_fused_step(self.cfg, self.domain)
+                elif self.cfg.streaming == "AA":
                     from tnl_lbm_tpu.kernels.fused_aa import make_fused_step_aa
 
                     self._step = make_fused_step_aa(self.cfg, self.domain)
@@ -293,7 +290,8 @@ class Simulation:
                 and (self.plan.spatial_axes[2] is None
                      or self.plan.mesh.shape[self.plan.spatial_axes[2]] == 1)
             )
-            if self.use_fused and self._fused_ok() and z_ok:
+            if (self.use_fused and self._fused_ok() and z_ok
+                    and self.cfg.forcing_hook is None):
                 if self.cfg.streaming == "AA":
                     self._step = make_sharded_fused_step_aa(self.cfg, self.domain, self.plan)
                 else:

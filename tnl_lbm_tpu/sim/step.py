@@ -224,4 +224,28 @@ def make_step(cfg: LBMConfig, domain: Domain, pad_halo=None, local_shape=None):
                 u_out = jnp.where(masks[c], zero_u, u_out)
         return f_out, rho_out, u_out
 
+    def ustar(f, force=None, parity: int = 0, map_arr=None, bouzidi_arr=None):
+        """Pre-kernel u* pass (reference kernels.h:178-218 analog): the
+        streamed + f-transformed moments with the homogeneous force only -
+        exactly the hook input the full step computes at sim/step.py:156-159.
+        Returns (rho0, u0, fluid_mask).  Used by kernels/hooked.py to run
+        forcing-hook configs (IBM, non-Newtonian) on the fused Pallas path.
+        """
+        if map_arr is None:
+            map_arr = jnp.asarray(domain.map)
+        if bouzidi_arr is None and domain.bouzidi is not None:
+            bouzidi_arr = jnp.asarray(domain.bouzidi, dtype=dtype)
+        masks = {c: map_arr == int(c) for c in codes}
+        f_in = _stream_in(f, parity, masks, bouzidi_arr)
+        force_b = _bcast(lat, force, S, dtype) if force is not None else None
+        if GEO.WALL in codes:
+            f_in = bc.apply_bounce_back(lat, f_in, masks[GEO.WALL])
+        for c in sym_codes:
+            axis, sign = bc.sym_table(D)[c]
+            f_in = bc.apply_symmetry(lat, f_in, masks[c], axis, sign)
+        rho0, u0 = mom.density_velocity(lat, f_in, force=force_b, well=cfg.well)
+        fluid = masks.get(GEO.FLUID, jnp.zeros(S, bool))
+        return rho0, u0, fluid
+
+    step.ustar = ustar
     return step
