@@ -77,11 +77,53 @@ def test_fused_channel_with_inflow_outflow():
 
 def test_fused_rejects_unsupported_codes():
     dom = duct_domain()
-    dom.map[3, 3, 3] = GEO.OUTFLOW_RIGHT_INTERP
+    dom.map[3, 3, 3] = GEO.FLUID_NEAR_WALL
     cfg = LBMConfig(lat=D3Q27, collision=col.collide_cum)
     assert not supports(dom)
     with pytest.raises(NotImplementedError):
         make_fused_step(cfg, dom)
+
+
+def test_fused_aa_rejects_interp_outflow():
+    """OUTFLOW_RIGHT_INTERP is A-B only (sim/step.py:64), in the fused
+    kernels too."""
+    from tnl_lbm_tpu.kernels.fused_aa import make_fused_step_aa
+
+    dom = duct_domain()
+    dom.map[-1, 3:-3, 3:-3] = GEO.OUTFLOW_RIGHT_INTERP
+    assert supports(dom) and not supports(dom, "AA")
+    cfg = LBMConfig(lat=D3Q27, collision=col.collide_cum, streaming="AA")
+    with pytest.raises(NotImplementedError):
+        make_fused_step_aa(cfg, dom)
+
+
+def test_fused_interp_outflow_matches_xla():
+    """sim_2/sim_3-style channel: moment inflow + Geier interpolated
+    outflow on the fused path (reference streaming_AB.h:209-242,
+    bc.h:138-143)."""
+    X, Y, Z = 16, 8, 8
+    m = np.zeros((X, Y, Z), np.uint8)
+    m[:, 0] = m[:, -1] = GEO.WALL
+    m[:, :, 0] = m[:, :, -1] = GEO.WALL
+    m[0, 1:-1, 1:-1] = GEO.INFLOW_LEFT
+    m[-1, 1:-1, 1:-1] = GEO.OUTFLOW_RIGHT_INTERP
+    units = Lattice((X, Y, Z), (0, 0, 0), 1.0, 1.0)
+    dom = Domain(lat=D3Q27, units=units, map=m)
+    for cfg in (
+        LBMConfig(lat=D3Q27, collision=col.collide_cum, eq=eqlib.eq_inv_cum),
+        LBMConfig(lat=D3Q27, collision=col.collide_cum_well, eq=eqlib.eq_well,
+                  well=True),
+    ):
+        step_ref = make_step(cfg, dom)
+        step_fused = make_fused_step(cfg, dom, tile=(8, 8))
+        u_in = jnp.asarray([0.03, 0.0, 0.0], jnp.float32)
+        f1 = f2 = rand_f(dom, cfg, seed=31)
+        for it in range(3):
+            f1, rho1, u1 = step_ref(f1, 0.02, u_in=u_in)
+            f2, rho2, u2 = step_fused(f2, 0.02, u_in=u_in)
+            assert float(jnp.abs(f1 - f2).max()) < 1e-6, f"step {it}"
+        assert float(jnp.abs(rho1 - rho2).max()) < 2e-6
+        assert float(jnp.abs(u1 - u2).max()) < 1e-6
 
 
 @pytest.mark.parametrize("periodic", [(True, True, True), (True, False, False)],

@@ -380,6 +380,7 @@ def build(
     stat_end: float | None = None,
     results_parent=".",
     value_path: str | None = None,
+    use_fused: bool = True,
 ):
     X = 128 * resolution
     Y = 32 * resolution
@@ -415,6 +416,7 @@ def build(
         results_parent=results_parent,
         phys_final_time=final_time,
         steps_per_dispatch=10,
+        use_fused=use_fused,
     )
     sim.u_max_lbm = units.phys2lbm_velocity(1.5 * phys_velocity)
     sim.stats_start_time = stat_start

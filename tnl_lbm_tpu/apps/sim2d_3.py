@@ -72,6 +72,7 @@ def build(
     final_time: float = 4.0,
     results_parent=".",
     values_dir="values",
+    use_fused: bool = True,
 ):
     X = 128 * resolution
     Y = 32 * resolution
@@ -110,6 +111,9 @@ def build(
         results_parent=results_parent,
         phys_final_time=final_time,
         steps_per_dispatch=20,
+        # Bouzidi + the full BC set ride the fused D2Q9 Pallas kernel
+        # (kernels/fused_2d.py); unsupported configs fall back to XLA
+        use_fused=use_fused,
     )
     sim.u_max_lbm = units.phys2lbm_velocity(1.5 * phys_velocity)
     sim.value_path = Path(values_dir) / f"value_{obj_name}"

@@ -42,11 +42,15 @@ SUPPORTED_CODES = {
     GEO.PERIODIC, GEO.NOTHING,
     GEO.SYM_TOP, GEO.SYM_BOTTOM, GEO.SYM_LEFT, GEO.SYM_RIGHT,
     GEO.SYM_BACK, GEO.SYM_FRONT, GEO.INFLOW_LEFT,
+    GEO.OUTFLOW_RIGHT_INTERP,  # A-B only (like the XLA path, sim/step.py:64)
 }
 
 
-def supports(domain: Domain) -> bool:
-    return domain.codes_present() <= SUPPORTED_CODES
+def supports(domain: Domain, streaming: str = "AB") -> bool:
+    codes = domain.codes_present()
+    if streaming == "AA" and GEO.OUTFLOW_RIGHT_INTERP in codes:
+        return False
+    return codes <= SUPPORTED_CODES
 
 
 def _moments_local(lat, f_in, force, well):
@@ -166,6 +170,22 @@ def _stream_bc_collide(lat, cfg, codes, sym_codes, eq_kind, do_coll_codes,
             rows_or.append(shifted(q, (-1, -cy, -cz)))
         f_in = jnp.where(masks[GEO.OUTFLOW_RIGHT], jnp.stack(rows_or), f_in)
 
+    if GEO.OUTFLOW_RIGHT_INTERP in codes:
+        # Geier speed-of-sound interpolated outflow: incoming (c_x = -1)
+        # components blend the x-1 and x values (streaming_AB.h:209-242);
+        # both offsets sit inside the 1-halo window
+        from tnl_lbm_tpu.ops.streaming import SPEED_OF_SOUND as _cs
+
+        rows_oi = []
+        for q in range(Q):
+            cx, cy, cz = (int(v) for v in lat.c[q])
+            if cx == -1:
+                rows_oi.append(_cs * shifted(q, (-1, -cy, -cz))
+                               + (1 - _cs) * shifted(q, (0, -cy, -cz)))
+            else:
+                rows_oi.append(shifted(q, (-cx, -cy, -cz)))
+        f_in = jnp.where(masks[GEO.OUTFLOW_RIGHT_INTERP], jnp.stack(rows_oi), f_in)
+
     if GEO.WALL in codes:
         f_swapped = jnp.stack([f_in[int(opp[q])] for q in range(Q)])
         f_in = jnp.where(masks[GEO.WALL], f_swapped, f_in)
@@ -209,6 +229,15 @@ def _stream_bc_collide(lat, cfg, codes, sym_codes, eq_kind, do_coll_codes,
         rho = jnp.where(mm, one, rho)
     if GEO.OUTFLOW_RIGHT in codes:
         rho = jnp.where(masks[GEO.OUTFLOW_RIGHT], one, rho)
+    if GEO.OUTFLOW_RIGHT_INTERP in codes:
+        # equilibrium decomposition toward rho_out = 1 (bc.h:138-143)
+        mm = masks[GEO.OUTFLOW_RIGHT_INTERP]
+        f_in = jnp.where(
+            mm,
+            f_in + _eq_local(lat, one, u, eq_kind) - _eq_local(lat, rho, u, eq_kind),
+            f_in,
+        )
+        rho = jnp.where(mm, one, rho)
 
     rho_safe = jnp.where(rho == 0, one, rho)
     f_post = cfg.collision(lat, f_in, rho_safe, u, nu, force=force)

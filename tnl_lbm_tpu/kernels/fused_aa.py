@@ -290,6 +290,8 @@ def make_fused_step_aa(cfg: LBMConfig, domain: Domain,
     assert cfg.streaming == "AA", "use make_fused_step for the A-B pattern"
     cfg_ab = dataclasses.replace(cfg, streaming="AB")
     lat, codes, sym_codes, eq_kind, do_coll_codes = _prep(cfg_ab, domain)
+    if GEO.OUTFLOW_RIGHT_INTERP in codes:
+        raise NotImplementedError("OUTFLOW_RIGHT_INTERP requires the A-B pattern")
     Q = lat.Q
     X, Y, Z = local_shape if local_shape is not None else domain.shape
     dtype = cfg.compute_dtype
@@ -493,6 +495,8 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
     assert cfg.streaming == "AA"
     cfg_ab = dataclasses.replace(cfg, streaming="AB")
     lat, codes, sym_codes, eq_kind, do_coll_codes = _prep(cfg_ab, domain)
+    if GEO.OUTFLOW_RIGHT_INTERP in codes:
+        raise NotImplementedError("OUTFLOW_RIGHT_INTERP requires the A-B pattern")
     Q = lat.Q
     X, Y, Z = domain.shape
     dtype = cfg.compute_dtype
@@ -765,6 +769,8 @@ def make_fused_pair_aa(cfg: LBMConfig, domain: Domain,
     assert cfg.streaming == "AA"
     cfg_ab = dataclasses.replace(cfg, streaming="AB")
     lat, codes, sym_codes, eq_kind, do_coll_codes = _prep(cfg_ab, domain)
+    if GEO.OUTFLOW_RIGHT_INTERP in codes:
+        raise NotImplementedError("OUTFLOW_RIGHT_INTERP requires the A-B pattern")
     Q = lat.Q
     X, Y, Z = domain.shape
     dtype = cfg.compute_dtype

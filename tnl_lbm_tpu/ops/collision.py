@@ -33,6 +33,7 @@ import numpy as np
 
 from tnl_lbm_tpu.models.descriptors import D3Q27, LatticeDescriptor
 from tnl_lbm_tpu.ops import equilibrium as eqlib
+from tnl_lbm_tpu.ops.contract import lattice_dot
 
 
 def forcing_terms(lat: LatticeDescriptor, u: jnp.ndarray, force: jnp.ndarray, rho: jnp.ndarray):
@@ -43,7 +44,7 @@ def forcing_terms(lat: LatticeDescriptor, u: jnp.ndarray, force: jnp.ndarray, rh
     Returns [Q, *S].
     """
     c = jnp.asarray(lat.c, dtype=u.dtype)  # [Q, D]
-    cF = jnp.tensordot(c, force, axes=1)  # [Q, *S]
+    cF = lattice_dot(lat.c, force)  # [Q, *S]
     uF = jnp.sum(u * force, axis=0)  # [*S]
     return float(lat.i_cs2) * (cF - uF) / rho
 
@@ -87,8 +88,7 @@ def collide_bgk(lat, f, rho, u, nu, force=None, galilean: bool = False):
         c = lat.c
         G = []
         for a in range(lat.D):
-            mask = jnp.asarray((c[:, a] != 0).astype("float32"), dtype=f.dtype)
-            m2 = jnp.tensordot(mask, f, axes=1)
+            m2 = lattice_dot((c[:, a] != 0).astype(np.float64), f)
             Dau = -omega * 0.5 * (3 * m2 / rho - 1 - 3 * u[a] * u[a])
             G.append(-3 * u[a] * u[a] * Dau * (1.0 / omega - 0.5))
     else:
@@ -620,14 +620,12 @@ def collide_mrt_les(lat, f, rho, u, nu, force=None, smagorinsky_c: float = 0.034
     """
     del force  # reference operator carries no forcing
     c = np.asarray(lat.c, dtype=np.float64)  # [Q, 3]
-    cf = jnp.asarray(c, f.dtype)
 
     # raw second moments P_ab = sum_q c_a c_b f_q
     P = {}
     for a in range(3):
         for b in range(a, 3):
-            coef = jnp.asarray(c[:, a] * c[:, b], f.dtype)
-            P[(a, b)] = jnp.tensordot(coef, f, axes=1)
+            P[(a, b)] = lattice_dot(c[:, a] * c[:, b], f)
 
     # non-equilibrium part (reference col_mrt.h:28-33)
     Pn = {}
@@ -647,7 +645,7 @@ def collide_mrt_les(lat, f, rho, u, nu, force=None, smagorinsky_c: float = 0.034
         P[key] = P[key] - omega * Pn[key]
 
     trP = P[(0, 0)] + P[(1, 1)] + P[(2, 2)]
-    cu = jnp.tensordot(cf, u, axes=1)  # [Q, *S]
+    cu = lattice_dot(c, u)  # [Q, *S]
     w = jnp.asarray(lat.w, f.dtype).reshape((lat.Q,) + (1,) * (f.ndim - 1))
     csq = jnp.asarray((c * c).sum(axis=1), f.dtype).reshape((lat.Q,) + (1,) * (f.ndim - 1))
 
@@ -686,8 +684,7 @@ def collide_bgk_well(lat, f, rho, u, nu, force=None, galilean: bool = False):
         G = []
         drho = rho - 1  # sum of deviations
         for a in range(3):
-            mask = jnp.asarray((c[:, a] != 0).astype("float32"), dtype=f.dtype)
-            m2 = jnp.tensordot(mask, f, axes=1)  # deviation second moment
+            m2 = lattice_dot((np.asarray(c)[:, a] != 0).astype(np.float64), f)  # deviation second moment
             # reference col_bgk_well.h: 3 m2/rho - drho/rho - 3 v^2
             Dau = -omega * 0.5 * (3 * m2 / rho - drho / rho - 3 * u[a] * u[a])
             G.append(-3 * u[a] * u[a] * Dau * (1.0 / omega - 0.5))

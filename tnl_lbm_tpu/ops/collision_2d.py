@@ -20,6 +20,7 @@ import numpy as np
 from tnl_lbm_tpu.models.descriptors import D2Q9, LatticeDescriptor
 from tnl_lbm_tpu.ops import equilibrium as eqlib
 from tnl_lbm_tpu.ops.collision import _backward_axis, _forward_axis
+from tnl_lbm_tpu.ops.contract import lattice_dot
 
 
 def guo_forcing(lat: LatticeDescriptor, u: jnp.ndarray, force: jnp.ndarray) -> jnp.ndarray:
@@ -29,10 +30,9 @@ def guo_forcing(lat: LatticeDescriptor, u: jnp.ndarray, force: jnp.ndarray) -> j
     (d2q9/col_srt.h:21-35).  Returns [Q, *S]; multiply by (1 - omega/2).
     """
     ics2 = float(lat.i_cs2)
-    c = jnp.asarray(lat.c, dtype=u.dtype)
     w = jnp.asarray(lat.w, dtype=u.dtype).reshape((lat.Q,) + (1,) * (u.ndim - 1))
-    cF = jnp.tensordot(c, force, axes=1)
-    cu = jnp.tensordot(c, u, axes=1)
+    cF = lattice_dot(lat.c, force)
+    cu = lattice_dot(lat.c, u)
     uF = jnp.sum(u * force, axis=0)
     return w * (ics2 * (cF - uF) + ics2 * ics2 * cu * cF)
 

@@ -29,12 +29,13 @@ import numpy as np
 from tnl_lbm_tpu.models.descriptors import D3Q27, LatticeDescriptor
 from tnl_lbm_tpu.ops.collision import central_moments
 from tnl_lbm_tpu.ops.equilibrium import eq_inv_cum
+from tnl_lbm_tpu.ops.contract import lattice_dot
 
 
 def _raw_moment(lat, f, a, b, g):
     c = lat.c.astype(np.float64)
     coef = (c[:, 0] ** a) * (c[:, 1] ** b) * (c[:, 2] ** g)
-    return jnp.tensordot(jnp.asarray(coef, f.dtype), f, axes=1)
+    return lattice_dot(coef, f)
 
 
 def _delta_s_second_order(lat, f, rho, u, with_trace):

@@ -24,12 +24,12 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from tnl_lbm_tpu.models.descriptors import LatticeDescriptor
+from tnl_lbm_tpu.ops.contract import lattice_dot
 
 
 def _cu(lat: LatticeDescriptor, u: jnp.ndarray) -> jnp.ndarray:
-    """c_q . u, shape [Q, *S]."""
-    c = jnp.asarray(lat.c, dtype=u.dtype)  # [Q, D]
-    return jnp.tensordot(c, u, axes=1)
+    """c_q . u, shape [Q, *S] (exact unrolled sum - ops/contract.py)."""
+    return lattice_dot(lat.c, u)
 
 
 def eq_quadratic(lat: LatticeDescriptor, rho: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:

@@ -15,6 +15,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from tnl_lbm_tpu.models.descriptors import LatticeDescriptor
+from tnl_lbm_tpu.ops.contract import lattice_dot
 
 
 def density(lat: LatticeDescriptor, f: jnp.ndarray, well: bool = False,
@@ -50,8 +51,7 @@ def density(lat: LatticeDescriptor, f: jnp.ndarray, well: bool = False,
 
 def momentum(lat: LatticeDescriptor, f: jnp.ndarray) -> jnp.ndarray:
     """j_a = sum_q c_qa f_q, shape [D, *S]."""
-    c = jnp.asarray(lat.c.T, dtype=f.dtype)  # [D, Q]
-    return jnp.tensordot(c, f, axes=1)
+    return lattice_dot(lat.c.T, f)
 
 
 def density_velocity(

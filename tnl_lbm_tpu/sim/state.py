@@ -248,7 +248,12 @@ class Simulation:
         constraint)."""
         from tnl_lbm_tpu.kernels.fused import supports
 
-        if self.cfg.lat.D != 3 or not supports(self.domain):
+        if self.cfg.lat.D == 2:
+            from tnl_lbm_tpu.kernels.fused_2d import supports_2d
+
+            # 2D forcing hooks stay on the XLA path (no 2D hooked kernel)
+            return supports_2d(self.cfg, self.domain) and self.cfg.forcing_hook is None
+        if self.cfg.lat.D != 3 or not supports(self.domain, self.cfg.streaming):
             return False
         if jax.default_backend() != "cpu" and self.domain.shape[-1] % 128 != 0:
             self.log.warning(
@@ -262,7 +267,11 @@ class Simulation:
     def _build_step(self):
         if self.plan is None:
             if self.use_fused and self._fused_ok():
-                if self.cfg.forcing_hook is not None:
+                if self.cfg.lat.D == 2:
+                    from tnl_lbm_tpu.kernels.fused_2d import make_fused_step_2d
+
+                    self._step = make_fused_step_2d(self.cfg, self.domain)
+                elif self.cfg.forcing_hook is not None:
                     # IBM / non-Newtonian: u* pass + hook at the XLA level,
                     # force-field fused kernel (reference kernels.h:92,178-218)
                     from tnl_lbm_tpu.kernels.hooked import make_hooked_fused_step
