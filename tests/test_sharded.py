@@ -233,3 +233,82 @@ def test_3d_fused_distributed_matches_single():
 
     np.testing.assert_allclose(np.asarray(fN), np.asarray(f1), atol=2e-6)
     np.testing.assert_allclose(np.asarray(rhoN), np.asarray(rho1), atol=5e-6)
+
+
+def test_choose_plan_optimizer():
+    """Weighted-interface-area mesh chooser (reference
+    lattice_decomposition.h:67-110 analog)."""
+    from tnl_lbm_tpu.parallel.sharded import choose_plan
+
+    units = Lattice((64, 64, 64), (0, 0, 0), 1.0, 1.0)
+    dom = Domain(lat=D3Q27, units=units, map=np.zeros((64, 64, 64), np.uint8))
+    devices = jax.devices()[:8]
+    # z disabled by default; x cuts are cheapest -> 8x1x1
+    plan = choose_plan(dom, devices)
+    assert tuple(plan.mesh.shape[a] for a in ("x", "y", "z")) == (8, 1, 1)
+    # with a tiny x axis the y cuts have 64x smaller plane area, which
+    # outweighs the 8x storage penalty -> cut y only
+    units2 = Lattice((4, 256, 64), (0, 0, 0), 1.0, 1.0)
+    dom2 = Domain(lat=D3Q27, units=units2, map=np.zeros((4, 256, 64), np.uint8))
+    plan2 = choose_plan(dom2, devices)
+    assert tuple(plan2.mesh.shape[a] for a in ("x", "y", "z")) == (1, 8, 1)
+    # allow_z widens the search space
+    plan3 = choose_plan(dom, devices, allow_z=True)
+    assert tuple(plan3.mesh.shape[a] for a in ("x", "y", "z")) == (8, 1, 1)
+
+
+def test_subset_halo_exchange_matches_full():
+    """Direction-subset halos (df_sync_directions analog) == full exchange."""
+    from tnl_lbm_tpu.parallel.halo import make_halo_pad
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    X, Y, Z = 16, 16, 8
+    units = Lattice((X, Y, Z), (0, 0, 0), 1.0, 1.0)
+    m = np.zeros((X, Y, Z), np.uint8)
+    m[:, 0] = m[:, -1] = GEO.WALL
+    dom = Domain(lat=D3Q27, units=units, map=m, periodic=(True, False, False))
+    cfg = LBMConfig(lat=D3Q27, collision=col3.collide_cum_well,
+                    eq=eqlib.eq_well, well=True)
+    devices = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devices, ("x", "y"))
+    plan = ShardPlan(mesh=mesh, spatial_axes=("x", "y", None))
+
+    rng = np.random.default_rng(11)
+    f = jnp.asarray(rng.standard_normal((27, X, Y, Z)), jnp.float32)
+    fN = plan.shard_field(f, like_f=True)
+
+    pad_full = make_halo_pad(mesh, plan.spatial_axes, dom.periodic)
+    pad_sub = make_halo_pad(mesh, plan.spatial_axes, dom.periodic, lat=D3Q27)
+
+    from tnl_lbm_tpu.ops import streaming as stream
+
+    def run(pad, comps):
+        fn = shard_map(
+            lambda fl: stream.pull(
+                D3Q27, pad(fl, comps=comps),
+                (X // 4, Y // 2, Z)),
+            mesh=mesh, in_specs=(P(None, "x", "y"),),
+            out_specs=P(None, "x", "y"), check_vma=False,
+        )
+        return fn(fN)
+
+    a = run(pad_full, "all")
+    b = run(pad_sub, "own")
+    assert float(jnp.abs(a - b).max()) == 0.0
+
+    # opp mode: pull_from with the opposite permutation
+    opp = np.asarray(D3Q27.opp)
+
+    def run_opp(pad, comps):
+        fn = shard_map(
+            lambda fl: stream.pull_from(
+                D3Q27, pad(fl, comps=comps), (X // 4, Y // 2, Z), opp),
+            mesh=mesh, in_specs=(P(None, "x", "y"),),
+            out_specs=P(None, "x", "y"), check_vma=False,
+        )
+        return fn(fN)
+
+    a2 = run_opp(pad_full, "all")
+    b2 = run_opp(pad_sub, "opp")
+    assert float(jnp.abs(a2 - b2).max()) == 0.0

@@ -190,9 +190,11 @@ def build(
 
     plan = None
     if sharded:
-        from tnl_lbm_tpu.parallel.sharded import default_plan
+        from tnl_lbm_tpu.parallel.sharded import choose_plan
 
-        plan = default_plan(dom)
+        # cost-driven mesh choice (weighted-interface-area optimizer,
+        # analog of reference lattice_decomposition.h:67-110)
+        plan = choose_plan(dom)
 
     u_profile = None
     fx_run = fx_lbm

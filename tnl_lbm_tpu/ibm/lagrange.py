@@ -122,7 +122,10 @@ class IBM:
         iy = jnp.clip(n[..., 1], 0, ny - 1)
         iz = jnp.clip(n[..., 2], 0, nz - 1)
         vals = field[:, ix, iy, iz]  # [C, m, s^3]
-        return jnp.einsum("cms,ms->mc", vals, self.weights.astype(field.dtype))
+        # explicit multiply-sum: einsum lowers to a dot whose default TPU
+        # precision rounds f32 inputs to bf16 (ops/contract.py)
+        w = self.weights.astype(field.dtype)
+        return jnp.sum(vals * w[None], axis=-1).T
 
     def spread(self, vals: jnp.ndarray, shape) -> jnp.ndarray:
         """M^T x: spread point values [m, C] to an Eulerian field [C, *shape]."""
@@ -141,7 +144,10 @@ class IBM:
     def _matvec(self, x, shape):
         """A x for the CG solve; x: [m, C]."""
         if self.A is not None:
-            return self.A.astype(x.dtype) @ x
+            # f32 accumulation on the MXU: default matmul precision would
+            # round the inputs to bf16 and stall CG convergence
+            return jnp.matmul(self.A.astype(x.dtype), x,
+                              precision=jax.lax.Precision.HIGHEST)
         return self.interpolate(self.spread(x, shape))
 
     def _cg(self, matvec, b):
@@ -226,6 +232,103 @@ class IBM:
         def hook(lat, rho, u, nu, fluid_mask):
             del lat, nu, fluid_mask
             return self.compute_forces(u, rho)
+
+        return hook
+
+    # ------------------------------------------------------- distributed IBM
+    # The reference runs IBM inside its multi-GPU step (state.hpp:995-1015,
+    # kernels.h:178-218, lagrange_3D.hpp:632-852).  The TPU equivalent keeps
+    # the (small) Lagrangian cloud REPLICATED on every shard and partitions
+    # the Eulerian work by node ownership: each shard interpolates only the
+    # stencil nodes inside its local block (one psum of [m, 3] completes
+    # M u*), the CG solve runs replicated (zero communication for the dense
+    # "modified" A; one psum per iteration for the matrix-free "original"
+    # A = M M^T), and spreading scatters only locally-owned nodes - every
+    # node has exactly one owner, so no halo exchange is needed at all.
+
+    def _local_ids(self, plan, shape):
+        """(offsets [3] traced, local extents [3] static, mesh axis names)."""
+        from jax import lax
+
+        offs, exts, names = [], [], []
+        for a in range(3):
+            name = plan.spatial_axes[a]
+            n = plan.mesh.shape[name] if name is not None else 1
+            ext = shape[a] // n
+            exts.append(ext)
+            if name is None or n == 1:
+                offs.append(0)
+            else:
+                offs.append(lax.axis_index(name) * ext)
+                names.append(name)
+        return offs, exts, tuple(names)
+
+    def _owned(self, plan, shape):
+        """Per-shard local node coords + ownership mask for the stencils."""
+        offs, exts, names = self._local_ids(plan, shape)
+        n = self._nodes_dev
+        loc, inside = [], None
+        for a in range(3):
+            g = jnp.clip(n[..., a], 0, shape[a] - 1)
+            l = g - offs[a]
+            ok = (l >= 0) & (l < exts[a])
+            inside = ok if inside is None else (inside & ok)
+            loc.append(jnp.clip(l, 0, exts[a] - 1))
+        return loc, inside, exts, names
+
+    def interpolate_sharded(self, field, plan, shape):
+        """M u on the local shard of ``field`` [C, Xl, Yl, Zl] -> replicated
+        [m, C] (partial sums over owned nodes, completed with one psum)."""
+        from jax import lax
+
+        (ix, iy, iz), inside, _, names = self._owned(plan, shape)
+        vals = field[:, ix, iy, iz]  # [C, m, s^3]
+        w = (self.weights * inside).astype(field.dtype)
+        partial_mc = jnp.sum(vals * w[None], axis=-1).T  # [m, C] exact sum
+        return lax.psum(partial_mc, names) if names else partial_mc
+
+    def spread_sharded(self, vals, plan, shape):
+        """M^T x onto this shard's local block [C, Xl, Yl, Zl]."""
+        (ix, iy, iz), inside, exts, _ = self._owned(plan, shape)
+        lx, ly, lz = exts
+        flat = (ix * ly + iy) * lz + iz  # [m, s^3] local flat ids
+        w = (self.weights * inside).astype(vals.dtype)
+        contrib = w[..., None] * vals[:, None, :]  # [m, s^3, C]
+        C = vals.shape[1]
+        out = jnp.zeros((lx * ly * lz, C), vals.dtype)
+        out = out.at[flat.reshape(-1)].add(contrib.reshape(-1, C))
+        return out.T.reshape((C, lx, ly, lz))
+
+    def compute_forces_sharded(self, u_star, rho, plan, shape):
+        """Per-shard force solve: same math as ``compute_forces`` with the
+        Eulerian operators partitioned by node ownership.  ``u_star``/``rho``
+        are this shard's local blocks; returns the local force block."""
+        b = -self.interpolate_sharded(u_star, plan, shape)
+        if self.use_ll_velocity:
+            b = b + jnp.asarray(self.prescribed_velocity, b.dtype)
+        if self.A is not None:
+            matvec = lambda x: jnp.matmul(  # noqa: E731
+                self.A.astype(x.dtype), x, precision=jax.lax.Precision.HIGHEST)
+        else:
+            def matvec(x):
+                return self.interpolate_sharded(
+                    self.spread_sharded(x, plan, shape), plan, shape)
+
+        x, iters, rel = self._cg(matvec, b)
+        self.last_cg_iters = iters
+        self.last_cg_residual = rel
+        self._log_cg(iters, rel)
+        force = self.spread_sharded(2.0 * x, plan, shape)
+        return force * rho[None]
+
+    def sharded_hook(self, plan, shape):
+        """``LBMConfig.forcing_hook`` for a sharded run: shard-aware IBM
+        executed INSIDE shard_map (pass the resulting cfg + plan to
+        Simulation / make_sharded_step)."""
+
+        def hook(lat, rho, u, nu, fluid_mask):
+            del lat, nu, fluid_mask
+            return self.compute_forces_sharded(u, rho, plan, tuple(shape))
 
         return hook
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 
@@ -41,7 +42,7 @@ def _take(f, axis, index):
     return f[tuple(sl)]
 
 
-def make_halo_pad(mesh: jax.sharding.Mesh, spatial_axes, periodic):
+def make_halo_pad(mesh: jax.sharding.Mesh, spatial_axes, periodic, lat=None):
     """Build the in-shard_map halo padding function.
 
     Args:
@@ -49,14 +50,32 @@ def make_halo_pad(mesh: jax.sharding.Mesh, spatial_axes, periodic):
       spatial_axes: per-lattice-axis mesh axis name or None (unsharded);
         e.g. ('x', 'y', 'z') or ('x', None).
       periodic: per-lattice-axis periodicity flags.
+      lat: optional lattice descriptor enabling DIRECTION-SUBSET exchange
+        (the reference's ``df_sync_directions`` optimization, defs.h:307-340:
+        each DF component is sent only along its own lattice direction).
 
-    Returns pad(f_local) -> f_padded, adding a 1-wide halo on every spatial
-    axis of ``f_local [Q, *S_local]``.
+    Returns ``pad(f_local, comps="all") -> f_padded`` adding a 1-wide halo
+    on every spatial axis of ``f_local [Q, *S_local]``.  With ``lat`` given,
+    ``comps`` selects which components each face actually transfers:
+
+    - ``"own"``  (pull streaming): the low halo of axis a is only read for
+      components with c_a = +1, the high halo for c_a = -1 - 9 of 27
+      components per face instead of all 27 (~3x fewer halo bytes);
+    - ``"opp"``  (A-A odd read, reference lbm_block.hpp:428-442): the
+      sides flip because the odd step reads opposite-direction slots;
+    - ``"all"``: full exchange (required for Bouzidi / pull-shift reads).
+
+    Untransferred halo entries are filled with the local edge slab; the
+    streaming offsets never read them (a component's pull offset on axis a
+    is -c_a, so only the matching side/sign is ever dereferenced).
     """
     spatial_axes = tuple(spatial_axes)
     periodic = tuple(periodic)
+    if lat is not None:
+        c = np.asarray(lat.c)
 
-    def pad(f):
+    def pad(f, comps: str = "all"):
+        subset = comps in ("own", "opp") and lat is not None
         for a, (name, per) in enumerate(zip(spatial_axes, periodic)):
             axis = a + 1  # skip the Q axis
             n = mesh.shape[name] if name is not None else 1
@@ -69,8 +88,19 @@ def make_halo_pad(mesh: jax.sharding.Mesh, spatial_axes, periodic):
             last = _take(f, axis, -1)
             fwd = [(i, (i + 1) % n) for i in range(n)]   # send toward +axis
             bwd = [(i, (i - 1) % n) for i in range(n)]   # send toward -axis
-            from_left = lax.ppermute(last, name, fwd)    # my low halo
-            from_right = lax.ppermute(first, name, bwd)  # my high halo
+            if subset:
+                # low halo reads c_a = +1 (own) / -1 (opp); high the inverse
+                sgn = 1 if comps == "own" else -1
+                lo_q = np.asarray([q for q in range(lat.Q) if int(c[q][a]) == sgn])
+                hi_q = np.asarray([q for q in range(lat.Q) if int(c[q][a]) == -sgn])
+                got_lo = lax.ppermute(last[lo_q], name, fwd)
+                got_hi = lax.ppermute(first[hi_q], name, bwd)
+                # unread components keep the local edge slab
+                from_left = first.at[lo_q].set(got_lo)
+                from_right = last.at[hi_q].set(got_hi)
+            else:
+                from_left = lax.ppermute(last, name, fwd)
+                from_right = lax.ppermute(first, name, bwd)
             if not per:
                 idx = lax.axis_index(name)
                 from_left = jnp.where(idx == 0, first, from_left)

@@ -69,6 +69,68 @@ def default_plan(domain: Domain, devices=None) -> ShardPlan:
     return ShardPlan(mesh=mesh, spatial_axes=axes)
 
 
+def _divisors(n: int):
+    return [d for d in range(1, n + 1) if n % d == 0]
+
+
+def choose_plan(domain: Domain, devices=None, axis_weights=None,
+                allow_z: bool = False) -> ShardPlan:
+    """Pick the mesh factorization minimizing weighted halo-interface area.
+
+    Analog of the reference's ``decomposeBlockOptimal`` with storage-
+    permutation-aware axis weights {64, 8, 1}
+    (lattice_decomposition.h:67-110): cutting a faster-varying storage axis
+    costs strided sends, so its interface area is weighted up.  For the
+    [Q, X, Y, Z] TPU layout the natural weights are (1, 8, 64): x cuts move
+    contiguous (Y, Z) slabs, y cuts interleave at the sublane level, and z
+    cuts break the 128-lane tiling entirely - z sharding is additionally
+    DISABLED by default because the fused Pallas kernels shift z
+    in-register (``allow_z=True`` lifts this for the XLA path).
+
+    Cost = sum over sharded axes of n_interfaces(axis) * global plane area *
+    weight(axis); ties prefer x-major splits (the reference's default).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    D = domain.lat.D
+    shape = domain.shape
+    if axis_weights is None:
+        axis_weights = (1.0, 8.0, 64.0)[:D]
+    best = None
+    for nx in _divisors(n):
+        for ny in _divisors(n // nx):
+            nz = n // nx // ny
+            counts = (nx, ny, nz)[:D]
+            if D == 2 and nz != 1:
+                continue
+            if not allow_z and D == 3 and nz > 1:
+                continue
+            if any(shape[a] % counts[a] != 0 for a in range(D)):
+                continue
+            if any(counts[a] > shape[a] for a in range(D)):
+                continue
+            cost = 0.0
+            for a in range(D):
+                if counts[a] == 1:
+                    continue
+                interfaces = counts[a] if domain.periodic[a] else counts[a] - 1
+                area = 1.0
+                for b in range(D):
+                    if b != a:
+                        area *= shape[b]
+                cost += axis_weights[a] * interfaces * area
+            key = (cost, -nx, -ny)  # ties: x-major, then y
+            if best is None or key < best[0]:
+                best = (key, counts)
+    if best is None:
+        raise ValueError(
+            f"no factorization of {n} devices divides lattice {shape}")
+    counts = best[1]
+    names = ("x", "y", "z")[:D]
+    mesh = Mesh(np.asarray(devices).reshape(counts), names)
+    return ShardPlan(mesh=mesh, spatial_axes=names)
+
+
 def make_sharded_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan):
     """Build ``step(f, map_arr, nu, u_in, force, parity)`` running under
     shard_map with distributed halo exchange.
@@ -78,8 +140,22 @@ def make_sharded_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan):
     [D] vectors (or None).  Returns (f_new, rho, u) with the same shardings.
     """
     plan.check(domain)
-    pad = make_halo_pad(plan.mesh, plan.spatial_axes, domain.periodic)
-    local_step = make_step(cfg, domain, pad_halo=pad, local_shape=plan.local_shape(domain))
+    from tnl_lbm_tpu.ops.boundary import GEO
+
+    codes = domain.codes_present()
+    local_shape = plan.local_shape(domain)
+    # direction-subset halo exchange (reference df_sync_directions,
+    # defs.h:307-340) is valid whenever no BC pulls other components' halos:
+    # Bouzidi reads +c offsets (step.py forces comps="all" then), and the
+    # OUTFLOW_RIGHT* pull-shift reads x-1 for every component - interior
+    # unless the local block is a single x-plane
+    subset_ok = domain.bouzidi is None and (
+        not ({GEO.OUTFLOW_RIGHT, GEO.OUTFLOW_RIGHT_INTERP} & codes)
+        or local_shape[0] >= 2
+    )
+    pad = make_halo_pad(plan.mesh, plan.spatial_axes, domain.periodic,
+                        lat=cfg.lat if subset_ok else None)
+    local_step = make_step(cfg, domain, pad_halo=pad, local_shape=local_shape)
 
     use_bouzidi = domain.bouzidi is not None
 

@@ -54,7 +54,14 @@ def make_step(cfg: LBMConfig, domain: Domain, pad_halo=None, local_shape=None):
     codes = domain.codes_present()
     opp = np.asarray(lat.opp)
     if pad_halo is None:
-        pad_halo = lambda f: stream.pad_halo(f, domain.periodic)  # noqa: E731
+        pad_halo = lambda f, comps="all": stream.pad_halo(f, domain.periodic)  # noqa: E731
+
+    # direction-subset halo hint (the reference's df_sync_directions,
+    # defs.h:307-340): the injected distributed pad transfers only the
+    # components each face actually streams; codes whose pulls read other
+    # components' halos force the full exchange (Bouzidi reads +c offsets)
+    _comps_pull = "all" if GEO.FLUID_NEAR_WALL in codes else "own"
+    _comps_pull_aa = "all" if GEO.FLUID_NEAR_WALL in codes else "opp"
 
     do_coll_codes = np.array(
         [int(c) for c in (bc.collision_mask_codes(D) & codes)], dtype=domain.map.dtype
@@ -68,8 +75,8 @@ def make_step(cfg: LBMConfig, domain: Domain, pad_halo=None, local_shape=None):
         """Post-streaming DFs at every site, including BC pull modifications."""
         if cfg.streaming == "AA" and parity == 0:
             return f  # even step: same site, same direction
-        fpad = pad_halo(f)
         src = opp if cfg.streaming == "AA" else None
+        fpad = pad_halo(f, comps=_comps_pull if src is None else _comps_pull_aa)
         if src is None:
             f_in = stream.pull(lat, fpad, S)
         else:
@@ -207,7 +214,7 @@ def make_step(cfg: LBMConfig, domain: Domain, pad_halo=None, local_shape=None):
             else:
                 # push = pull of the padded post-collision field (uses the
                 # injected halo exchange so it works under shard_map too)
-                f_out = stream.pull(lat, pad_halo(f_post), S)
+                f_out = stream.pull(lat, pad_halo(f_post, comps="own"), S)
         else:
             f_out = f_post
 
