@@ -171,19 +171,43 @@ def test_fused_ade_kernel_matches_xla():
         assert float(jnp.abs(phi1 - phi2).max()) < 1e-6, name
 
 
-def test_fused_ade_rejects_transfer_codes():
-    import pytest
-
+def test_fused_ade_transfer_and_variable_diffusion_match_xla():
+    """Conjugate TRANSFER_* BCs (packed interface-flag bit-field) and a
+    per-site diffusion field on the fused kernel == XLA step (reference
+    d3q7/bc.h:142-189, lbm_data.h:133-165)."""
     from tnl_lbm_tpu.kernels.fused_ade import make_fused_ade_step, supports_ade
+    from tnl_lbm_tpu.sim.step_ade import transfer_direction_flags
 
-    m = np.zeros((8, 8, 8), np.uint8)
-    m[4] = ADEGEO.TRANSFER_FS
-    units = Lattice(global_size=(8, 8, 8), phys_origin=(0, 0, 0), phys_dl=1.0, phys_dt=1.0)
-    dom = Domain(lat=D3Q7, units=units, map=m)
-    cfg = LBMConfig(lat=D3Q7, collision=ade.collide_srt_ade)
-    assert not supports_ade(dom)
-    with pytest.raises(NotImplementedError):
-        make_fused_ade_step(cfg, dom)
+    X, Y, Z = 16, 16, 16
+    m = np.zeros((X, Y, Z), np.uint8)
+    m[:, 0] = m[:, -1] = ADEGEO.WALL
+    # a solid slab with conjugate-transfer interfaces on both sides
+    m[6:10, 2:-2, 2:-2] = ADEGEO.SOLID
+    m[5, 2:-2, 2:-2] = ADEGEO.TRANSFER_FS
+    m[6, 2:-2, 2:-2] = ADEGEO.TRANSFER_SF
+    m[10, 2:-2, 2:-2] = ADEGEO.TRANSFER_SW
+    units = Lattice(global_size=(X, Y, Z), phys_origin=(0, 0, 0), phys_dl=1.0, phys_dt=1.0)
+    dom = Domain(lat=D3Q7, units=units, map=m, periodic=(True, False, False))
+    assert supports_ade(dom)
+    rng = np.random.default_rng(7)
+    nu_field = jnp.asarray(0.01 + 0.02 * rng.random((X, Y, Z)), jnp.float32)
+    tcoef = 0.4
+    tdirs = jnp.asarray(transfer_direction_flags(D3Q7, m))
+    for name, collide in ade.COLLISIONS_D3Q7.items():
+        cfg = LBMConfig(lat=D3Q7, collision=collide, eq=eqlib.eq_quadratic,
+                        compute_dtype=jnp.float32)
+        step_ref = make_ade_step(cfg, dom)
+        step_fused = make_fused_ade_step(cfg, dom, tile=(8, 8), tiles_per_program=1,
+                                         variable_diffusion=True,
+                                         transfer_coeff=tcoef)
+        g, u = _rand_g(cfg, dom, seed=9)
+        g1, g2 = g, g
+        for _ in range(3):
+            g1, phi1 = step_ref(g1, u, nu_field, transfer_dirs=tdirs,
+                                transfer_coeff=tcoef)
+            g2, phi2 = step_fused(g2, u, nu_field)
+        assert float(jnp.abs(g1 - g2).max()) < 1e-6, name
+        assert float(jnp.abs(phi1 - phi2).max()) < 1e-6, name
 
 
 def test_outflow_pe_pull_offset_reads_x_minus_2():
@@ -322,3 +346,58 @@ def test_variable_diffusion_field():
     assert v_fast > 4 * v_slow, (v_slow, v_fast)
     assert np.isclose(v_slow, 2 * D_slow * 60, rtol=0.15), v_slow
     assert np.isclose(v_fast, 2 * D_fast * 60, rtol=0.15), v_fast
+
+
+def test_single_coupled_kernel_matches_two_kernel_path():
+    """ONE NSE+ADE kernel (fused_coupled.py, reference kernels.h:102-176)
+    == the two-kernel fused path, incl. transfer BCs + variable diffusion."""
+    from tnl_lbm_tpu.kernels.fused import make_fused_step
+    from tnl_lbm_tpu.kernels.fused_ade import make_fused_ade_step
+    from tnl_lbm_tpu.kernels.fused_coupled import make_fused_coupled_step
+    from tnl_lbm_tpu.ops import collision as col3
+    from tnl_lbm_tpu.ops.boundary import GEO
+
+    X, Y, Z = 16, 16, 16
+    mn = np.zeros((X, Y, Z), np.uint8)
+    mn[:, 0] = mn[:, -1] = GEO.WALL
+    ma = np.zeros((X, Y, Z), np.uint8)
+    ma[:, 0] = ma[:, -1] = ADEGEO.WALL
+    ma[6:10, 4:-4, 4:-4] = ADEGEO.SOLID
+    ma[5, 4:-4, 4:-4] = ADEGEO.TRANSFER_FS
+    ma[6, 4:-4, 4:-4] = ADEGEO.TRANSFER_SF
+    units = Lattice(global_size=(X, Y, Z), phys_origin=(0, 0, 0), phys_dl=1.0, phys_dt=1.0)
+    nse_dom = Domain(lat=D3Q27, units=units, map=mn, periodic=(True, False, False))
+    ade_dom = Domain(lat=D3Q7, units=units, map=ma, periodic=(True, False, False))
+    cfg = LBMConfig(lat=D3Q27, collision=col3.collide_cum_well, eq=eqlib.eq_well,
+                    well=True, compute_dtype=jnp.float32)
+    ade_cfg = LBMConfig(lat=D3Q7, collision=ade.collide_clbm_ade,
+                        compute_dtype=jnp.float32)
+
+    rng = np.random.default_rng(17)
+    nu_field = jnp.asarray(0.01 + 0.02 * rng.random((X, Y, Z)), jnp.float32)
+    tcoef = 0.3
+    force = jnp.asarray([1e-5, 0, 0], jnp.float32)
+
+    nse_step = make_fused_step(cfg, nse_dom, tile=(8, 8))
+    ade_step = make_fused_ade_step(ade_cfg, ade_dom, tile=(8, 8),
+                                   variable_diffusion=True, transfer_coeff=tcoef)
+    one = make_fused_coupled_step(cfg, nse_dom, ade_cfg, ade_dom, tile=(8, 8),
+                                  tiles_per_program=1,
+                                  variable_diffusion=True, transfer_coeff=tcoef)
+
+    rho0 = jnp.asarray(1 + 0.01 * rng.standard_normal((X, Y, Z)), jnp.float32)
+    u0 = jnp.asarray(0.02 * rng.standard_normal((3, X, Y, Z)), jnp.float32)
+    f = cfg.eq(cfg.lat, rho0, u0).astype(jnp.float32)
+    phi0 = jnp.asarray(rng.random((X, Y, Z)), jnp.float32)
+    g = ade_cfg.eq(ade_cfg.lat, phi0, u0).astype(jnp.float32)
+
+    f1, g1 = f, g
+    f2, g2 = f, g
+    for _ in range(3):
+        f1, rho1, u1 = nse_step(f1, 0.02, force=force)
+        g1, phi1 = ade_step(g1, u1, nu_field)
+        f2, g2, rho2, u2, phi2 = one(f2, g2, 0.02, nu_field, force=force)
+    assert float(jnp.abs(f1 - f2).max()) < 1e-6
+    assert float(jnp.abs(g1 - g2).max()) < 1e-6
+    assert float(jnp.abs(phi1 - phi2).max()) < 1e-6
+    assert float(jnp.abs(u1 - u2).max()) < 1e-6

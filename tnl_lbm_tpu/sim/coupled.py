@@ -67,18 +67,24 @@ class CoupledSimulation(Simulation):
         flags = transfer_direction_flags(self.ade_cfg.lat, self.ade_domain.map)
         self._transfer_dirs = jnp.asarray(flags)
         self._ade_fused = False
+        self._coupled_step = None
         if self.use_fused:
             from tnl_lbm_tpu.kernels.fused_ade import make_fused_ade_step, supports_ade
 
             ade_ok = (
                 supports_ade(self.ade_domain)
                 and self.ade_cfg.streaming == "AB"
-                and np.isscalar(self.ade_diffusion)
                 and (jax.default_backend() == "cpu"
                      or self.ade_domain.shape[-1] % 128 == 0)
             )
             if ade_ok:
-                fused = make_fused_ade_step(self.ade_cfg, self.ade_domain)
+                # variable per-site diffusion and the conjugate TRANSFER_*
+                # BCs ride the fused kernel too (kernels/fused_ade.py)
+                fused = make_fused_ade_step(
+                    self.ade_cfg, self.ade_domain,
+                    variable_diffusion=not np.isscalar(self.ade_diffusion),
+                    transfer_coeff=float(self.transfer_coeff),
+                )
 
                 def ade_step(g, u, nu_ade, phi_in=None, transfer_dirs=None,
                              transfer_coeff=0.0, parity=0):
@@ -88,6 +94,20 @@ class CoupledSimulation(Simulation):
 
                 self._ade_step = ade_step
                 self._ade_fused = True
+                if (self.cfg.streaming == "AB" and self._fused_ok()
+                        and self.cfg.forcing_hook is None
+                        and self.domain.shape == self.ade_domain.shape):
+                    # both halves in ONE kernel: the NSE velocity never
+                    # round-trips through HBM (reference kernels.h:102-176)
+                    from tnl_lbm_tpu.kernels.fused_coupled import (
+                        make_fused_coupled_step,
+                    )
+
+                    self._coupled_step = make_fused_coupled_step(
+                        self.cfg, self.domain, self.ade_cfg, self.ade_domain,
+                        variable_diffusion=not np.isscalar(self.ade_diffusion),
+                        transfer_coeff=float(self.transfer_coeff),
+                    )
             else:
                 self.log.warning(
                     "use_fused requested but the ADE lattice is unsupported "
@@ -107,22 +127,33 @@ class CoupledSimulation(Simulation):
                 return self._jit_steps[key]
             nse_step = self._step
             ade_step = self._ade_step
+            one_kernel = self._coupled_step
 
-            def coupled(f, g, nu, nu_ade, u_in, force, phi_in, tdirs, tcoef):
-                f_new, rho, u = nse_step(
-                    f, nu,
-                    u_in=u_in if have_uin else None,
-                    force=force if have_force else None,
-                    parity=parity,
-                )
-                g_new, phi = ade_step(
-                    g, u, nu_ade,
-                    phi_in=phi_in,
-                    transfer_dirs=tdirs,
-                    transfer_coeff=tcoef,
-                    parity=parity,
-                )
-                return f_new, g_new, rho, u, phi
+            if one_kernel is not None:
+                def coupled(f, g, nu, nu_ade, u_in, force, phi_in, tdirs, tcoef):
+                    del tdirs, tcoef
+                    return one_kernel(
+                        f, g, nu, nu_ade,
+                        u_in=u_in if have_uin else None,
+                        force=force if have_force else None,
+                        phi_in=phi_in,
+                    )
+            else:
+                def coupled(f, g, nu, nu_ade, u_in, force, phi_in, tdirs, tcoef):
+                    f_new, rho, u = nse_step(
+                        f, nu,
+                        u_in=u_in if have_uin else None,
+                        force=force if have_force else None,
+                        parity=parity,
+                    )
+                    g_new, phi = ade_step(
+                        g, u, nu_ade,
+                        phi_in=phi_in,
+                        transfer_dirs=tdirs,
+                        transfer_coeff=tcoef,
+                        parity=parity,
+                    )
+                    return f_new, g_new, rho, u, phi
 
             jfn = jax.jit(coupled, donate_argnums=(0, 1))
             self._jit_steps[key] = jfn

@@ -177,11 +177,9 @@ def make_ade_step(cfg: LBMConfig, domain: Domain, pad_halo=None, local_shape=Non
                 reflected = g_center[qo]
                 fs_sf = reflected + transfer_coeff * (nb_phi - phi_tot)
                 row = f_in[q]
-                m_fs = None
                 for code, repl in ((ADEGEO.TRANSFER_FS, fs_sf), (ADEGEO.TRANSFER_SF, fs_sf), (ADEGEO.TRANSFER_SW, reflected)):
                     if code in codes:
                         row = jnp.where(masks[code] & flag, repl, row)
-                    del m_fs
                 rows.append(row)
             f_in = jnp.stack(rows)
 
