@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tnl_lbm_tpu.models import D3Q7, D3Q27
 from tnl_lbm_tpu.ops import collision_ade as ade
@@ -145,7 +146,7 @@ def test_fused_ade_kernel_matches_xla():
     from tnl_lbm_tpu.kernels.fused_ade import make_fused_ade_step, supports_ade
     from tnl_lbm_tpu.ops import collision_ade as cade
 
-    X, Y, Z = 16, 16, 16
+    X, Y, Z = 8, 16, 8
     m = np.zeros((X, Y, Z), np.uint8)
     m[:, 0] = ADEGEO.WALL
     m[:, -1] = ADEGEO.WALL_BODY
@@ -171,6 +172,7 @@ def test_fused_ade_kernel_matches_xla():
         assert float(jnp.abs(phi1 - phi2).max()) < 1e-6, name
 
 
+@pytest.mark.slow
 def test_fused_ade_transfer_and_variable_diffusion_match_xla():
     """Conjugate TRANSFER_* BCs (packed interface-flag bit-field) and a
     per-site diffusion field on the fused kernel == XLA step (reference
@@ -231,7 +233,7 @@ def test_coupled_fused_matches_xla(tmp_path):
     from tnl_lbm_tpu.ops import collision as col3
     from tnl_lbm_tpu.sim.coupled import CoupledSimulation
 
-    n = 16
+    n = 8
     units = Lattice(global_size=(n, 16, 16), phys_origin=(0, 0, 0), phys_dl=1.0, phys_dt=1.0,
                     phys_viscosity=0.02)
     nse_dom = Domain(lat=D3Q27, units=units, map=np.zeros((n, 16, 16), np.uint8), periodic=(True,) * 3)
@@ -266,6 +268,7 @@ def test_coupled_fused_matches_xla(tmp_path):
         np.testing.assert_allclose(a, b, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_coupled_checkpoint_resume_preserves_scalar(tmp_path):
     """Checkpoint/resume must restore the ADE lattice too (the reference
     saves all DF buffers, state.hpp:677-727)."""
@@ -348,6 +351,7 @@ def test_variable_diffusion_field():
     assert np.isclose(v_fast, 2 * D_fast * 60, rtol=0.15), v_fast
 
 
+@pytest.mark.slow
 def test_single_coupled_kernel_matches_two_kernel_path():
     """ONE NSE+ADE kernel (fused_coupled.py, reference kernels.h:102-176)
     == the two-kernel fused path, incl. transfer BCs + variable diffusion."""

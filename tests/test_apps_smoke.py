@@ -21,6 +21,7 @@ def test_sim_1_smoke(tmp_path):
     _run_few_steps(build(resolution=1, results_parent=tmp_path))
 
 
+@pytest.mark.slow
 def test_sim_1_aa_smoke(tmp_path):
     from tnl_lbm_tpu.apps.sim_1 import build
 
@@ -28,6 +29,7 @@ def test_sim_1_aa_smoke(tmp_path):
                    n_steps=4)
 
 
+@pytest.mark.slow
 def test_sim_3_smoke(tmp_path):
     from tnl_lbm_tpu.apps.sim_3 import build
 
@@ -48,6 +50,7 @@ def test_sim_coupled_smoke(tmp_path):
     assert bool(jnp.isfinite(sim.phi).all())
 
 
+@pytest.mark.slow
 def test_sim_ibm_smoke(tmp_path):
     from tnl_lbm_tpu.apps.sim_ibm import build
 
@@ -55,5 +58,19 @@ def test_sim_ibm_smoke(tmp_path):
     from tnl_lbm_tpu.sim.state import VTK2D
 
     sim.cnt[VTK2D].period = sim.domain.units.phys_dt  # force a points write
+    _run_few_steps(sim, n_steps=2)
+    assert any((sim.results_dir / "ibm_points").glob("*.vtk"))
+
+
+def test_sim_ibm_smoke_xla(tmp_path):
+    """Fast-tier sim_ibm drive on the XLA step (the fused IBM path is
+    covered by the slow-tier smoke + hooked-kernel parity tests)."""
+    import jax.numpy as jnp
+
+    from tnl_lbm_tpu.apps.sim_ibm import build
+    from tnl_lbm_tpu.sim.state import VTK2D
+
+    sim = build(results_parent=tmp_path, use_fused=False)
+    sim.cnt[VTK2D].period = sim.domain.units.phys_dt
     _run_few_steps(sim, n_steps=2)
     assert any((sim.results_dir / "ibm_points").glob("*.vtk"))

@@ -75,6 +75,7 @@ def test_checkpoint_resume(tmp_path):
     sim2._lock.release()
 
 
+@pytest.mark.slow
 def test_use_fused_aa_driver(tmp_path):
     """Simulation with the fused A-A Pallas pair (interpret mode on CPU)
     matches the XLA path after a few steps."""
@@ -171,3 +172,36 @@ def test_second_statistics_window(tmp_path):
     sim2.sim_init()
     assert sim2.stat2_counter == sim.stat2_counter
     np.testing.assert_allclose(np.asarray(sim2.vm_b), np.asarray(sim.vm_b))
+
+
+def test_per_shard_checkpoint_roundtrip(tmp_path):
+    """Sharded arrays are written per shard (reference checkpoint.h:58-101
+    per-block analog) and reassembled exactly on load."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tnl_lbm_tpu.sim import checkpoint as ckpt
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("x", "y"))
+    rng = np.random.default_rng(5)
+    big = rng.standard_normal((9, 16, 8, 4)).astype(np.float32)
+    sharded = jax.device_put(
+        jnp.asarray(big), NamedSharding(mesh, P(None, "x", "y")))
+    small = rng.standard_normal((7,)).astype(np.float32)
+
+    ckpt.save_checkpoint(tmp_path, {"f": sharded, "s": small}, {"iterations": 42})
+    # per-shard files exist; main file carries meta + unsharded arrays
+    assert (tmp_path / "checkpoint.npz").exists()
+    assert len(list(tmp_path.glob("checkpoint_shard*.npz"))) == 8
+
+    arrays, meta = ckpt.load_checkpoint(tmp_path)
+    assert meta["iterations"] == 42
+    np.testing.assert_array_equal(arrays["f"], big)
+    np.testing.assert_array_equal(arrays["s"], small)

@@ -14,7 +14,7 @@ from tnl_lbm_tpu.sim import Domain, LBMConfig, make_step
 from tnl_lbm_tpu.utils import Lattice
 
 
-def duct_domain(X=16, Y=16, Z=16):
+def duct_domain(X=8, Y=16, Z=8):
     m = np.zeros((X, Y, Z), np.uint8)
     m[:, 0] = m[:, -1] = GEO.WALL
     m[:, :, 0] = m[:, :, -1] = GEO.WALL
@@ -33,7 +33,8 @@ def rand_f(dom, cfg, seed=0):
     "collision,eq,well",
     [
         (col.collide_cum_well, eqlib.eq_well, True),
-        (col.collide_cum, eqlib.eq_quadratic, False),
+        pytest.param(col.collide_cum, eqlib.eq_quadratic, False,
+                     marks=pytest.mark.slow),
     ],
     ids=["CUM_WELL", "CUM"],
 )
@@ -53,7 +54,7 @@ def test_fused_matches_xla_step_duct(collision, eq, well):
 
 
 def test_fused_channel_with_inflow_outflow():
-    X, Y, Z = 16, 8, 8
+    X, Y, Z = 8, 8, 8
     m = np.zeros((X, Y, Z), np.uint8)
     m[:, 0] = m[:, -1] = GEO.WALL
     m[:, :, 0] = m[:, :, -1] = GEO.WALL
@@ -68,7 +69,7 @@ def test_fused_channel_with_inflow_outflow():
     u_in = jnp.asarray([0.03, 0.0, 0.0], jnp.float32)
     f1 = f
     f2 = f
-    for _ in range(3):
+    for _ in range(2):
         f1, rho1, u1 = step_ref(f1, 0.02, u_in=u_in)
         f2, rho2, u2 = step_fused(f2, 0.02, u_in=u_in)
     assert float(jnp.abs(f1 - f2).max()) < 1e-6
@@ -97,6 +98,7 @@ def test_fused_aa_rejects_interp_outflow():
         make_fused_step_aa(cfg, dom)
 
 
+@pytest.mark.slow
 def test_fused_interp_outflow_matches_xla():
     """sim_2/sim_3-style channel: moment inflow + Geier interpolated
     outflow on the fused path (reference streaming_AB.h:209-242,
@@ -126,12 +128,14 @@ def test_fused_interp_outflow_matches_xla():
         assert float(jnp.abs(u1 - u2).max()) < 1e-6
 
 
-@pytest.mark.parametrize("periodic", [(True, True, True), (True, False, False)],
-                         ids=["torus", "duct"])
+@pytest.mark.parametrize("periodic", [
+    pytest.param((True, True, True), marks=pytest.mark.slow),
+    pytest.param((True, False, False), marks=pytest.mark.slow)],
+    ids=["torus", "duct"])
 def test_fused_aa_pair_matches_xla_aa(periodic):
     from tnl_lbm_tpu.kernels.fused_aa import make_fused_step_aa
 
-    X, Y, Z = 16, 16, 16
+    X, Y, Z = 8, 16, 8
     m = np.zeros((X, Y, Z), np.uint8)
     if not periodic[1]:
         m[:, 0] = m[:, -1] = GEO.WALL
@@ -153,10 +157,11 @@ def test_fused_aa_pair_matches_xla_aa(periodic):
     assert float(jnp.abs(u1 - u2).max()) < 1e-6
 
 
+@pytest.mark.slow
 def test_fused_aa_channel_inflow_outflow():
     from tnl_lbm_tpu.kernels.fused_aa import make_fused_step_aa
 
-    X, Y, Z = 16, 8, 8
+    X, Y, Z = 8, 8, 8
     m = np.zeros((X, Y, Z), np.uint8)
     m[:, 0] = m[:, -1] = GEO.WALL
     m[:, :, 0] = m[:, :, -1] = GEO.WALL
@@ -170,7 +175,7 @@ def test_fused_aa_channel_inflow_outflow():
     step_aa = make_fused_step_aa(cfg, dom, tile_even=(8, 8), tile_odd=(8, 8))
     u_in = jnp.asarray([0.03, 0.0, 0.0], jnp.float32)
     f1 = f2 = rand_f(dom, cfg, seed=7)
-    for it in range(4):
+    for it in range(2):
         f1, rho1, u1 = step_ref(f1, 0.02, u_in=u_in, parity=it % 2)
         f2, rho2, u2 = step_aa(f2, 0.02, u_in=u_in, parity=it % 2)
         assert float(jnp.abs(f1 - f2).max()) < 1e-6, f"step {it}"
@@ -179,6 +184,7 @@ def test_fused_aa_channel_inflow_outflow():
 
 @pytest.mark.parametrize("periodic", [(True, True, True), (True, False, False)],
                          ids=["torus", "duct"])
+@pytest.mark.slow
 def test_fused_pair_aa_matches_xla(periodic):
     """Persistent-pad pair (even writes the odd kernel's padded layout
     directly) == two XLA A-A steps."""
@@ -209,6 +215,7 @@ def test_fused_pair_aa_matches_xla(periodic):
 
 @pytest.mark.parametrize("periodic", [(True, True, True), (True, False, False)],
                          ids=["torus", "duct"])
+@pytest.mark.slow
 def test_fused_pair2_aa_matches_xla(periodic):
     """One-kernel pair on persistent-padded state == two XLA A-A steps."""
     from tnl_lbm_tpu.kernels.fused_aa import (
@@ -240,6 +247,7 @@ def test_fused_pair2_aa_matches_xla(periodic):
     assert float(jnp.abs(u1 - u2).max()) < 1e-6
 
 
+@pytest.mark.slow
 def test_sitemajor_kernel_matches_xla_step():
     from tnl_lbm_tpu.kernels.fused import from_sitemajor, make_fused_step_sitemajor, to_sitemajor
 
@@ -258,7 +266,9 @@ def test_sitemajor_kernel_matches_xla_step():
     assert float(jnp.abs(from_sitemajor(to_sitemajor(f), 27) - f).max()) == 0.0
 
 
-@pytest.mark.parametrize("streaming", ["AB", "AA"])
+@pytest.mark.parametrize("streaming", [
+    pytest.param("AB", marks=pytest.mark.slow),
+    pytest.param("AA", marks=pytest.mark.slow)])
 def test_hooked_fused_matches_xla(streaming):
     """Forcing-hook configs on the fused path (u* pass + force-field
     kernel, kernels/hooked.py) == the hooked XLA step."""
@@ -302,4 +312,31 @@ def test_hooked_fused_nn_rheology():
         f1, rho1, u1 = step_ref(f1, 0.02, force=force)
         f2, rho2, u2 = step_fused(f2, 0.02, force=force)
     assert float(jnp.abs(f1 - f2).max()) < 1e-6
+    assert float(jnp.abs(u1 - u2).max()) < 1e-6
+
+
+def test_fused_aa_srt_fast_parity():
+    """Fast-tier A-A kernel mechanics (even opposite-write, odd
+    ring-recompute push, walls + NOTHING): the streaming/push logic is
+    operator-independent, so SRT keeps the interpret-mode compile cheap;
+    the cumulant A-A variants run in the slow tier.  BGK (factorized,
+    constant-free) is the cheapest Pallas-safe operator - SRT captures a
+    [Q] weight constant, which pallas_call rejects."""
+    from tnl_lbm_tpu.kernels.fused_aa import make_fused_step_aa
+
+    X, Y, Z = 8, 16, 8
+    m = np.zeros((X, Y, Z), np.uint8)
+    m[:, 0] = m[:, -1] = GEO.WALL
+    m[5, 5, 5] = GEO.NOTHING
+    units = Lattice((X, Y, Z), (0, 0, 0), 1.0, 1.0)
+    dom = Domain(lat=D3Q27, units=units, map=m, periodic=(True, False, True))
+    cfg = LBMConfig(lat=D3Q27, collision=col.collide_bgk, streaming="AA")
+    step_ref = make_step(cfg, dom)
+    step_aa = make_fused_step_aa(cfg, dom, tile_even=(8, 8), tile_odd=(8, 8))
+    f1 = f2 = rand_f(dom, cfg, seed=19)
+    force = jnp.asarray([1e-5, 0, 0], jnp.float32)
+    for it in range(2):
+        f1, rho1, u1 = step_ref(f1, 0.02, force=force, parity=it % 2)
+        f2, rho2, u2 = step_aa(f2, 0.02, force=force, parity=it % 2)
+        assert float(jnp.abs(f1 - f2).max()) < 1e-6, f"step {it}"
     assert float(jnp.abs(u1 - u2).max()) < 1e-6

@@ -41,9 +41,9 @@ def _setup(method):
 
 
 @pytest.mark.parametrize("mesh_shape,method", [
-    ((8, 1, 1), "modified"),
-    ((2, 2, 2), "modified"),
-    ((2, 2, 2), "original"),
+    pytest.param((8, 1, 1), "modified", marks=pytest.mark.slow),
+    pytest.param((2, 2, 2), "modified", marks=pytest.mark.slow),
+    pytest.param((2, 2, 2), "original", marks=pytest.mark.slow),
 ], ids=["x8-dense", "2x2x2-dense", "2x2x2-matfree"])
 def test_ibm_coupled_step_1_vs_8(mesh_shape, method):
     dom, ibm = _setup(method)

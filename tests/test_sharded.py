@@ -69,10 +69,12 @@ def test_3d_channel_mesh222():
 
 
 def test_3d_periodic_box_wraps_across_shards():
+    # halo correctness is operator-independent; SRT keeps the compile cheap
+    # (mesh222 covers the cumulant under sharding)
     n = 8
     units = Lattice(global_size=(n, n, n), phys_origin=(0, 0, 0), phys_dl=1.0, phys_dt=1.0)
     dom = Domain(lat=D3Q27, units=units, map=np.zeros((n, n, n), np.uint8), periodic=(True,) * 3)
-    cfg = LBMConfig(lat=D3Q27, collision=col3.collide_cum, compute_dtype=jnp.float64)
+    cfg = LBMConfig(lat=D3Q27, collision=col3.collide_srt, compute_dtype=jnp.float64)
     mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("x", "y"))
     plan = ShardPlan(mesh=mesh, spatial_axes=("x", "y", None))
     _compare(cfg, dom, plan, n_steps=4, force=jnp.array([1e-5, 0.0, 0.0]))
@@ -82,7 +84,7 @@ def test_3d_aa_pattern_sharded():
     n = 8
     units = Lattice(global_size=(n, n, n), phys_origin=(0, 0, 0), phys_dl=1.0, phys_dt=1.0)
     dom = Domain(lat=D3Q27, units=units, map=np.zeros((n, n, n), np.uint8), periodic=(True,) * 3)
-    cfg = LBMConfig(lat=D3Q27, collision=col3.collide_cum, streaming="AA", compute_dtype=jnp.float64)
+    cfg = LBMConfig(lat=D3Q27, collision=col3.collide_srt, streaming="AA", compute_dtype=jnp.float64)
     mesh = Mesh(np.array(jax.devices()).reshape(2, 2, 2), ("x", "y", "z"))
     plan = ShardPlan(mesh=mesh, spatial_axes=("x", "y", "z"))
     _compare(cfg, dom, plan, n_steps=4, parities=True)
@@ -102,6 +104,7 @@ def test_2d_channel_mesh42():
     _compare(cfg, dom, plan, n_steps=4, u_in=jnp.array([0.03, 0.0]))
 
 
+@pytest.mark.slow
 def test_3d_fused_aa_distributed_matches_single():
     """Distributed Pallas A-A pair (even: no comms; odd: 2-wide ppermute
     halos + prepadded push kernel) vs the single-device XLA A-A step."""
@@ -167,6 +170,7 @@ def test_weak_scaling_prediction_meets_baseline():
     assert predicted_weak_scaling(dom, plan, 0.0139, overlapped=True) >= eff
 
 
+@pytest.mark.slow
 def test_driver_sharded_fused_aa(tmp_path):
     """Simulation(plan=..., use_fused=True) picks the distributed Pallas
     A-A pair and matches the plain sharded driver."""
@@ -197,6 +201,7 @@ def test_driver_sharded_fused_aa(tmp_path):
     np.testing.assert_allclose(res[0], res[1], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_3d_fused_distributed_matches_single():
     """Distributed Pallas path (ppermute halos + fused kernel) vs the
     single-device XLA step (interpret mode on the virtual CPU mesh)."""
@@ -257,6 +262,7 @@ def test_choose_plan_optimizer():
     assert tuple(plan3.mesh.shape[a] for a in ("x", "y", "z")) == (8, 1, 1)
 
 
+@pytest.mark.slow
 def test_subset_halo_exchange_matches_full():
     """Direction-subset halos (df_sync_directions analog) == full exchange."""
     from tnl_lbm_tpu.parallel.halo import make_halo_pad

@@ -240,7 +240,11 @@ def _stream_bc_collide(lat, cfg, codes, sym_codes, eq_kind, do_coll_codes,
         rho = jnp.where(mm, one, rho)
 
     rho_safe = jnp.where(rho == 0, one, rho)
-    f_post = cfg.collision(lat, f_in, rho_safe, u, nu, force=force)
+    # collisions that consume forcing (SRT family) need a broadcastable
+    # array, not the list of SMEM scalars the moments use
+    force_c = (force if force_tile is not None
+               else jnp.stack(force).reshape((3, 1, 1, 1)))
+    f_post = cfg.collision(lat, f_in, rho_safe, u, nu, force=force_c)
     do_coll = jnp.zeros_like(m, dtype=jnp.bool_)
     for code in do_coll_codes:
         do_coll = do_coll | (m == code)
