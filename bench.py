@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import time
 
 BASELINE_MLUPS = 1000.0
@@ -60,11 +61,19 @@ def main():
     init_state = None
     if on_tpu and supports(dom):
         cfg_aa = dataclasses.replace(cfg, streaming="AA")
+        tile, k = (8, 32), 2  # sweep winner on the v5e bench chip
+        if os.environ.get("TNL_BENCH_AUTOTUNE") == "1":
+            # re-measure the tile geometry on THIS chip (reference
+            # block_size_optimizer analog, kernels/autotune.py); cached
+            from tnl_lbm_tpu.kernels.autotune import tune_pair2
+
+            tx, ty, k = tune_pair2(cfg_aa, dom)
+            tile = (tx, ty)
         try:
             # one-kernel pair: both parities in VMEM per tile, single
             # windowed read + interior write per 2 steps
-            pair2 = make_fused_pair2_aa(cfg_aa, dom, tile=(8, 32),
-                                        tiles_per_program=2)
+            pair2 = make_fused_pair2_aa(cfg_aa, dom, tile=tile,
+                                        tiles_per_program=k)
             kernel_name = "pallas-fused-AA-pair2"
             # no donation: in/out are same-shape, XLA would alias them and
             # aliased in/out DMA costs ~1.8x bandwidth

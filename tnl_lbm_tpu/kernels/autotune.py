@@ -1,0 +1,120 @@
+"""Runtime kernel-geometry autotuner.
+
+Analog of the reference's empirical CUDA block-size chooser
+(block_size_optimizer.h:17-111: 256 threads SP / 128 DP, halve while
+undersized, tuned on GTX 1080 / V100 / A100).  On TPU the tunable is the
+Pallas tile geometry ``(tx, ty, tiles_per_program)``: the right choice
+depends on VMEM size, HBM bandwidth and the VPU:DMA balance of the chip,
+so instead of baking per-chip constants this module TIMES the candidate
+configurations on the actual device once and caches the winner per
+(device kind, lattice shape, kernel) in a JSON file.
+
+Candidates that fail to compile (VMEM overflow, Mosaic limits on an
+unknown chip) are skipped - exactly the reference's "halve while it does
+not fit" behavior, discovered empirically instead of computed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+
+import jax
+
+_DEFAULT_CACHE = "~/.cache/tnl_lbm_tpu/autotune.json"
+
+
+def _cache_path() -> Path:
+    return Path(os.environ.get("TNL_AUTOTUNE_CACHE", _DEFAULT_CACHE)).expanduser()
+
+
+def device_kind() -> str:
+    d = jax.devices()[0]
+    return f"{d.platform}:{getattr(d, 'device_kind', 'unknown')}"
+
+
+def _load() -> dict:
+    p = _cache_path()
+    if p.exists():
+        try:
+            return json.loads(p.read_text())
+        except (ValueError, OSError):
+            return {}
+    return {}
+
+
+def _store(cache: dict) -> None:
+    p = _cache_path()
+    p.parent.mkdir(parents=True, exist_ok=True)
+    tmp = p.with_suffix(".tmp")
+    tmp.write_text(json.dumps(cache, indent=1, sort_keys=True))
+    tmp.replace(p)
+
+
+def autotune(key: str, candidates, time_candidate, default, force: bool = False):
+    """Return the fastest candidate for ``key`` on this device.
+
+    ``time_candidate(c) -> seconds`` builds + times one configuration and
+    may raise (failed compiles are skipped).  On CPU (interpret mode -
+    timings are meaningless) the ``default`` is returned untimed.  Winners
+    persist in the cache file; ``force=True`` re-measures.
+    """
+    full_key = f"{device_kind()}|{key}"
+    cache = _load()
+    if not force and full_key in cache:
+        hit = cache[full_key]
+        return tuple(hit) if isinstance(hit, list) else hit
+    if jax.default_backend() == "cpu":
+        return default
+    best, best_t = None, None
+    results = {}
+    for c in candidates:
+        try:
+            t = time_candidate(c)
+        except Exception:  # failed compile / OOM on this chip: skip
+            continue
+        results[str(c)] = round(t, 6)
+        if best_t is None or t < best_t:
+            best, best_t = c, t
+    if best is None:
+        return default
+    cache[full_key] = list(best) if isinstance(best, tuple) else best
+    cache.setdefault("__measurements__", {})[full_key] = results
+    _store(cache)
+    return best
+
+
+def tune_pair2(cfg, domain, candidates=None, iters: int = 10):
+    """Pick the best (tx, ty, K) for the one-kernel A-A pair on this chip.
+
+    Used by bench.py with TNL_BENCH_AUTOTUNE=1; the default (8, 32, 2) is
+    the sweep winner on the v5e-class bench chip (docs/PERFORMANCE.md).
+    """
+    import jax.numpy as jnp
+
+    from tnl_lbm_tpu.kernels.fused_aa import make_fused_pair2_aa, to_padded_aa
+    from tnl_lbm_tpu.sim import initial_dfs
+
+    default = (8, 32, 2)
+    if candidates is None:
+        candidates = [(8, 32, 2), (8, 16, 2), (8, 32, 3), (4, 32, 2), (8, 16, 4)]
+
+    def time_candidate(c):
+        tx, ty, k = c
+        pair = make_fused_pair2_aa(cfg, domain, tile=(tx, ty), tiles_per_program=k)
+        force = jnp.zeros((3,), cfg.compute_dtype)
+        step = jax.jit(lambda f: pair(f, 0.02, force=force)[0])
+        f = to_padded_aa(initial_dfs(cfg, domain), domain.periodic)
+        f = step(f)
+        float(f[0, 0, 0, 0])  # compile + sync
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            f = step(f)
+        assert float(f[0, 0, 0, 0]) == float(f[0, 0, 0, 0])
+        return (time.perf_counter() - t0) / iters
+
+    shape = "x".join(str(s) for s in domain.shape)
+    return autotune(f"pair2|{shape}|{cfg.compute_dtype.__name__}",
+                    candidates, time_candidate, default)

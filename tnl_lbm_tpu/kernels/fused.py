@@ -96,6 +96,24 @@ def _eq_local(lat, rho, u, kind):
                 term = term * factors[a][int(lat.c[q, a])]
             rows.append(term)
         return jnp.stack(rows)
+    if kind == "entropic":
+        # sqrt product form (Karlin et al., reference eq_entropic.h:90-216)
+        factors = []
+        for a in range(3):
+            v = u[a]
+            s = jnp.sqrt(1 + 3 * v * v)
+            base = 2 - s
+            r = (2 * v + s) / (1 - v)
+            factors.append({0: (2.0 / 3.0) * base,
+                            1: (1.0 / 6.0) * base * r,
+                            -1: (1.0 / 6.0) * base / r})
+        rows = []
+        for q in range(lat.Q):
+            term = rho
+            for a in range(3):
+                term = term * factors[a][int(lat.c[q, a])]
+            rows.append(term)
+        return jnp.stack(rows)
     uu = u[0] * u[0] + u[1] * u[1] + u[2] * u[2]
     rows = []
     for q in range(lat.Q):
@@ -112,6 +130,8 @@ def _eq_kind(cfg) -> str:
 
     if cfg.eq is eqlib.eq_inv_cum:
         return "invcum"
+    if cfg.eq is eqlib.eq_entropic:
+        return "entropic"
     if cfg.eq is eqlib.eq_well or cfg.well:
         return "well"
     return "quad"
