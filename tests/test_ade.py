@@ -405,3 +405,62 @@ def test_single_coupled_kernel_matches_two_kernel_path():
     assert float(jnp.abs(g1 - g2).max()) < 1e-6
     assert float(jnp.abs(phi1 - phi2).max()) < 1e-6
     assert float(jnp.abs(u1 - u2).max()) < 1e-6
+
+
+def test_sharded_coupled_matches_single_device(tmp_path):
+    """Distributed dual-lattice NSE+ADE (reference multi-GPU State_NSE_ADE):
+    CoupledSimulation on a 4x2 mesh == single-device run, incl. conjugate
+    transfer BCs."""
+    import jax
+
+    from tnl_lbm_tpu.ops import collision as col3
+    from tnl_lbm_tpu.sim.coupled import CoupledSimulation
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from jax.sharding import Mesh
+
+    from tnl_lbm_tpu.parallel.sharded import ShardPlan
+
+    X, Y, Z = 16, 16, 8
+    units = Lattice(global_size=(X, Y, Z), phys_origin=(0, 0, 0),
+                    phys_dl=1.0, phys_dt=1.0, phys_viscosity=0.02)
+    mn = np.zeros((X, Y, Z), np.uint8)
+    ma = np.zeros((X, Y, Z), np.uint8)
+    ma[6:10, 4:-4, :] = ADEGEO.SOLID
+    ma[5, 4:-4, :] = ADEGEO.TRANSFER_FS
+    ma[6, 4:-4, :] = ADEGEO.TRANSFER_SF
+    nse_dom = Domain(lat=D3Q27, units=units, map=mn, periodic=(True,) * 3)
+    ade_dom = Domain(lat=D3Q7, units=units, map=ma, periodic=(True,) * 3)
+    cfg = LBMConfig(lat=D3Q27, collision=col3.collide_cum_well,
+                    eq=eqlib.eq_well, well=True, compute_dtype=jnp.float32)
+    ade_cfg = LBMConfig(lat=D3Q7, collision=ade.collide_clbm_ade,
+                        compute_dtype=jnp.float32)
+
+    class Sim(CoupledSimulation):
+        def body_force(self, t):
+            return np.array([1e-4, 0.0, 0.0])
+
+        def initial_phi(self):
+            x = np.zeros((X, Y, Z), np.float32)
+            x[2:6] = 1.0
+            return jnp.asarray(x)
+
+    def run(plan, tag):
+        sim = Sim(cfg, nse_dom, ade_cfg, ade_dom,
+                  ade_diffusion=5e-3, transfer_coeff=0.3,
+                  sim_id=f"coupshard_{tag}", results_parent=tmp_path,
+                  phys_final_time=4.0, plan=plan)
+        sim.sim_init()
+        sim._advance(4)
+        return (np.asarray(jax.device_get(sim.f)),
+                np.asarray(jax.device_get(sim.g)),
+                np.asarray(jax.device_get(sim.phi)))
+
+    f1, g1, phi1 = run(None, "single")
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("x", "y"))
+    plan = ShardPlan(mesh=mesh, spatial_axes=("x", "y", None))
+    fN, gN, phiN = run(plan, "mesh42")
+    assert float(np.abs(f1 - fN).max()) < 5e-6
+    assert float(np.abs(g1 - gN).max()) < 5e-6
+    assert float(np.abs(phi1 - phiN).max()) < 5e-6

@@ -196,6 +196,71 @@ def make_sharded_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan):
     return step
 
 
+def make_sharded_ade_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan):
+    """Distributed D3Q7 ADE step (the ADE half of the reference's multi-GPU
+    coupled run, state_NSE_ADE.h + lbm.hpp sync): shard_map around
+    sim/step_ade.make_ade_step with ppermute halo exchange.
+
+    Returns ``step(g, u, map_arr, nu, phi_in, transfer_dirs, transfer_coeff,
+    parity) -> (g_new, phi)`` on plan-sharded arrays (u is the NSE step's
+    sharded macro velocity).
+    """
+    from tnl_lbm_tpu.sim.step_ade import ADEGEO, make_ade_step
+    import numpy as _np
+
+    plan.check(domain)
+    codes = {ADEGEO(int(c)) for c in _np.unique(domain.map)}
+    if ADEGEO.OUTFLOW_PE in codes:
+        # _pull_offset pads its own halos locally; at y/z shard seams on the
+        # outflow plane that replicates instead of exchanging
+        for a in (1, 2):
+            name = plan.spatial_axes[a]
+            if name is not None and plan.mesh.shape[name] > 1:
+                raise NotImplementedError(
+                    "OUTFLOW_PE with a sharded y/z axis is not supported")
+        if plan.local_shape(domain)[0] < 3:
+            raise NotImplementedError("OUTFLOW_PE needs local x width >= 3")
+    pad = make_halo_pad(plan.mesh, plan.spatial_axes, domain.periodic)
+    local_step = make_ade_step(
+        cfg, domain, pad_halo=lambda f: pad(f),
+        local_shape=plan.local_shape(domain))
+    has_transfer = bool(codes & {ADEGEO.TRANSFER_FS, ADEGEO.TRANSFER_SF,
+                                 ADEGEO.TRANSFER_SW})
+
+    def step(g, u, map_arr, nu, phi_in=None, transfer_dirs=None,
+             transfer_coeff=0.0, parity: int = 0):
+        dt = cfg.compute_dtype
+        nu = jnp.asarray(nu, dt)
+        tcoef = jnp.asarray(transfer_coeff, dt)
+        phi_b = (jnp.zeros((), dt) if phi_in is None
+                 else jnp.asarray(phi_in, dt))
+        have_phi_in = phi_in is not None
+
+        def local(g, u, map_arr, nu, phi_b, tcoef, *rest):
+            tdirs = rest[0] if has_transfer else None
+            return local_step(
+                g, u, nu,
+                phi_in=phi_b if have_phi_in else None,
+                transfer_dirs=tdirs, transfer_coeff=tcoef,
+                parity=parity, map_arr=map_arr,
+            )
+
+        # nu may be a per-site diffusion field (shard it) or a scalar
+        nu_spec = plan.spec_site if jnp.ndim(nu) > 0 else P()
+        in_specs = [plan.spec_f, plan.spec_f, plan.spec_site, nu_spec, P(), P()]
+        operands = [g, u, map_arr, nu, phi_b, tcoef]
+        if has_transfer:
+            in_specs.append(plan.spec_f)
+            operands.append(transfer_dirs)
+        sharded = shard_map(
+            local, mesh=plan.mesh, in_specs=tuple(in_specs),
+            out_specs=(plan.spec_f, plan.spec_site), check_vma=False,
+        )
+        return sharded(*operands)
+
+    return step
+
+
 def make_sharded_fused_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan,
                             tile=None, tiles_per_program: int = 2,
                             with_macro: bool = True):

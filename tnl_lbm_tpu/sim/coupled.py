@@ -68,6 +68,31 @@ class CoupledSimulation(Simulation):
         self._transfer_dirs = jnp.asarray(flags)
         self._ade_fused = False
         self._coupled_step = None
+        if self.plan is not None:
+            # distributed dual-lattice run (reference multi-GPU
+            # State_NSE_ADE): both lattices shard over the same mesh; the
+            # sharded NSE step (self._step) feeds its sharded velocity
+            # straight into the sharded ADE step
+            from tnl_lbm_tpu.parallel.sharded import make_sharded_ade_step
+
+            sharded_ade = make_sharded_ade_step(
+                self.ade_cfg, self.ade_domain, self.plan)
+            self._map_ade_sharded = self.plan.shard_field(
+                jnp.asarray(self.ade_domain.map), like_f=False)
+            self._transfer_dirs = self.plan.shard_field(
+                self._transfer_dirs, like_f=True)
+            self.g = self.plan.shard_field(self.g, like_f=True)
+
+            def ade_step(g, u, nu_ade, phi_in=None, transfer_dirs=None,
+                         transfer_coeff=0.0, parity=0):
+                return sharded_ade(
+                    g, u, self._map_ade_sharded, nu_ade, phi_in=phi_in,
+                    transfer_dirs=transfer_dirs,
+                    transfer_coeff=transfer_coeff, parity=parity,
+                )
+
+            self._ade_step = ade_step
+            return
         if self.use_fused:
             from tnl_lbm_tpu.kernels.fused_ade import make_fused_ade_step, supports_ade
 
@@ -129,7 +154,25 @@ class CoupledSimulation(Simulation):
             ade_step = self._ade_step
             one_kernel = self._coupled_step
 
-            if one_kernel is not None:
+            if self.plan is not None:
+                map_sharded = self._map_sharded
+
+                def coupled(f, g, nu, nu_ade, u_in, force, phi_in, tdirs, tcoef):
+                    f_new, rho, u = nse_step(
+                        f, map_sharded, nu,
+                        u_in=u_in if have_uin else None,
+                        force=force if have_force else None,
+                        parity=parity,
+                    )
+                    g_new, phi = ade_step(
+                        g, u, nu_ade,
+                        phi_in=phi_in,
+                        transfer_dirs=tdirs,
+                        transfer_coeff=tcoef,
+                        parity=parity,
+                    )
+                    return f_new, g_new, rho, u, phi
+            elif one_kernel is not None:
                 def coupled(f, g, nu, nu_ade, u_in, force, phi_in, tdirs, tcoef):
                     del tdirs, tcoef
                     return one_kernel(
