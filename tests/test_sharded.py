@@ -162,8 +162,11 @@ def test_weak_scaling_prediction_meets_baseline():
     plan = ShardPlan(mesh=mesh, spatial_axes=("x", "y", None))
     ht = halo_traffic(dom, plan)
     assert ht.messages_per_step_per_device == 4  # 2 slabs per sharded axis
-    # local block 256^3: 27 comps * 2 slabs/axis * 256*256 sites * 4 B * 2 axes
-    assert ht.bytes_per_step_per_device == 27 * 2 * (256 * 256 + 256 * 256) * 4
+    # direction-subset exchange: 9 of 27 components cross each cut
+    # (df_sync_directions analog); full-exchange figure is 3x
+    assert ht.bytes_per_step_per_device == 9 * 2 * (256 * 256 + 256 * 256) * 4
+    full = halo_traffic(dom, plan, subset=False)
+    assert full.bytes_per_step_per_device == 3 * ht.bytes_per_step_per_device
     # measured persistent-pad pair: 27.9 ms / 2 steps at 256^3 per chip
     eff = predicted_weak_scaling(dom, plan, 0.0139, overlapped=False)
     assert eff > 0.99

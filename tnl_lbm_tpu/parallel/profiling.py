@@ -58,41 +58,49 @@ def predicted_weak_scaling(domain: Domain, plan,
     XLA overlaps ppermute with independent compute, so `overlapped=True`
     is the realistic estimate; the serialized figure is the lower bound.
     """
-    ht = halo_traffic(domain, plan)
     # each sharded axis uses its own ICI links; the slab bytes per axis
     # transfer concurrently, so the halo time is set by the busiest axis
     local = plan.local_shape(domain)
-    Q = domain.lat.Q
     worst = 0.0
     for a, name in enumerate(plan.spatial_axes):
         if name is None or plan.mesh.shape[name] == 1:
             continue
         slab_sites = int(np.prod([s for i, s in enumerate(local) if i != a]))
-        axis_bytes = 2 * Q * slab_sites * 4
+        q_face = int((np.asarray(domain.lat.c)[:, a] == 1).sum())
+        axis_bytes = 2 * q_face * slab_sites * 4
         worst = max(worst, axis_bytes / (ici_gbps * 1e9))
     if overlapped:
         return step_seconds / max(step_seconds, worst)
     return step_seconds / (step_seconds + worst)
 
 
-def halo_traffic(domain: Domain, plan, itemsize: int = 4) -> HaloTraffic:
+def halo_traffic(domain: Domain, plan, itemsize: int = 4,
+                 subset: bool = True) -> HaloTraffic:
     """Exact per-device halo bytes per step for a ShardPlan.
 
-    Each sharded lattice axis exchanges two 1-wide face slabs of the full
-    [Q, ...] array per step (send + receive are counted once, as in the
-    reference's 'sent bytes' accounting).  Axes with mesh extent 1 (or
-    unsharded) cost nothing.
+    Each sharded lattice axis exchanges two 1-wide face slabs per step
+    (send + receive counted once, as in the reference's 'sent bytes'
+    accounting).  With ``subset=True`` (the production XLA sharded path,
+    parallel/halo.py) each face carries only the components whose lattice
+    direction crosses the cut - the reference's ``df_sync_directions``
+    optimization (defs.h:307-340): 9 of 27 for D3Q27, 3 of 9 for D2Q9.
+    ``subset=False`` gives the full-exchange figure (Bouzidi domains, the
+    Pallas distributed kernels' slab assembly).
     """
     local = plan.local_shape(domain)
-    Q = domain.lat.Q
+    lat = domain.lat
     total_bytes = 0
     messages = 0
     for a, name in enumerate(plan.spatial_axes):
         if name is None or plan.mesh.shape[name] == 1:
             continue
+        if subset:
+            q_face = int((np.asarray(lat.c)[:, a] == 1).sum())
+        else:
+            q_face = lat.Q
         slab_sites = int(np.prod([s for i, s in enumerate(local) if i != a]))
         # two directions, halo width 1, padded-so-far axes add negligible rim
-        total_bytes += 2 * Q * slab_sites * itemsize
+        total_bytes += 2 * q_face * slab_sites * itemsize
         messages += 2
     n_dev = int(np.prod([plan.mesh.shape[n] for n in plan.mesh.axis_names]))
     return HaloTraffic(
