@@ -31,7 +31,8 @@ class Sim1(Simulation):
         return np.array([self.lbm_inflow_vx, 0.0, 0.0])
 
 
-def build(resolution: int = 1, final_time: float = 1.0, results_parent=".", streaming="AB"):
+def build(resolution: int = 1, final_time: float = 1.0, results_parent=".",
+          streaming="AB", use_fused: bool = True):
     X = 128 * resolution
     Y = 32 * resolution
     Z = Y
@@ -81,6 +82,9 @@ def build(resolution: int = 1, final_time: float = 1.0, results_parent=".", stre
         sim_id=f"sim_1_res{resolution:02d}",
         results_parent=results_parent,
         phys_final_time=final_time,
+        # the interpolated outflow now runs in the fused A-B kernel
+        # (kernels/fused.py); A-A configs with it fall back to XLA
+        use_fused=use_fused,
     )
     sim.lbm_inflow_vx = units.phys2lbm_velocity(phys_velocity)
     sim.cnt[PRINT].period = 0.001
@@ -104,10 +108,12 @@ def main(argv=None):
     p.add_argument("--final-time", type=float, default=1.0)
     p.add_argument("--results-dir", default=".")
     p.add_argument("--streaming", choices=["AB", "AA"], default="AB")
+    p.add_argument("--no-fused", action="store_true")
     args = p.parse_args(argv)
     if args.resolution < 1:
         p.error("resolution must be at least 1")
-    sim = build(args.resolution, args.final_time, args.results_dir, args.streaming)
+    sim = build(args.resolution, args.final_time, args.results_dir, args.streaming,
+                use_fused=not args.no_fused)
     sim.run()
 
 

@@ -28,7 +28,8 @@ class Sim3(Simulation):
         return np.array([self.lbm_inflow_vx, 0.0, 0.0])
 
 
-def build(resolution: int = 1, re: float = 100.0, final_time: float = 1.0, results_parent="."):
+def build(resolution: int = 1, re: float = 100.0, final_time: float = 1.0,
+          results_parent=".", use_fused: bool = True):
     X = 128 * resolution
     Y = Z = 32 * resolution
     lbm_viscosity = 1e-2
@@ -62,6 +63,7 @@ def build(resolution: int = 1, re: float = 100.0, final_time: float = 1.0, resul
         sim_id=f"sim_3_res{resolution:02d}_re{int(re)}",
         results_parent=results_parent,
         phys_final_time=final_time,
+        use_fused=use_fused,
     )
     sim.lbm_inflow_vx = units.phys2lbm_velocity(phys_velocity)
     sim.cnt[PRINT].period = final_time / 100
@@ -76,8 +78,10 @@ def main(argv=None):
     p.add_argument("--re", type=float, default=100.0)
     p.add_argument("--final-time", type=float, default=1.0)
     p.add_argument("--results-dir", default=".")
+    p.add_argument("--no-fused", action="store_true")
     args = p.parse_args(argv)
-    sim = build(args.resolution, args.re, args.final_time, args.results_dir)
+    sim = build(args.resolution, args.re, args.final_time, args.results_dir,
+                use_fused=not args.no_fused)
     sim.run()
 
 
