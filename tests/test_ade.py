@@ -464,3 +464,55 @@ def test_sharded_coupled_matches_single_device(tmp_path):
     assert float(np.abs(f1 - fN).max()) < 5e-6
     assert float(np.abs(g1 - gN).max()) < 5e-6
     assert float(np.abs(phi1 - phiN).max()) < 5e-6
+
+
+@pytest.mark.slow
+def test_coupled_aa_pair_matches_xla():
+    """A-A coupled kernels (even + odd, both lattices per dispatch) == the
+    XLA coupled A-A steps."""
+    from tnl_lbm_tpu.kernels.fused_coupled import make_fused_coupled_step_aa
+    from tnl_lbm_tpu.ops import collision as col3
+    from tnl_lbm_tpu.ops.boundary import GEO
+    from tnl_lbm_tpu.sim import make_step
+
+    X, Y, Z = 8, 16, 8
+    mn = np.zeros((X, Y, Z), np.uint8)
+    mn[:, 0] = mn[:, -1] = GEO.WALL
+    ma = np.zeros((X, Y, Z), np.uint8)
+    ma[:, 0] = ma[:, -1] = ADEGEO.WALL
+    ma[4, 8, 4] = ADEGEO.NOTHING
+    units = Lattice(global_size=(X, Y, Z), phys_origin=(0, 0, 0), phys_dl=1.0, phys_dt=1.0)
+    nse_dom = Domain(lat=D3Q27, units=units, map=mn, periodic=(True, False, True))
+    ade_dom = Domain(lat=D3Q7, units=units, map=ma, periodic=(True, False, True))
+    cfg = LBMConfig(lat=D3Q27, collision=col3.collide_cum_well, eq=eqlib.eq_well,
+                    well=True, streaming="AA", compute_dtype=jnp.float32)
+    ade_cfg = LBMConfig(lat=D3Q7, collision=ade.collide_clbm_ade,
+                        streaming="AA", compute_dtype=jnp.float32)
+
+    rng = np.random.default_rng(29)
+    nu_field = jnp.asarray(0.01 + 0.02 * rng.random((X, Y, Z)), jnp.float32)
+    force = jnp.asarray([1e-5, 0, 0], jnp.float32)
+
+    nse_ref = make_step(cfg, nse_dom)
+    ade_ref = make_ade_step(ade_cfg, ade_dom)
+    pair = make_fused_coupled_step_aa(cfg, nse_dom, ade_cfg, ade_dom,
+                                      tile_even=(8, 8), tile_odd=(8, 8),
+                                      tiles_per_program=1,
+                                      variable_diffusion=True)
+
+    rho0 = jnp.asarray(1 + 0.01 * rng.standard_normal((X, Y, Z)), jnp.float32)
+    u0 = jnp.asarray(0.02 * rng.standard_normal((3, X, Y, Z)), jnp.float32)
+    f1 = f2 = cfg.eq(cfg.lat, rho0, u0).astype(jnp.float32)
+    phi0 = jnp.asarray(rng.random((X, Y, Z)), jnp.float32)
+    g1 = g2 = ade_cfg.eq(ade_cfg.lat, phi0, u0).astype(jnp.float32)
+
+    for it in range(4):
+        par = it % 2
+        f1, rho1, u1 = nse_ref(f1, 0.02, force=force, parity=par)
+        g1, phi1 = ade_ref(g1, u1, nu_field, parity=par)
+        f2, g2, rho2, u2, phi2 = pair(f2, g2, 0.02, nu_field, force=force,
+                                      parity=par)
+        assert float(jnp.abs(f1 - f2).max()) < 1e-6, f"step {it} (f)"
+        assert float(jnp.abs(g1 - g2).max()) < 1e-6, f"step {it} (g)"
+    assert float(jnp.abs(u1 - u2).max()) < 1e-6
+    assert float(jnp.abs(phi1 - phi2).max()) < 1e-6

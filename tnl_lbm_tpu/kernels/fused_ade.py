@@ -88,12 +88,17 @@ def _pad_ade(g, periodic):
 
 
 def _ade_tile_body(lat, codes, sym_codes, do_coll_codes, collide,
-                   use_local_eq, shifted, m, u, nu, phi_in, tf, tcoef, Q):
+                   use_local_eq, shifted, m, u, nu, phi_in, tf, tcoef, Q,
+                   out_perm=None, defer_nothing=False):
     """Stream + BC + collide for one ADE tile; shared by the standalone ADE
-    kernel and the single coupled NSE+ADE kernel (kernels/fused_coupled.py).
+    kernel and the coupled NSE+ADE kernels (kernels/fused_coupled.py).
 
     ``shifted(q, (ox, oy, oz))`` reads the g window; ``tf`` is the packed
-    transfer-flag tile (or None).  Returns (f_post, phi).
+    transfer-flag tile (or None).  ``out_perm`` permutes the output
+    components before the NOTHING restore (A-A even step writes
+    opposite-direction, d3q7/streaming_AA.h); ``defer_nothing=True`` skips
+    the NOTHING restore for the A-A odd kernel (applied at the destination
+    site after the push).  Returns (f_post, phi).
     """
     opp = np.asarray(lat.opp)
     masks = {c: (m == int(c)) for c in codes}
@@ -192,10 +197,13 @@ def _ade_tile_body(lat, codes, sym_codes, do_coll_codes, collide,
         do_coll = do_coll | (m == code)
     f_post = jnp.where(do_coll, f_post, f_in)
 
-    if ADEGEO.NOTHING in codes:
+    if out_perm is not None:
+        f_post = jnp.stack([f_post[int(out_perm[q])] for q in range(Q)])
+    if ADEGEO.NOTHING in codes and not defer_nothing:
         mm = masks[ADEGEO.NOTHING]
         f_post = jnp.where(mm, center, f_post)
-        phi = jnp.where(mm, jnp.zeros_like(phi), phi)
+    if ADEGEO.NOTHING in codes:
+        phi = jnp.where(masks[ADEGEO.NOTHING], jnp.zeros_like(phi), phi)
     return f_post, phi
 
 

@@ -96,12 +96,10 @@ class CoupledSimulation(Simulation):
         if self.use_fused:
             from tnl_lbm_tpu.kernels.fused_ade import make_fused_ade_step, supports_ade
 
-            ade_ok = (
-                supports_ade(self.ade_domain)
-                and self.ade_cfg.streaming == "AB"
-                and (jax.default_backend() == "cpu"
-                     or self.ade_domain.shape[-1] % 128 == 0)
-            )
+            z_ok = (jax.default_backend() == "cpu"
+                    or self.ade_domain.shape[-1] % 128 == 0)
+            ade_ok = (supports_ade(self.ade_domain)
+                      and self.ade_cfg.streaming == "AB" and z_ok)
             if ade_ok:
                 # variable per-site diffusion and the conjugate TRANSFER_*
                 # BCs ride the fused kernel too (kernels/fused_ade.py)
@@ -119,26 +117,43 @@ class CoupledSimulation(Simulation):
 
                 self._ade_step = ade_step
                 self._ade_fused = True
-                if (self.cfg.streaming == "AB" and self._fused_ok()
-                        and self.cfg.forcing_hook is None
-                        and self.domain.shape == self.ade_domain.shape):
-                    # both halves in ONE kernel: the NSE velocity never
-                    # round-trips through HBM (reference kernels.h:102-176)
-                    from tnl_lbm_tpu.kernels.fused_coupled import (
-                        make_fused_coupled_step,
-                    )
-
-                    self._coupled_step = make_fused_coupled_step(
-                        self.cfg, self.domain, self.ade_cfg, self.ade_domain,
-                        variable_diffusion=not np.isscalar(self.ade_diffusion),
-                        transfer_coeff=float(self.transfer_coeff),
-                    )
             else:
+                self._ade_step = make_ade_step(self.ade_cfg, self.ade_domain)
+            if (self._fused_ok() and self.cfg.forcing_hook is None
+                    and supports_ade(self.ade_domain) and z_ok
+                    and self.cfg.streaming == self.ade_cfg.streaming
+                    and self.domain.shape == self.ade_domain.shape):
+                # both halves in ONE kernel: the NSE velocity never
+                # round-trips through HBM (reference kernels.h:102-176);
+                # the A-A pair gives the coupled run the A-A memory pattern
+                # the reference's compile-time switch would select
+                from tnl_lbm_tpu.kernels.fused_coupled import (
+                    make_fused_coupled_step,
+                    make_fused_coupled_step_aa,
+                )
+
+                try:
+                    if self.cfg.streaming == "AA":
+                        self._coupled_step = make_fused_coupled_step_aa(
+                            self.cfg, self.domain,
+                            self.ade_cfg, self.ade_domain,
+                            variable_diffusion=not np.isscalar(self.ade_diffusion),
+                        )
+                    else:
+                        self._coupled_step = make_fused_coupled_step(
+                            self.cfg, self.domain,
+                            self.ade_cfg, self.ade_domain,
+                            variable_diffusion=not np.isscalar(self.ade_diffusion),
+                            transfer_coeff=float(self.transfer_coeff),
+                        )
+                except NotImplementedError:
+                    # e.g. A-A + transfer BCs: the two-kernel path runs
+                    self._coupled_step = None
+            if not ade_ok and self._coupled_step is None:
                 self.log.warning(
                     "use_fused requested but the ADE lattice is unsupported "
                     "by the fused kernel; running the ADE half on XLA"
                 )
-                self._ade_step = make_ade_step(self.ade_cfg, self.ade_domain)
         else:
             self._ade_step = make_ade_step(self.ade_cfg, self.ade_domain)
 
@@ -180,6 +195,7 @@ class CoupledSimulation(Simulation):
                         u_in=u_in if have_uin else None,
                         force=force if have_force else None,
                         phi_in=phi_in,
+                        parity=parity,
                     )
             else:
                 def coupled(f, g, nu, nu_ade, u_in, force, phi_in, tdirs, tcoef):
