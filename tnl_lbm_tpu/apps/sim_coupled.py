@@ -44,7 +44,7 @@ class SimCoupled(CoupledSimulation):
 
 
 def build(resolution: int = 1, final_time: float = 1.0, results_parent=".",
-          use_fused: bool = False):
+          use_fused: bool = False, streaming: str = "AB"):
     import jax.numpy as jnp
 
     X = 64 * resolution
@@ -74,8 +74,13 @@ def build(resolution: int = 1, final_time: float = 1.0, results_parent=".",
     ma[-1] = ADEGEO.OUTFLOW_PE
     ade_dom = Domain(lat=D3Q7, units=units, map=ma, periodic=(False, False, True))
 
-    cfg = LBMConfig(lat=D3Q27, collision=col.collide_cum)
-    ade_cfg = LBMConfig(lat=D3Q7, collision=cade.collide_clbm_ade)
+    # A-A + OUTFLOW_PE is A-B-only; with AA the outflow switches to the
+    # pull-shift variant so the one-kernel A-A coupled pair can run
+    if streaming == "AA":
+        ma[ma == int(ADEGEO.OUTFLOW_PE)] = int(ADEGEO.OUTFLOW_RIGHT)
+    cfg = LBMConfig(lat=D3Q27, collision=col.collide_cum, streaming=streaming)
+    ade_cfg = LBMConfig(lat=D3Q7, collision=cade.collide_clbm_ade,
+                        streaming=streaming)
 
     sim = SimCoupled(
         cfg, nse_dom, ade_cfg, ade_dom,
@@ -99,8 +104,10 @@ def main(argv=None):
     p.add_argument("--final-time", type=float, default=1.0)
     p.add_argument("--results-dir", default=".")
     p.add_argument("--use-fused", action="store_true")
+    p.add_argument("--streaming", choices=["AB", "AA"], default="AB")
     args = p.parse_args(argv)
-    sim = build(args.resolution, args.final_time, args.results_dir, args.use_fused)
+    sim = build(args.resolution, args.final_time, args.results_dir, args.use_fused,
+                streaming=args.streaming)
     sim.run()
 
 
