@@ -321,3 +321,49 @@ def test_subset_halo_exchange_matches_full():
     a2 = run_opp(pad_full, "all")
     b2 = run_opp(pad_sub, "opp")
     assert float(jnp.abs(a2 - b2).max()) == 0.0
+
+
+def test_sharded_pair2_matches_single():
+    """Distributed one-kernel A-A pair (halo exchange ONCE per two steps,
+    no parity adaptation) == single-device XLA A-A steps."""
+    from tnl_lbm_tpu.kernels.fused_aa import to_padded_aa
+    from tnl_lbm_tpu.parallel.sharded import (
+        from_padded_aa_sharded,
+        make_sharded_fused_pair2_aa,
+        to_padded_aa_sharded,
+    )
+
+    X, Y, Z = 16, 16, 8
+    units = Lattice(global_size=(X, Y, Z), phys_origin=(0, 0, 0), phys_dl=1.0, phys_dt=1.0)
+    m = np.zeros((X, Y, Z), np.uint8)
+    m[:, 0], m[:, -1] = GEO.WALL, GEO.WALL
+    m[4, 4, 4] = GEO.NOTHING
+    dom = Domain(lat=D3Q27, units=units, map=m, periodic=(True, False, True))
+    cfg = LBMConfig(lat=D3Q27, collision=col3.collide_cum_well,
+                    eq=eqlib.eq_well, well=True, streaming="AA",
+                    compute_dtype=jnp.float32)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("x", "y"))
+    plan = ShardPlan(mesh=mesh, spatial_axes=("x", "y", None))
+
+    rng = np.random.default_rng(7)
+    rho0 = jnp.asarray(1 + 0.01 * rng.standard_normal(dom.shape), jnp.float32)
+    u0 = jnp.asarray(0.02 * rng.standard_normal((3,) + dom.shape), jnp.float32)
+    f0 = cfg.eq(cfg.lat, rho0, u0).astype(jnp.float32)
+    force = jnp.asarray([1e-5, 0, 0], jnp.float32)
+
+    step_ref = make_step(cfg, dom)
+    f1 = f0
+    for it in range(4):
+        f1, rho1, u1 = step_ref(f1, 0.02, force=force, parity=it % 2)
+
+    pair = make_sharded_fused_pair2_aa(cfg, dom, plan, tile=(4, 8),
+                                       tiles_per_program=1)
+    fN = plan.shard_field(f0, like_f=True)
+    mapN = plan.shard_field(jnp.asarray(dom.map), like_f=False)
+    fp = to_padded_aa_sharded(fN, plan, dom)
+    for _ in range(2):
+        fp, rhoN, uN = pair(fp, mapN, 0.02, force=force)
+    f2 = from_padded_aa_sharded(fp, plan, dom)
+    assert float(jnp.abs(f1 - f2).max()) < 1e-6
+    assert float(jnp.abs(rho1 - rhoN).max()) < 2e-6
+    assert float(jnp.abs(u1 - uN).max()) < 1e-6

@@ -123,3 +123,25 @@ def test_coupled_kernel_compiles_on_tpu():
     f2, g2, rho, u, phi = jax.jit(
         lambda f, g: one(f, g, 0.02, 1e-3, force=jnp.asarray([1e-5, 0, 0.0])))(f, g)
     assert bool(jnp.isfinite(phi).all())
+
+
+def test_sharded_pair2_compiles_on_tpu():
+    from tnl_lbm_tpu.parallel.sharded import (
+        from_padded_aa_sharded,
+        make_sharded_fused_pair2_aa,
+        to_padded_aa_sharded,
+    )
+    from tnl_lbm_tpu.sim import initial_dfs
+    import dataclasses
+
+    cfg, dom = _duct((16, 16, 128))
+    cfg = dataclasses.replace(cfg, streaming="AA")
+    plan = _plan_1dev()
+    pair = make_sharded_fused_pair2_aa(cfg, dom, plan, tile=(8, 8))
+    f = plan.shard_field(initial_dfs(cfg, dom), like_f=True)
+    mp = plan.shard_field(jnp.asarray(dom.map), like_f=False)
+    fp = to_padded_aa_sharded(f, plan, dom)
+    fp, rho, u = jax.jit(
+        lambda fp: pair(fp, mp, 0.02, force=jnp.asarray([1e-5, 0, 0.0])))(fp)
+    f2 = from_padded_aa_sharded(fp, plan, dom)
+    assert bool(jnp.isfinite(rho).all()) and bool(jnp.isfinite(f2).all())

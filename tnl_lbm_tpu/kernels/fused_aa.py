@@ -463,6 +463,7 @@ def _fill_halos_pad8(fpad, periodic, X, Y, Z, Q):
 def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
                         tile=(16, 32), tiles_per_program: int = 2,
                         with_macro: bool = True, even_band: str = "aligned",
+                        local_shape=None, prepadded: bool = False,
                         _debug_dma: str = "full"):
     """One-kernel A-A pair on persistent-padded state: ``pair(fpad, nu,
     u_in, force) -> (fpad_new, rho, u)`` advances TWO lattice steps with a
@@ -498,7 +499,7 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
     if GEO.OUTFLOW_RIGHT_INTERP in codes:
         raise NotImplementedError("OUTFLOW_RIGHT_INTERP requires the A-B pattern")
     Q = lat.Q
-    X, Y, Z = domain.shape
+    X, Y, Z = local_shape if local_shape is not None else domain.shape
     dtype = cfg.compute_dtype
     periodic = domain.periodic
     periodic_z = bool(periodic[2])
@@ -516,16 +517,19 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
         K -= 1
     n_prog = n_tiles // K
 
-    # static padded map, same layout/origins as the state
-    mp = np.pad(np.asarray(domain.map, np.int32), [(2, 2), (8, 8), (0, 0)],
-                mode="edge")
-    if periodic[0]:
-        mp[0:2] = mp[X : X + 2]
-        mp[X + 2 : X + 4] = mp[2:4]
-    if periodic[1]:
-        mp[:, 6:8] = mp[:, Y + 6 : Y + 8]
-        mp[:, Y + 8 : Y + 10] = mp[:, 8:10]
-    map_pad = mp
+    if prepadded:
+        map_pad = None  # each shard passes its own padded local map
+    else:
+        # static padded map, same layout/origins as the state
+        mp = np.pad(np.asarray(domain.map, np.int32), [(2, 2), (8, 8), (0, 0)],
+                    mode="edge")
+        if periodic[0]:
+            mp[0:2] = mp[X : X + 2]
+            mp[X + 2 : X + 4] = mp[2:4]
+        if periodic[1]:
+            mp[:, 6:8] = mp[:, Y + 6 : Y + 8]
+            mp[:, Y + 8 : Y + 10] = mp[:, 8:10]
+        map_pad = mp
 
     def kernel(params_ref, fpad_hbm, mp_hbm, fout_ref, rho_ref, u_ref, *rest):
         fscr = rest[:K]
@@ -740,11 +744,16 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=112 * 1024 * 1024),
     )
 
-    def pair(fpad, nu, u_in=None, force=None):
-        params = jnp.concatenate([
-            _params_vec(dtype, nu, u_in, force), jnp.ones((4,), dtype)])
-        fpad_new, rho, u = call(params, fpad, map_pad)
-        fpad_new = _fill_halos_pad8(fpad_new, periodic, X, Y, Z, Q)
+    def pair(fpad, nu, u_in=None, force=None, map_pad_in=None, bflags=None):
+        flags = (jnp.ones((4,), dtype) if bflags is None
+                 else jnp.asarray(bflags, dtype).reshape(4))
+        params = jnp.concatenate([_params_vec(dtype, nu, u_in, force), flags])
+        mp_in = map_pad if map_pad_in is None else map_pad_in
+        fpad_new, rho, u = call(params, fpad, mp_in)
+        if not prepadded:
+            # halos for the NEXT pair; the distributed wrapper exchanges
+            # them with ppermute before each call instead
+            fpad_new = _fill_halos_pad8(fpad_new, periodic, X, Y, Z, Q)
         if not with_macro:
             return fpad_new, None, None
         return fpad_new, rho, u

@@ -444,3 +444,155 @@ def make_sharded_fused_step_aa(cfg: LBMConfig, domain: Domain, plan: ShardPlan,
         return sharded(f, map_arr, nu, u_in_v, force_v)
 
     return step
+
+
+def make_sharded_fused_pair2_aa(cfg: LBMConfig, domain: Domain, plan: ShardPlan,
+                                tile=(8, 32), tiles_per_program: int = 2,
+                                with_macro: bool = True):
+    """Distributed one-kernel A-A pair: the production 1536-MLUPS path on a
+    mesh.  ``pair(fpad, map_arr, nu, u_in, force) -> (fpad_new, rho, u)``
+    advances TWO steps per dispatch.
+
+    The pair needs halos exactly ONCE per two steps and with NO parity
+    adaptation (the intermediate even-output field never leaves VMEM, so
+    the A-A sync direction-flip the reference struggled with - defs.h:3-9 -
+    disappears entirely): each call ppermutes 2-wide x/y slabs into the
+    persistent-pad layout (sequential sweeps, corner-correct), refreshes
+    the map halos the same way, and runs the single-chip pair2 kernel on
+    the local block.  Halo traffic is HALF the per-step sync of the
+    two-kernel path.
+
+    State layout: the global array is the concatenation of per-shard padded
+    blocks [Q, nx*(Xl+4), ny*(Yl+16), Z] sharded so each device holds
+    [Q, Xl+4, Yl+16, Z] (helpers ``to_padded_aa_sharded`` /
+    ``from_padded_aa_sharded``).
+    """
+    from jax import lax
+
+    from tnl_lbm_tpu.kernels.fused_aa import make_fused_pair2_aa
+
+    plan.check(domain)
+    assert plan.spatial_axes[2] is None or plan.mesh.shape[plan.spatial_axes[2]] == 1, (
+        "distributed pair2 requires the z axis unsharded"
+    )
+    Xl, Yl, Zl = plan.local_shape(domain)
+    pair_local = make_fused_pair2_aa(
+        cfg, domain, tile=tile, tiles_per_program=tiles_per_program,
+        with_macro=with_macro, local_shape=(Xl, Yl, Zl), prepadded=True,
+    )
+    ax_x, ax_y = plan.spatial_axes[0], plan.spatial_axes[1]
+    periodic = domain.periodic
+
+    def _fill_axis(arr, adim, name, per, org, n, w):
+        """Fill the w-wide halo layers at [org-w, org) and [org+n, org+n+w)
+        along ``adim`` from the neighbor shards' interior edges (or by
+        edge-replication at non-periodic global boundaries)."""
+        nsh = plan.mesh.shape[name] if name is not None else 1
+
+        def sl(a, lo, hi):
+            idx = [slice(None)] * arr.ndim
+            idx[adim] = slice(lo, hi)
+            return a[tuple(idx)]
+
+        lo_edge = sl(arr, org, org + w)          # my low interior edge
+        hi_edge = sl(arr, org + n - w, org + n)  # my high interior edge
+        if nsh == 1:
+            # single shard on this axis: periodic wraps my own edges;
+            # non-periodic replicates the boundary layer
+            if per:
+                lo_fill, hi_fill = hi_edge, lo_edge
+            else:
+                rep = [1] * arr.ndim
+                rep[adim] = w
+                lo_fill = jnp.tile(sl(arr, org, org + 1), rep)
+                hi_fill = jnp.tile(sl(arr, org + n - 1, org + n), rep)
+        else:
+            fwd = [(r, (r + 1) % nsh) for r in range(nsh)]
+            bwd = [(r, (r - 1) % nsh) for r in range(nsh)]
+            lo_fill = lax.ppermute(hi_edge, name, fwd)   # from left neighbor
+            hi_fill = lax.ppermute(lo_edge, name, bwd)   # from right neighbor
+            if not per:
+                rep = [1] * arr.ndim
+                rep[adim] = w
+                edge_lo = jnp.tile(sl(arr, org, org + 1), rep)
+                edge_hi = jnp.tile(sl(arr, org + n - 1, org + n), rep)
+                idx = lax.axis_index(name)
+                lo_fill = jnp.where(idx == 0, edge_lo, lo_fill)
+                hi_fill = jnp.where(idx == nsh - 1, edge_hi, hi_fill)
+        out = arr
+        idx_lo = [slice(None)] * arr.ndim
+        idx_lo[adim] = slice(org - w, org)
+        idx_hi = [slice(None)] * arr.ndim
+        idx_hi[adim] = slice(org + n, org + n + w)
+        out = out.at[tuple(idx_lo)].set(lo_fill)
+        out = out.at[tuple(idx_hi)].set(hi_fill)
+        return out
+
+    def _bflag(name, last):
+        if name is None or plan.mesh.shape[name] == 1:
+            return jnp.asarray(1.0, cfg.compute_dtype)
+        idx = lax.axis_index(name)
+        n = plan.mesh.shape[name]
+        return ((idx == (n - 1)) if last else (idx == 0)).astype(cfg.compute_dtype)
+
+    def local(fpad, m_loc, nu, u_in, force):
+        # refresh the persistent-pad halos: x sweep then y sweep (the y
+        # slabs span the already-filled x halos -> corners route)
+        fpad = _fill_axis(fpad, 1, ax_x, periodic[0], 2, Xl, 2)
+        fpad = _fill_axis(fpad, 2, ax_y, periodic[1], 8, Yl, 2)
+        # local padded map in the same layout (int32; cheap per pair)
+        mp = jnp.pad(m_loc.astype(jnp.int32), [(2, 2), (8, 8), (0, 0)],
+                     mode="edge")
+        mp = _fill_axis(mp, 0, ax_x, periodic[0], 2, Xl, 2)
+        mp = _fill_axis(mp, 1, ax_y, periodic[1], 8, Yl, 2)
+        bflags = jnp.stack([
+            _bflag(ax_x, False), _bflag(ax_x, True),
+            _bflag(ax_y, False), _bflag(ax_y, True),
+        ]).astype(cfg.compute_dtype)
+        return pair_local(fpad, nu, u_in=u_in, force=force,
+                          map_pad_in=mp, bflags=bflags)
+
+    spec_pad = plan.spec_f
+
+    def pair(fpad, map_arr, nu, u_in=None, force=None):
+        dt = cfg.compute_dtype
+        nu = jnp.asarray(nu, dt)
+        u_in_v = jnp.zeros((3,), dt) if u_in is None else jnp.asarray(u_in, dt)
+        force_v = jnp.zeros((3,), dt) if force is None else jnp.asarray(force, dt)
+        out_macro = (plan.spec_site, plan.spec_f) if with_macro else (P(), P())
+        sharded = shard_map(
+            local,
+            mesh=plan.mesh,
+            in_specs=(spec_pad, plan.spec_site, P(), P(), P()),
+            out_specs=(spec_pad,) + out_macro,
+            check_vma=False,
+        )
+        return sharded(fpad, map_arr, nu, u_in_v, force_v)
+
+    return pair
+
+
+def to_padded_aa_sharded(f, plan: ShardPlan, domain: Domain):
+    """Plain sharded [Q, X, Y, Z] -> per-shard persistent-pad blocks
+    [Q, nx*(Xl+4), ny*(Yl+16), Z] (halo layers uninitialized; the pair
+    wrapper fills them before every call)."""
+    Xl, Yl, Zl = plan.local_shape(domain)
+
+    def local(fl):
+        return jnp.pad(fl, [(0, 0), (2, 2), (8, 8), (0, 0)], mode="edge")
+
+    return shard_map(
+        local, mesh=plan.mesh,
+        in_specs=(plan.spec_f,), out_specs=plan.spec_f, check_vma=False,
+    )(f)
+
+
+def from_padded_aa_sharded(fpad, plan: ShardPlan, domain: Domain):
+    """Inverse of ``to_padded_aa_sharded``: strip the per-shard pads."""
+    def local(fl):
+        return fl[:, 2 : fl.shape[1] - 2, 8 : fl.shape[2] - 8, :]
+
+    return shard_map(
+        local, mesh=plan.mesh,
+        in_specs=(plan.spec_f,), out_specs=plan.spec_f, check_vma=False,
+    )(fpad)
