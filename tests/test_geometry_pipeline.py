@@ -108,3 +108,35 @@ def test_png_projection(tmp_path):
     # roughly the black region footprint
     frac = walls[:, :, 0].mean()
     assert 0.15 < frac < 0.35
+
+
+@pytest.mark.slow
+def test_golden_geometry_value_regression(tmp_path):
+    """Golden-value regression against the TPU-measured sweep
+    (tests/golden/geometry_ke_values_tpu.csv, produced by
+    scripts/make_golden_geometries.py + run_all_geometries.py): geometry 1
+    with Bouzidi must reproduce the recorded KE integral."""
+    import csv
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    from tnl_lbm_tpu.apps import sim2d_3
+
+    root = Path(__file__).resolve().parents[1]
+    subprocess.run(
+        [sys.executable, str(root / "scripts/make_golden_geometries.py"),
+         str(tmp_path / "geos")], check=True)
+    golden = {
+        (r["geometry"], r["bouzidi"]): float(r["value"])
+        for r in csv.DictReader(open(root / "tests/golden/geometry_ke_values_tpu.csv"))
+    }
+    sim = sim2d_3.build(
+        1, str(tmp_path / "geos" / "1.txt"), enable_bouzidi=True,
+        final_time=0.4, results_parent=tmp_path,
+        values_dir=tmp_path / "values",
+    )
+    assert sim.run()
+    v = float((tmp_path / "values" / "value_1.txt").read_text())
+    ref = golden[("1.txt", "on")]
+    assert abs(v - ref) <= 5e-3 * abs(ref), (v, ref)
