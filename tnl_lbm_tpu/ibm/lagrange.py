@@ -222,7 +222,12 @@ class IBM:
                 self.log.info(line)
 
         if isinstance(iters, jax.core.Tracer):
-            jax.debug.callback(emit, iters, rel)
+            # host callbacks are unsupported on some TPU plugins (axon
+            # raises UNIMPLEMENTED at run time); keep in-jit logging to
+            # backends known to support it.  The last iteration/residual
+            # stay fetchable as device arrays (last_cg_iters/_residual).
+            if jax.default_backend() == "cpu":
+                jax.debug.callback(emit, iters, rel)
         else:
             emit(iters, rel)
 
