@@ -80,6 +80,7 @@ def build(resolution: int = 1, final_time: float = 1.0, results_parent=".",
     sim = Sim1(
         cfg, dom,
         sim_id=f"sim_1_res{resolution:02d}",
+        steps_per_dispatch=10,
         results_parent=results_parent,
         phys_final_time=final_time,
         # the interpolated outflow now runs in the fused A-B kernel

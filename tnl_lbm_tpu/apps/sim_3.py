@@ -61,6 +61,7 @@ def build(resolution: int = 1, re: float = 100.0, final_time: float = 1.0,
     sim = Sim3(
         cfg, dom,
         sim_id=f"sim_3_res{resolution:02d}_re{int(re)}",
+        steps_per_dispatch=10,
         results_parent=results_parent,
         phys_final_time=final_time,
         use_fused=use_fused,

@@ -103,6 +103,16 @@ class IBM:
         self._nodes_dev = jnp.asarray(nodes)
 
     def _build_A(self):
+        if self.method == "modified" and self.m > 8192:
+            # the dense [m, m] A embeds as a jit constant; beyond ~8k points
+            # that is hundreds of MB (and overflows remote-compile upload
+            # limits on tunneled TPU backends) - the matrix-free product is
+            # the right operator at this scale anyway
+            self.log.warning(
+                "IBM: %d points -> dense A would be %.0f MB; switching to "
+                "the matrix-free 'original' method", self.m,
+                self.m * self.m * 4 / 1e6)
+            self.method = "original"
         if self.method == "modified":
             # A[k,l] = 3D dirac of point pairs (reference lagrange_3D.hpp:265-295)
             d = self.ll_lat[:, None, :] - self.ll_lat[None, :, :]
