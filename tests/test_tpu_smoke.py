@@ -145,3 +145,53 @@ def test_sharded_pair2_compiles_on_tpu():
         lambda fp: pair(fp, mp, 0.02, force=jnp.asarray([1e-5, 0, 0.0])))(fp)
     f2 = from_padded_aa_sharded(fp, plan, dom)
     assert bool(jnp.isfinite(rho).all()) and bool(jnp.isfinite(f2).all())
+
+
+def test_hooked_kernel_compiles_on_tpu():
+    from tnl_lbm_tpu.kernels.hooked import make_hooked_fused_step
+    from tnl_lbm_tpu.sim import LBMConfig, initial_dfs
+    import dataclasses
+
+    cfg, dom = _duct((16, 16, 128))
+
+    def hook(lat, rho, u, nu, fluid):
+        return jnp.where(fluid, -0.01 * u * rho, jnp.zeros_like(u))
+
+    for streaming in ("AB", "AA"):
+        cfg2 = dataclasses.replace(cfg, forcing_hook=hook, streaming=streaming)
+        step = make_hooked_fused_step(
+            cfg2, dom, **({"tile": (8, 8)} if streaming == "AB"
+                          else {"tile_even": (8, 8), "tile_odd": (8, 8)}))
+        f = initial_dfs(cfg2, dom)
+        for parity in (0, 1) if streaming == "AA" else (0,):
+            f, rho, u = jax.jit(
+                lambda f, p=parity: step(f, 0.02,
+                                         force=jnp.asarray([1e-5, 0, 0.0]),
+                                         parity=p))(f)
+        assert bool(jnp.isfinite(rho).all())
+
+
+def test_coupled_aa_pair_compiles_on_tpu():
+    from tnl_lbm_tpu.kernels.fused_coupled import make_fused_coupled_step_aa
+    from tnl_lbm_tpu.models import D3Q7
+    from tnl_lbm_tpu.ops import collision_ade as cade
+    from tnl_lbm_tpu.sim import Domain, LBMConfig, initial_dfs
+    import dataclasses
+
+    cfg, dom = _duct((16, 16, 128))
+    cfg = dataclasses.replace(cfg, streaming="AA")
+    ade_dom = Domain(lat=D3Q7, units=dom.units,
+                     map=np.zeros(dom.shape, np.uint8), periodic=dom.periodic)
+    ade_cfg = LBMConfig(lat=D3Q7, collision=cade.collide_clbm_ade,
+                        streaming="AA", compute_dtype=jnp.float32)
+    pair = make_fused_coupled_step_aa(cfg, dom, ade_cfg, ade_dom,
+                                      tile_even=(8, 8), tile_odd=(8, 8))
+    f = initial_dfs(cfg, dom)
+    phi0 = jnp.ones(dom.shape, jnp.float32)
+    g = ade_cfg.eq(D3Q7, phi0, jnp.zeros((3,) + dom.shape)).astype(jnp.float32)
+    for parity in (0, 1):
+        f, g, rho, u, phi = jax.jit(
+            lambda f, g, p=parity: pair(f, g, 0.02, 1e-3,
+                                        force=jnp.asarray([1e-5, 0, 0.0]),
+                                        parity=p))(f, g)
+    assert bool(jnp.isfinite(phi).all())
