@@ -464,6 +464,7 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
                         tile=(16, 32), tiles_per_program: int = 2,
                         with_macro: bool = True, even_band: str = "aligned",
                         local_shape=None, prepadded: bool = False,
+                        vmem_limit_mb: int = 112,
                         _debug_dma: str = "full"):
     """One-kernel A-A pair on persistent-padded state: ``pair(fpad, nu,
     u_in, force) -> (fpad_new, rho, u)`` advances TWO lattice steps with a
@@ -741,7 +742,8 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
            for _ in range(K)]
         + [pltpu.SemaphoreType.DMA((K, n_sems))],
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=112 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024),
     )
 
     def pair(fpad, nu, u_in=None, force=None, map_pad_in=None, bflags=None):
