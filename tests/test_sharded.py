@@ -367,3 +367,32 @@ def test_sharded_pair2_matches_single():
     assert float(jnp.abs(f1 - f2).max()) < 1e-6
     assert float(jnp.abs(rho1 - rhoN).max()) < 2e-6
     assert float(jnp.abs(u1 - uN).max()) < 1e-6
+
+
+def test_2d_bouzidi_sharded_matches_single():
+    """Distributed geometry pipeline: D2Q9 + Bouzidi thetas under shard_map
+    (the bouzidi operand shards with f; subset halos auto-disable) ==
+    single device."""
+    from tests.test_fused_2d import channel_domain
+
+    dom = channel_domain(X=32, Y=16, bouzidi=True, seed=13)
+    cfg = LBMConfig(lat=D2Q9, collision=col2.collide_clbm_2d,
+                    compute_dtype=jnp.float64)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("x", "y"))
+    plan = ShardPlan(mesh=mesh, spatial_axes=("x", "y"))
+
+    step1 = make_step(cfg, dom)
+    stepN = make_sharded_step(cfg, dom, plan)
+    rng = np.random.default_rng(3)
+    rho0 = jnp.asarray(1 + 0.01 * rng.standard_normal(dom.shape))
+    u0 = jnp.asarray(0.02 * rng.standard_normal((2,) + dom.shape))
+    f1 = eqlib.eq_quadratic(cfg.lat, rho0, u0).astype(jnp.float64)
+    fN = plan.shard_field(f1, like_f=True)
+    mapN = plan.shard_field(jnp.asarray(dom.map), like_f=False)
+    prof = np.zeros((2, 1, 16)); prof[0, 0, 2:-2] = 0.03
+    prof = jnp.asarray(prof)
+    for _ in range(3):
+        f1, rho1, u1 = step1(f1, 0.05, u_in=prof)
+        fN, rhoN, uN = stepN(fN, mapN, 0.05, u_in=prof)
+    assert float(jnp.abs(f1 - fN).max()) < 1e-12
+    assert float(jnp.abs(u1 - uN).max()) < 1e-12

@@ -159,7 +159,7 @@ def make_sharded_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan):
 
     use_bouzidi = domain.bouzidi is not None
 
-    def run(parity, f, map_arr, nu, u_in, force, bouzidi_arr):
+    def run(parity, f, map_arr, nu, u_in, force, bouzidi_arr, uin_spec, force_spec):
         def local(f, map_arr, nu, u_in, force, *rest):
             bz = rest[0] if use_bouzidi else None
             return local_step(
@@ -167,7 +167,7 @@ def make_sharded_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan):
                 map_arr=map_arr, bouzidi_arr=bz,
             )
 
-        in_specs = [plan.spec_f, plan.spec_site, P(), P(), P()]
+        in_specs = [plan.spec_f, plan.spec_site, P(), uin_spec, force_spec]
         operands = [f, map_arr, nu, u_in, force]
         if use_bouzidi:
             in_specs.append(plan.spec_f)
@@ -181,17 +181,30 @@ def make_sharded_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan):
         )
         return sharded(*operands)
 
-    def step(f, map_arr, nu, u_in=None, force=None, parity: int = 0, bouzidi_arr=None):
+    def _field_or_vec(arr, dt):
+        """[D] vectors replicate (P()); [D, ...] profile fields broadcast
+        to the full lattice and shard like f (a [2,1,Y] inflow profile
+        must split along the sharded y axis, not replicate)."""
         lat = cfg.lat
+        if arr is None:
+            return jnp.zeros((lat.D,), dt), P()
+        a = jnp.asarray(arr, dt)
+        if a.ndim <= 1:
+            return a, P()
+        a = jnp.broadcast_to(a, (lat.D,) + tuple(domain.shape))
+        return a, plan.spec_f
+
+    def step(f, map_arr, nu, u_in=None, force=None, parity: int = 0, bouzidi_arr=None):
         dt = cfg.compute_dtype
         nu = jnp.asarray(nu, dt)
-        u_in = jnp.zeros((lat.D,), dt) if u_in is None else jnp.asarray(u_in, dt)
-        force = jnp.zeros((lat.D,), dt) if force is None else jnp.asarray(force, dt)
+        u_in, uin_spec = _field_or_vec(u_in, dt)
+        force, force_spec = _field_or_vec(force, dt)
         if use_bouzidi and bouzidi_arr is None:
             bouzidi_arr = plan.shard_field(
                 jnp.asarray(domain.bouzidi, dtype=dt), like_f=True
             )
-        return run(parity, f, map_arr, nu, u_in, force, bouzidi_arr)
+        return run(parity, f, map_arr, nu, u_in, force, bouzidi_arr,
+                   uin_spec, force_spec)
 
     return step
 
