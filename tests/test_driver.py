@@ -205,3 +205,44 @@ def test_per_shard_checkpoint_roundtrip(tmp_path):
     assert meta["iterations"] == 42
     np.testing.assert_array_equal(arrays["f"], big)
     np.testing.assert_array_equal(arrays["s"], small)
+
+
+def test_pair_dispatch_matches_per_step(tmp_path):
+    """Opt-in pair dispatch (two steps per call through the one-kernel A-A
+    pair) == the per-step even/odd driver for time-constant driving."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tnl_lbm_tpu.models import D3Q27
+    from tnl_lbm_tpu.ops import collision as col
+    from tnl_lbm_tpu.ops import equilibrium as eqlib
+    from tnl_lbm_tpu.ops.boundary import GEO
+    from tnl_lbm_tpu.sim import Domain, LBMConfig
+    from tnl_lbm_tpu.sim.state import Simulation
+    from tnl_lbm_tpu.utils import Lattice
+
+    X, Y, Z = 8, 16, 8
+    m = np.zeros((X, Y, Z), np.uint8)
+    m[:, 0] = m[:, -1] = GEO.WALL
+    units = Lattice((X, Y, Z), (0, 0, 0), 1.0, 1.0)
+    dom = Domain(lat=D3Q27, units=units, map=m, periodic=(True, False, True))
+    cfg = LBMConfig(lat=D3Q27, collision=col.collide_cum_well, eq=eqlib.eq_well,
+                    well=True, streaming="AA")
+
+    class Sim(Simulation):
+        def body_force(self, t):
+            return np.array([1e-5, 0.0, 0.0])
+
+    def run(pair, tag):
+        sim = Sim(cfg, dom, sim_id=f"pd_{tag}", results_parent=tmp_path,
+                  use_fused=True, pair_dispatch=pair, phys_final_time=1.0)
+        sim.sim_init()
+        assert sim._pair_dispatch_ok() == pair
+        sim._advance(4)
+        return sim
+
+    a = run(False, "step")
+    b = run(True, "pair")
+    assert b.iterations == a.iterations == 4
+    assert float(jnp.abs(a.f - b.f).max()) < 1e-6
+    assert float(jnp.abs(a.u - b.u).max()) < 1e-6

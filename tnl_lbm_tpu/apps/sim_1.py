@@ -32,7 +32,8 @@ class Sim1(Simulation):
 
 
 def build(resolution: int = 1, final_time: float = 1.0, results_parent=".",
-          streaming="AB", use_fused: bool = True):
+          streaming="AB", use_fused: bool = True,
+          pair_dispatch: bool = False):
     X = 128 * resolution
     Y = 32 * resolution
     Z = Y
@@ -86,6 +87,7 @@ def build(resolution: int = 1, final_time: float = 1.0, results_parent=".",
         # the interpolated outflow now runs in the fused A-B kernel
         # (kernels/fused.py); A-A configs with it fall back to XLA
         use_fused=use_fused,
+        pair_dispatch=pair_dispatch,
     )
     sim.lbm_inflow_vx = units.phys2lbm_velocity(phys_velocity)
     sim.cnt[PRINT].period = 0.001
@@ -110,11 +112,13 @@ def main(argv=None):
     p.add_argument("--results-dir", default=".")
     p.add_argument("--streaming", choices=["AB", "AA"], default="AB")
     p.add_argument("--no-fused", action="store_true")
+    p.add_argument("--pair-dispatch", action="store_true",
+                   help="A-A only: two steps per dispatch via the one-kernel pair")
     args = p.parse_args(argv)
     if args.resolution < 1:
         p.error("resolution must be at least 1")
     sim = build(args.resolution, args.final_time, args.results_dir, args.streaming,
-                use_fused=not args.no_fused)
+                use_fused=not args.no_fused, pair_dispatch=args.pair_dispatch)
     sim.run()
 
 

@@ -134,6 +134,7 @@ def build(
     sharded: bool = False,
     streaming: str = "AB",
     use_fused: bool = False,
+    pair_dispatch: bool = False,
 ):
     import jax.numpy as jnp
 
@@ -219,6 +220,7 @@ def build(
         analytical=analytical,
         steps_per_dispatch=10,
         use_fused=use_fused,
+        pair_dispatch=pair_dispatch,
     )
     sim.cnt[PRINT].period = 10.0
     sim.cnt[PROBE1].period = 1.0
@@ -239,6 +241,7 @@ def main(argv=None):
     p.add_argument("--final-time", type=float, default=200.0)
     p.add_argument("--results-dir", default=".")
     p.add_argument("--sharded", action="store_true")
+    p.add_argument("--pair-dispatch", action="store_true")
     p.add_argument("--streaming", choices=["AB", "AA"], default="AB")
     p.add_argument("--use-fused", action="store_true",
                    help="run the Pallas fused kernels (A-B or A-A pair)")
@@ -258,6 +261,7 @@ def main(argv=None):
         results_parent=args.results_dir,
         n_devices=n_devices,
         sharded=args.sharded,
+        pair_dispatch=args.pair_dispatch,
         streaming=args.streaming,
         use_fused=args.use_fused,
     )

@@ -461,7 +461,7 @@ def _fill_halos_pad8(fpad, periodic, X, Y, Z, Q):
 
 
 def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
-                        tile=(16, 32), tiles_per_program: int = 2,
+                        tile=(8, 32), tiles_per_program: int = 2,
                         with_macro: bool = True, even_band: str = "aligned",
                         local_shape=None, prepadded: bool = False,
                         vmem_limit_mb: int = 112,
@@ -491,6 +491,11 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
     window with K=1 (no overlap) and measured 30.4 ms/pair - slower than
     the two-kernel pair's 27.9 ms.  This rebuild (subwindow cascade +
     cross-program prefetch) is the production path.
+
+    Tile sizing: tx > 8 makes the cumulant cascade spill registers (the
+    Mosaic OOM dump shows ~72 MB of spill slots at tx=16 - SURVEY.md's
+    "register pressure" warning measured); (8, 32) K=2 is the production
+    geometry, confirmed by the on-chip autotuner.
 
     State helpers: to_padded_aa / from_padded_aa.
     """
