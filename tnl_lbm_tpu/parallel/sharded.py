@@ -233,9 +233,11 @@ def make_sharded_ade_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan):
                     "OUTFLOW_PE with a sharded y/z axis is not supported")
         if plan.local_shape(domain)[0] < 3:
             raise NotImplementedError("OUTFLOW_PE needs local x width >= 3")
-    pad = make_halo_pad(plan.mesh, plan.spatial_axes, domain.periodic)
+    # D3Q7 direction-subset exchange: 1 of 7 components per face
+    pad = make_halo_pad(plan.mesh, plan.spatial_axes, domain.periodic,
+                        lat=cfg.lat)
     local_step = make_ade_step(
-        cfg, domain, pad_halo=lambda f: pad(f),
+        cfg, domain, pad_halo=pad,
         local_shape=plan.local_shape(domain))
     has_transfer = bool(codes & {ADEGEO.TRANSFER_FS, ADEGEO.TRANSFER_SF,
                                  ADEGEO.TRANSFER_SW})

@@ -106,7 +106,7 @@ def make_ade_step(cfg: LBMConfig, domain: Domain, pad_halo=None, local_shape=Non
     codes = {ADEGEO(int(c)) for c in np.unique(domain.map)}
     opp = np.asarray(lat.opp)
     if pad_halo is None:
-        pad_halo = lambda f: stream.pad_halo(f, domain.periodic)  # noqa: E731
+        pad_halo = lambda f, comps="all": stream.pad_halo(f, domain.periodic)  # noqa: E731
 
     sym_codes = [c for c in codes if c in _SYM]
     do_coll_codes = np.array([int(c) for c in (_COLLIDING & codes)], dtype=domain.map.dtype)
@@ -126,7 +126,12 @@ def make_ade_step(cfg: LBMConfig, domain: Domain, pad_halo=None, local_shape=Non
             f_in = g
             fpad = None
         else:
-            fpad = pad_halo(g)
+            # direction-subset halo hint (df_sync_directions analog);
+            # OUTFLOW_RIGHT's pull-shift reads x-1 for every component, so
+            # its presence forces the full exchange
+            comps = ("all" if ADEGEO.OUTFLOW_RIGHT in codes
+                     else ("opp" if cfg.streaming == "AA" else "own"))
+            fpad = pad_halo(g, comps=comps)
             if cfg.streaming == "AA":
                 f_in = stream.pull_from(lat, fpad, S, opp)
             else:
@@ -164,7 +169,7 @@ def make_ade_step(cfg: LBMConfig, domain: Domain, pad_halo=None, local_shape=Non
         needs_transfer = codes & {ADEGEO.TRANSFER_FS, ADEGEO.TRANSFER_SF, ADEGEO.TRANSFER_SW}
         if needs_transfer and transfer_dirs is not None:
             phi_tot = mom.density(lat, g_old)  # per-site scalar, pre-streaming
-            phipad = pad_halo(phi_tot[None])[0]
+            phipad = pad_halo(phi_tot[None], comps="all")[0]
             g_center = g_old
             rows = [f_in[0]]
             for q in range(1, lat.Q):
@@ -202,7 +207,7 @@ def make_ade_step(cfg: LBMConfig, domain: Domain, pad_halo=None, local_shape=Non
             if parity == 0:
                 g_out = f_post[opp]
             else:
-                g_out = stream.pull(lat, pad_halo(f_post), S)
+                g_out = stream.pull(lat, pad_halo(f_post, comps="own"), S)
         else:
             g_out = f_post
 
