@@ -206,6 +206,56 @@ def test_per_shard_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(arrays["f"], big)
     np.testing.assert_array_equal(arrays["s"], small)
 
+    # a second save garbage-collects the previous epoch's shard files
+    ckpt.save_checkpoint(tmp_path, {"f": sharded, "s": small}, {"iterations": 43})
+    assert len(list(tmp_path.glob("checkpoint_shard*.npz"))) == 8
+    _, meta2 = ckpt.load_checkpoint(tmp_path)
+    assert meta2["iterations"] == 43
+
+
+def test_torn_checkpoint_detected(tmp_path):
+    """A checkpoint.npz referencing shard files from a DIFFERENT epoch (the
+    torn-resume hazard of in-place shard overwrites, ADVICE r2) raises
+    instead of silently mixing states."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from tnl_lbm_tpu.sim import checkpoint as ckpt
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("x",))
+    big = np.arange(8 * 16, dtype=np.float32).reshape(8, 16)
+    sharded = jax.device_put(jnp.asarray(big), NamedSharding(mesh, P("x")))
+    ckpt.save_checkpoint(tmp_path, {"f": sharded}, {"iterations": 1})
+
+    # simulate the torn state: rewrite the main file to expect a stale epoch
+    with np.load(tmp_path / "checkpoint.npz") as data:
+        meta = json.loads(bytes(data["__meta__"]).decode())
+        host = {k: data[k] for k in data.files if k != "__meta__"}
+    real_epoch = meta["__epoch__"]
+    meta["__epoch__"] = real_epoch - 12345
+    for f in tmp_path.glob(f"checkpoint_shard*_{real_epoch}.npz"):
+        f.rename(tmp_path / f.name.replace(str(real_epoch),
+                                           str(real_epoch - 12345)))
+    # corrupt one shard's epoch token back to the real (now-mismatched) one
+    s0 = sorted(tmp_path.glob("checkpoint_shard000_*.npz"))[0]
+    with np.load(s0) as d0:
+        payload = {k: d0[k] for k in d0.files}
+    payload["__epoch__"] = np.asarray(real_epoch, np.int64)
+    np.savez(s0, **payload)
+    host["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez(tmp_path / "checkpoint.npz", **host)
+
+    with pytest.raises(RuntimeError, match="torn checkpoint"):
+        ckpt.load_checkpoint(tmp_path)
+
 
 def test_pair_dispatch_matches_per_step(tmp_path):
     """Opt-in pair dispatch (two steps per call through the one-kernel A-A

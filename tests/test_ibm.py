@@ -56,6 +56,24 @@ def test_spread_conserves_total():
     np.testing.assert_allclose(np.asarray(field.sum(axis=(1, 2, 3))), np.asarray(vals.sum(axis=0)), rtol=1e-4)
 
 
+def test_ibm_method_auto_and_explicit_limit():
+    """'auto' picks the operator by cloud size; an explicit 'modified'
+    request beyond the dense-A limit raises instead of silently switching
+    operators (ADVICE r2)."""
+    units = make_units()
+    pts = points_sphere(center=(12.0, 8.0, 8.0), radius=3.0, sigma=1.0)
+    assert IBM(units, pts).method == "modified"  # default auto, small cloud
+    big = np.random.default_rng(0).uniform(2, 14, size=(40, 3))
+    old = IBM.DENSE_A_MAX_POINTS
+    try:
+        IBM.DENSE_A_MAX_POINTS = 10
+        assert IBM(units, big, method="auto").method == "original"
+        with pytest.raises(ValueError, match="modified"):
+            IBM(units, big, method="modified")
+    finally:
+        IBM.DENSE_A_MAX_POINTS = old
+
+
 @pytest.mark.parametrize("method", ["modified", "original"])
 def test_ibm_enforces_no_slip_at_points(method):
     """Uniform flow + IBM sphere: after a few steps the interpolated velocity

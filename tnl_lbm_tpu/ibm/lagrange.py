@@ -47,7 +47,7 @@ class IBM:
         units,
         points_phys: np.ndarray,
         dirac: str = "phi2",
-        method: str = "modified",
+        method: str = "auto",
         max_iters: int = 10000,
         tol: float = 3e-4,
         use_ll_velocity: bool = False,
@@ -56,7 +56,12 @@ class IBM:
         units: Lattice unit system (phys <-> lattice transforms).
         points_phys: [m, 3] Lagrangian points in physical coordinates.
         dirac: kernel name phi1..phi4 (reference lagrange_3D.h:114-115).
-        method: "modified" | "original" (reference lagrange_3D.hpp:265-331).
+        method: "auto" | "modified" | "original" (reference
+          lagrange_3D.hpp:265-331).  "auto" picks the dense-A "modified"
+          operator up to ``DENSE_A_MAX_POINTS`` and the matrix-free
+          "original" beyond; an explicit "modified" request beyond the
+          limit raises (the two operators differ, so changing it silently
+          would change results - ADVICE r2).
         max_iters/tol: CG parameters (reference lagrange_3D.hpp:899-906
           uses maxIter 10000, residue 3e-4).
         """
@@ -102,24 +107,40 @@ class IBM:
         self.weights = jnp.asarray(w, jnp.float32)  # [m, s^3]
         self._nodes_dev = jnp.asarray(nodes)
 
+    #: largest cloud for which "auto" picks the dense-A "modified" operator
+    #: (the [m, m] matrix at 32k points is 4 GB - past that the matrix-free
+    #: product is the right operator regardless of compile mechanics)
+    DENSE_A_MAX_POINTS = 32768
+
     def _build_A(self):
-        if self.method == "modified" and self.m > 8192:
-            # the dense [m, m] A embeds as a jit constant; beyond ~8k points
-            # that is hundreds of MB (and overflows remote-compile upload
-            # limits on tunneled TPU backends) - the matrix-free product is
-            # the right operator at this scale anyway
-            self.log.warning(
-                "IBM: %d points -> dense A would be %.0f MB; switching to "
-                "the matrix-free 'original' method", self.m,
-                self.m * self.m * 4 / 1e6)
-            self.method = "original"
+        if self.method == "auto":
+            self.method = ("modified" if self.m <= self.DENSE_A_MAX_POINTS
+                           else "original")
+            self.log.info("IBM: method 'auto' -> '%s' for %d points",
+                          self.method, self.m)
+        elif self.method == "modified" and self.m > self.DENSE_A_MAX_POINTS:
+            raise ValueError(
+                f"IBM: explicit method='modified' with {self.m} points - the "
+                f"dense A would be {self.m * self.m * 4 / 1e9:.1f} GB (limit "
+                f"{self.DENSE_A_MAX_POINTS} points).  Use method='auto' or "
+                f"'original' (matrix-free A = M M^T).")
         if self.method == "modified":
-            # A[k,l] = 3D dirac of point pairs (reference lagrange_3D.hpp:265-295)
-            d = self.ll_lat[:, None, :] - self.ll_lat[None, :, :]
-            A = np.asarray(jax.device_get(dirac_delta_3d(
-                self.dirac, jnp.asarray(d[..., 0]), jnp.asarray(d[..., 1]), jnp.asarray(d[..., 2])
-            )))
-            self.A = jnp.asarray(A, jnp.float32)
+            # A[k,l] = 3D dirac of point pairs (reference
+            # lagrange_3D.hpp:265-295), built ON DEVICE in row blocks: the
+            # full [m, m, 3] host difference tensor would be m^2 * 24 bytes
+            # (25 GB at 32k points), and a host-built A re-uploads per trace
+            ll = jnp.asarray(self.ll_lat, jnp.float32)
+
+            @jax.jit
+            def block(rows, ll):
+                d = rows[:, None, :] - ll[None, :, :]
+                return dirac_delta_3d(
+                    self.dirac, d[..., 0], d[..., 1], d[..., 2])
+
+            bs = max(1, min(self.m, 2**26 // max(self.m, 1)))  # ~256MB temps
+            parts = [block(ll[i : i + bs], ll) for i in range(0, self.m, bs)]
+            self.A = (parts[0] if len(parts) == 1
+                      else jnp.concatenate(parts, axis=0))
         else:
             self.A = None  # matrix-free: A x = interpolate(spread(x))
 

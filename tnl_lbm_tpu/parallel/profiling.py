@@ -40,11 +40,20 @@ V5E_HBM_GBPS = 819.0
 V5E_ICI_GBPS_PER_LINK = 186.0
 
 
+def subset_exchange_ok(domain: Domain) -> bool:
+    """Whether the sharded step uses direction-subset halo exchange (the
+    same predicate make_sharded_step derives: Bouzidi pulls +c offsets and
+    forces the full-Q exchange; the distributed Pallas kernels' slab
+    assembly is also full-Q)."""
+    return domain.bouzidi is None
+
+
 def predicted_weak_scaling(domain: Domain, plan,
                            step_seconds: float,
                            hbm_gbps: float = V5E_HBM_GBPS,
                            ici_gbps: float = V5E_ICI_GBPS_PER_LINK,
-                           overlapped: bool = True) -> float:
+                           overlapped: bool = True,
+                           subset: bool | None = None) -> float:
     """Model the weak-scaling efficiency of a sharded run.
 
     The reference reports measured weak scaling >= 90% on GPU clusters
@@ -57,7 +66,13 @@ def predicted_weak_scaling(domain: Domain, plan,
 
     XLA overlaps ppermute with independent compute, so `overlapped=True`
     is the realistic estimate; the serialized figure is the lower bound.
+
+    ``subset=None`` derives the exchange mode from the domain
+    (``subset_exchange_ok``): Bouzidi domains and the Pallas slab paths
+    exchange all Q components per face, ~3x the subset traffic.
     """
+    if subset is None:
+        subset = subset_exchange_ok(domain)
     # each sharded axis uses its own ICI links; the slab bytes per axis
     # transfer concurrently, so the halo time is set by the busiest axis
     local = plan.local_shape(domain)
@@ -66,7 +81,10 @@ def predicted_weak_scaling(domain: Domain, plan,
         if name is None or plan.mesh.shape[name] == 1:
             continue
         slab_sites = int(np.prod([s for i, s in enumerate(local) if i != a]))
-        q_face = int((np.asarray(domain.lat.c)[:, a] == 1).sum())
+        if subset:
+            q_face = int((np.asarray(domain.lat.c)[:, a] == 1).sum())
+        else:
+            q_face = domain.lat.Q
         axis_bytes = 2 * q_face * slab_sites * 4
         worst = max(worst, axis_bytes / (ici_gbps * 1e9))
     if overlapped:

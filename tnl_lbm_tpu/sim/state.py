@@ -432,7 +432,16 @@ class Simulation:
 
     def _advance_pairs(self, n_pairs: int, nu):
         """Advance 2*n_pairs steps through the one-kernel A-A pair
-        (kernels/fused_aa.py make_fused_pair2_aa)."""
+        (kernels/fused_aa.py make_fused_pair2_aa).
+
+        NOTE for subclass hooks: during the pair loop the lattice state
+        lives in the persistent-padded layout ``fpad`` (a local variable);
+        ``self.f`` holds the snapshot from the start of the dispatch chunk
+        and is only refreshed after the loop.  ``compute_before_step`` /
+        ``compute_after_step`` hooks that read ``self.f`` therefore see
+        stale DFs under pair dispatch; ``self.rho`` / ``self.u`` ARE fresh
+        (updated per pair).  Hooks that need per-step DF access should run
+        with ``pair_dispatch=False``."""
         from tnl_lbm_tpu.kernels.fused_aa import (
             from_padded_aa,
             make_fused_pair2_aa,
