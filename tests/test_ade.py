@@ -268,6 +268,59 @@ def test_coupled_fused_matches_xla(tmp_path):
         np.testing.assert_allclose(a, b, atol=2e-6)
 
 
+def test_coupled_kernel_selection_reported_and_aa_degrade_warns(tmp_path):
+    """CoupledSimulation records which kernel sim_init picked
+    (``coupled_kernel``) and warns at config time when a requested A-A
+    pattern degrades to the two-kernel A-B path (transfer BCs)."""
+    import logging
+
+    from tnl_lbm_tpu.ops import collision as col
+    from tnl_lbm_tpu.sim.coupled import CoupledSimulation
+
+    n = 8
+    units = Lattice(global_size=(n, 16, 16), phys_origin=(0, 0, 0),
+                    phys_dl=1.0, phys_dt=1.0, phys_viscosity=0.02)
+    cfg = LBMConfig(lat=D3Q27, collision=col.collide_cum_well, eq=eqlib.eq_well,
+                    well=True, streaming="AA")
+    ade_cfg = LBMConfig(lat=D3Q7, collision=ade.collide_clbm_ade, streaming="AA")
+
+    def run(ma, sid):
+        nse_dom = Domain(lat=D3Q27, units=units, map=np.zeros((n, 16, 16), np.uint8),
+                         periodic=(True,) * 3)
+        ade_dom = Domain(lat=D3Q7, units=units, map=ma, periodic=(True,) * 3)
+        sim = CoupledSimulation(cfg, nse_dom, ade_cfg, ade_dom,
+                                sim_id=sid, results_parent=tmp_path,
+                                use_fused=True)
+        assert sim.can_compute()
+        sim.sim_init()
+        sim._lock.release()
+        return sim
+
+    # plain map: the one-kernel A-A coupled pair is selected
+    sim = run(np.zeros((n, 16, 16), np.uint8), "ck_plain")
+    assert sim.coupled_kernel == "one-kernel-AA"
+
+    # transfer BCs: A-A one-kernel unavailable -> two-kernel + warning
+    # (the package logger does not propagate; capture with a direct handler)
+    ma = np.zeros((n, 16, 16), np.uint8)
+    ma[5, 4:-4, 4:-4] = ADEGEO.TRANSFER_FS
+    ma[6, 4:-4, 4:-4] = ADEGEO.TRANSFER_SF
+    records = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    h = Capture(level=logging.WARNING)
+    logging.getLogger("tnl_lbm_tpu.main").addHandler(h)
+    try:
+        sim = run(ma, "ck_transfer")
+    finally:
+        logging.getLogger("tnl_lbm_tpu.main").removeHandler(h)
+    assert sim.coupled_kernel == "two-kernel"
+    assert any("TWO-kernel" in m for m in records)
+
+
 @pytest.mark.slow
 def test_coupled_checkpoint_resume_preserves_scalar(tmp_path):
     """Checkpoint/resume must restore the ADE lattice too (the reference

@@ -53,6 +53,37 @@ def test_fused_matches_xla_step_duct(collision, eq, well):
     assert float(jnp.abs(u1 - u2).max()) < 1e-6
 
 
+def test_fused_matches_xla_with_high_precision_rho():
+    """LBMConfig.high_precision_rho reaches BOTH the XLA moments and the
+    in-kernel Pallas Neumaier sum (reference USE_HIGH_PRECISION_RHO,
+    d3q27/common.h:19-28) - the paths must still agree bitwise-tightly."""
+    dom = duct_domain()
+    cfg = LBMConfig(lat=D3Q27, collision=col.collide_cum,
+                    eq=eqlib.eq_quadratic, high_precision_rho=True)
+    step_ref = make_step(cfg, dom)
+    step_fused = make_fused_step(cfg, dom, tile=(8, 8))
+    f = rand_f(dom, cfg)
+    f1, rho1, u1 = step_ref(f, 0.02)
+    f2, rho2, u2 = step_fused(f, 0.02)
+    assert float(jnp.abs(f1 - f2).max()) < 1e-6
+    assert float(jnp.abs(rho1 - rho2).max()) < 2e-6
+    # and the flag changes the f32 sum where compensation matters: a
+    # deliberately ill-conditioned DF set sums differently without it
+    from tnl_lbm_tpu.ops import moments as mom
+
+    rng = np.random.default_rng(3)
+    bad = jnp.asarray(
+        np.stack([np.full(dom.shape, (-1.0) ** q * 0.3, np.float32)
+                  + 1e-7 * rng.standard_normal(dom.shape).astype(np.float32)
+                  for q in range(27)]))
+    exact = np.asarray(jnp.sum(bad.astype(jnp.float64), axis=0))
+    err_hp = np.abs(np.asarray(
+        mom.density(D3Q27, bad, high_precision=True)) - exact).max()
+    err_plain = np.abs(np.asarray(
+        mom.density(D3Q27, bad, high_precision=False)) - exact).max()
+    assert err_hp <= err_plain
+
+
 def test_fused_channel_with_inflow_outflow():
     X, Y, Z = 8, 8, 8
     m = np.zeros((X, Y, Z), np.uint8)

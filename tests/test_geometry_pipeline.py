@@ -140,3 +140,33 @@ def test_golden_geometry_value_regression(tmp_path):
     v = float((tmp_path / "values" / "value_1.txt").read_text())
     ref = golden[("1.txt", "on")]
     assert abs(v - ref) <= 5e-3 * abs(ref), (v, ref)
+
+
+def test_draw_cubi_shape():
+    """CUBI rasterizer (reference obstacles_lbm.h:91-103): a 2x1x1 slab of
+    cubes with one cube stacked on the +x half."""
+    from tnl_lbm_tpu.models import D3Q27
+    from tnl_lbm_tpu.ops.boundary import GEO as GEO3
+    from tnl_lbm_tpu.sim import Domain
+    from tnl_lbm_tpu.sim.obstacles import draw_cubi
+    from tnl_lbm_tpu.utils import Lattice
+
+    n = 32
+    units = Lattice(global_size=(n, n, n), phys_origin=(0, 0, 0),
+                    phys_dl=1.0, phys_dt=1.0)
+    dom = Domain(lat=D3Q27, units=units, map=np.zeros((n, n, n), np.uint8))
+    L = 6.0
+    draw_cubi(dom, center=(16.0, 16.0, 16.0), edge_length=L, code=GEO3.WALL)
+    wall = dom.map == int(GEO3.WALL)
+    assert wall.any()
+    xs, ys, zs = np.nonzero(wall)
+    # extents: 2L in x, L in y, 2L in z (site counts within one cell of it)
+    assert 2 * L - 1 <= xs.max() - xs.min() <= 2 * L + 1
+    assert L - 1 <= ys.max() - ys.min() <= L + 1
+    assert 2 * L - 1 <= zs.max() - zs.min() <= 2 * L + 1
+    # the top cube exists only over the +x half: at a low-x column the
+    # z-extent is L, at a high-x column it is 2L
+    zlo = zs[xs == xs.min()]
+    zhi = zs[xs == xs.max()]
+    assert zlo.max() - zlo.min() <= L + 1
+    assert zhi.max() - zhi.min() >= 2 * L - 1

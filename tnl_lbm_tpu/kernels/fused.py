@@ -53,12 +53,28 @@ def supports(domain: Domain, streaming: str = "AB") -> bool:
     return codes <= SUPPORTED_CODES
 
 
-def _moments_local(lat, f_in, force, well):
+def _moments_local(lat, f_in, force, well, high_precision=False):
     """density_velocity without array constants (Pallas kernels may not
-    capture traced constants): Python loops with scalar +-1 coefficients."""
-    rho = f_in[0]
-    for q in range(1, lat.Q):
-        rho = rho + f_in[q]
+    capture traced constants): Python loops with scalar +-1 coefficients.
+
+    ``high_precision`` selects Neumaier compensated summation over Q
+    (reference USE_HIGH_PRECISION_RHO, d3q27/common.h:19-28) - elementwise
+    ops only, so it runs in-kernel at ~4x the adds of the plain sum."""
+    if high_precision:
+        s = f_in[0]
+        comp = jnp.zeros_like(s)
+        for q in range(1, lat.Q):
+            x = f_in[q]
+            t = s + x
+            comp = comp + jnp.where(
+                jnp.abs(s) >= jnp.abs(x), (s - t) + x, (x - t) + s
+            )
+            s = t
+        rho = s + comp
+    else:
+        rho = f_in[0]
+        for q in range(1, lat.Q):
+            rho = rho + f_in[q]
     if well:
         rho = rho + 1
     j = []
@@ -220,7 +236,8 @@ def _stream_bc_collide(lat, cfg, codes, sym_codes, eq_kind, do_coll_codes,
                 rows_m.append(f_in[q])
         f_in = jnp.stack(rows_m)
 
-    rho, u = _moments_local(lat, f_in, force, cfg.well)
+    rho, u = _moments_local(lat, f_in, force, cfg.well,
+                            high_precision=cfg.high_precision_rho)
 
     one = jnp.ones((), dtype)
     if GEO.INFLOW_LEFT in codes or GEO.INFLOW in codes:

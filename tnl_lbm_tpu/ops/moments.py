@@ -59,9 +59,15 @@ def density_velocity(
     f: jnp.ndarray,
     force: jnp.ndarray | None = None,
     well: bool = False,
+    high_precision: bool = False,
 ):
-    """Returns (rho, u) with the half-force velocity correction."""
-    rho = density(lat, f, well=well)
+    """Returns (rho, u) with the half-force velocity correction.
+
+    ``high_precision`` selects the Neumaier-compensated density sum
+    (reference USE_HIGH_PRECISION_RHO, d3q27/common.h:19-28) - enable via
+    ``LBMConfig.high_precision_rho``.
+    """
+    rho = density(lat, f, well=well, high_precision=high_precision)
     j = momentum(lat, f)
     if force is not None:
         j = j + 0.5 * force

@@ -44,6 +44,11 @@ class LBMConfig:
     #: (analog of MACRO::computeForcing + computeBeforeLBMKernel,
     #: reference kernels.h:92, nonNewtonian.h:393-...)
     forcing_hook: Callable[..., Any] | None = None
+    #: Neumaier-compensated density summation in the moments (analog of
+    #: USE_HIGH_PRECISION_RHO, reference d3q27/common.h:19-28); mostly
+    #: redundant with well=True, which removes the O(1) weight offsets
+    #: before rounding, but available for total-DF float32 configs.
+    high_precision_rho: bool = False
 
     def __post_init__(self):
         assert self.streaming in ("AB", "AA")

@@ -43,6 +43,10 @@ class CoupledSimulation(Simulation):
         self.g = None     # ADE DFs
         self.phi = None   # ADE macro
         self._transfer_dirs = None
+        #: which coupled kernel sim_init selected: "one-kernel-AA" /
+        #: "one-kernel-AB" / "two-kernel" / "sharded" / "xla" (a config-time
+        #: warning is logged when a requested A-A pattern degrades)
+        self.coupled_kernel = None
 
     def initial_phi(self):
         """Initial scalar field (override in apps)."""
@@ -92,6 +96,7 @@ class CoupledSimulation(Simulation):
                 )
 
             self._ade_step = ade_step
+            self.coupled_kernel = "sharded"
             return
         if self.use_fused:
             from tnl_lbm_tpu.kernels.fused_ade import make_fused_ade_step, supports_ade
@@ -139,6 +144,7 @@ class CoupledSimulation(Simulation):
                             self.ade_cfg, self.ade_domain,
                             variable_diffusion=not np.isscalar(self.ade_diffusion),
                         )
+                        self.coupled_kernel = "one-kernel-AA"
                     else:
                         self._coupled_step = make_fused_coupled_step(
                             self.cfg, self.domain,
@@ -146,9 +152,18 @@ class CoupledSimulation(Simulation):
                             variable_diffusion=not np.isscalar(self.ade_diffusion),
                             transfer_coeff=float(self.transfer_coeff),
                         )
-                except NotImplementedError:
+                        self.coupled_kernel = "one-kernel-AB"
+                except NotImplementedError as exc:
                     # e.g. A-A + transfer BCs: the two-kernel path runs
                     self._coupled_step = None
+                    self.coupled_kernel = "two-kernel"
+                    self.log.warning(
+                        "coupled one-kernel %s path unavailable (%s); "
+                        "running the TWO-kernel path - the ADE half uses "
+                        "the A-B-pattern fused kernel, not the requested "
+                        "A-A memory pattern", self.cfg.streaming, exc)
+            if self.coupled_kernel is None:
+                self.coupled_kernel = "two-kernel"
             if not ade_ok and self._coupled_step is None:
                 self.log.warning(
                     "use_fused requested but the ADE lattice is unsupported "
@@ -156,6 +171,7 @@ class CoupledSimulation(Simulation):
                 )
         else:
             self._ade_step = make_ade_step(self.ade_cfg, self.ade_domain)
+            self.coupled_kernel = "xla"
 
     def _advance(self, n_steps: int):
         """One fused coupled step per iteration (NSE then ADE)."""

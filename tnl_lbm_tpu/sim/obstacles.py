@@ -73,3 +73,23 @@ def draw_box(domain: Domain, lo, hi, code: GEO = GEO.WALL) -> None:
     for g, a, b in zip(grids, lo, hi):
         mask &= (g >= a) & (g <= b)
     domain.map[mask] = int(code)
+
+
+def draw_cube(domain: Domain, center, radius, code: GEO = GEO.WALL) -> None:
+    """Axis-aligned cube of half-edge ``radius`` around ``center``
+    (reference obstacles_lbm.h lbmDrawCube)."""
+    c = np.asarray(center, float)
+    draw_box(domain, c - radius, c + radius, code)
+
+
+def draw_cubi(domain: Domain, center, edge_length, code: GEO = GEO.WALL) -> None:
+    """The CUBI shape: an L-shaped union of three cubes of edge
+    ``edge_length`` - a 2x1x1-cube slab below, one cube on top of its
+    +x half (reference obstacles_lbm.h:91-103 lbmDrawCUBI).
+    """
+    cx, cy, cz = (float(v) for v in center)
+    L = float(edge_length)
+    # bottom two cubes
+    draw_box(domain, (cx - L, cy - L / 2, cz - L), (cx + L, cy + L / 2, cz), code)
+    # upper one cube
+    draw_box(domain, (cx, cy - L / 2, cz), (cx + L, cy + L / 2, cz + L), code)

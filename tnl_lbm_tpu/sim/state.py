@@ -415,7 +415,8 @@ class Simulation:
 
         @jax.jit
         def macro(f):
-            return mom.density_velocity(lat, f, well=well)
+            return mom.density_velocity(lat, f, well=well,
+                                        high_precision=self.cfg.high_precision_rho)
 
         self.rho, self.u = macro(self.f)
 

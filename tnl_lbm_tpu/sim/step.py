@@ -161,13 +161,15 @@ def make_step(cfg: LBMConfig, domain: Domain, pad_halo=None, local_shape=None):
         # with the homogeneous-force velocity, then folded into the total
         # force for the final moments + collision
         if cfg.forcing_hook is not None:
-            rho0, u0 = mom.density_velocity(lat, f_in, force=force_b, well=cfg.well)
+            rho0, u0 = mom.density_velocity(lat, f_in, force=force_b, well=cfg.well,
+                                            high_precision=cfg.high_precision_rho)
             fluid = masks.get(GEO.FLUID, jnp.zeros(S, bool))
             extra = cfg.forcing_hook(lat, rho0, u0, nu, fluid)
             force_b = extra if force_b is None else force_b + extra
 
         # moments (with half-force correction)
-        rho, u = mom.density_velocity(lat, f_in, force=force_b, well=cfg.well)
+        rho, u = mom.density_velocity(lat, f_in, force=force_b, well=cfg.well,
+                                      high_precision=cfg.high_precision_rho)
 
         one = jnp.ones((), dtype)
         if GEO.INFLOW_LEFT in codes:
@@ -250,7 +252,8 @@ def make_step(cfg: LBMConfig, domain: Domain, pad_halo=None, local_shape=None):
         for c in sym_codes:
             axis, sign = bc.sym_table(D)[c]
             f_in = bc.apply_symmetry(lat, f_in, masks[c], axis, sign)
-        rho0, u0 = mom.density_velocity(lat, f_in, force=force_b, well=cfg.well)
+        rho0, u0 = mom.density_velocity(lat, f_in, force=force_b, well=cfg.well,
+                                        high_precision=cfg.high_precision_rho)
         fluid = masks.get(GEO.FLUID, jnp.zeros(S, bool))
         return rho0, u0, fluid
 
