@@ -296,3 +296,24 @@ def test_pair_dispatch_matches_per_step(tmp_path):
     assert b.iterations == a.iterations == 4
     assert float(jnp.abs(a.f - b.f).max()) < 1e-6
     assert float(jnp.abs(a.u - b.u).max()) < 1e-6
+
+    # --- "auto" resolution (VERDICT r2 item 4) -------------------------
+    # capable config + measured probe: the faster path wins, both ways
+    for t_pair, t_steps, expect in ((0.001, 0.002, True), (0.003, 0.002, False)):
+        sim = Sim(cfg, dom, sim_id=f"pd_auto_{expect}", results_parent=tmp_path,
+                  use_fused=True, pair_dispatch="auto", phys_final_time=1.0)
+        sim._probe_pair_dispatch = lambda tp=t_pair, ts=t_steps: (tp, ts)
+        sim._pair_probe_allowed = lambda: True  # bypass the CPU guard
+        sim.sim_init()
+        assert sim.pair_dispatch is expect, (t_pair, t_steps)
+        sim._lock.release()
+
+    # ineligible config (A-B streaming): auto resolves to False, no probe
+    import dataclasses
+
+    cfg_ab = dataclasses.replace(cfg, streaming="AB")
+    sim = Sim(cfg_ab, dom, sim_id="pd_auto_ab", results_parent=tmp_path,
+              use_fused=True, pair_dispatch="auto", phys_final_time=1.0)
+    sim.sim_init()
+    assert sim.pair_dispatch is False
+    sim._lock.release()

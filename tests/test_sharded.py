@@ -361,8 +361,9 @@ def test_sharded_pair2_matches_single():
     fN = plan.shard_field(f0, like_f=True)
     mapN = plan.shard_field(jnp.asarray(dom.map), like_f=False)
     fp = to_padded_aa_sharded(fN, plan, dom)
+    jpair = jax.jit(lambda fp: pair(fp, mapN, 0.02, force=force))
     for _ in range(2):
-        fp, rhoN, uN = pair(fp, mapN, 0.02, force=force)
+        fp, rhoN, uN = jpair(fp)
     f2 = from_padded_aa_sharded(fp, plan, dom)
     assert float(jnp.abs(f1 - f2).max()) < 1e-6
     assert float(jnp.abs(rho1 - rhoN).max()) < 2e-6
@@ -391,8 +392,10 @@ def test_2d_bouzidi_sharded_matches_single():
     mapN = plan.shard_field(jnp.asarray(dom.map), like_f=False)
     prof = np.zeros((2, 1, 16)); prof[0, 0, 2:-2] = 0.03
     prof = jnp.asarray(prof)
+    jstep1 = jax.jit(lambda f: step1(f, 0.05, u_in=prof))
+    jstepN = jax.jit(lambda f: stepN(f, mapN, 0.05, u_in=prof))
     for _ in range(3):
-        f1, rho1, u1 = step1(f1, 0.05, u_in=prof)
-        fN, rhoN, uN = stepN(fN, mapN, 0.05, u_in=prof)
+        f1, rho1, u1 = jstep1(f1)
+        fN, rhoN, uN = jstepN(fN)
     assert float(jnp.abs(f1 - fN).max()) < 1e-12
     assert float(jnp.abs(u1 - uN).max()) < 1e-12

@@ -33,7 +33,7 @@ class Sim1(Simulation):
 
 def build(resolution: int = 1, final_time: float = 1.0, results_parent=".",
           streaming="AB", use_fused: bool = True,
-          pair_dispatch: bool = False):
+          pair_dispatch="auto"):
     X = 128 * resolution
     Y = 32 * resolution
     Z = Y
@@ -112,13 +112,16 @@ def main(argv=None):
     p.add_argument("--results-dir", default=".")
     p.add_argument("--streaming", choices=["AB", "AA"], default="AB")
     p.add_argument("--no-fused", action="store_true")
-    p.add_argument("--pair-dispatch", action="store_true",
-                   help="A-A only: two steps per dispatch via the one-kernel pair")
+    p.add_argument("--pair-dispatch", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="A-A only: two steps per dispatch via the one-kernel "
+                        "pair (default auto: measured at sim_init)")
     args = p.parse_args(argv)
     if args.resolution < 1:
         p.error("resolution must be at least 1")
     sim = build(args.resolution, args.final_time, args.results_dir, args.streaming,
-                use_fused=not args.no_fused, pair_dispatch=args.pair_dispatch)
+                use_fused=not args.no_fused,
+                pair_dispatch={"auto": "auto", "on": True, "off": False}[args.pair_dispatch])
     sim.run()
 
 

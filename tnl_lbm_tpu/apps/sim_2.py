@@ -134,7 +134,7 @@ def build(
     sharded: bool = False,
     streaming: str = "AB",
     use_fused: bool = False,
-    pair_dispatch: bool = False,
+    pair_dispatch="auto",
 ):
     import jax.numpy as jnp
 
@@ -241,7 +241,7 @@ def main(argv=None):
     p.add_argument("--final-time", type=float, default=200.0)
     p.add_argument("--results-dir", default=".")
     p.add_argument("--sharded", action="store_true")
-    p.add_argument("--pair-dispatch", action="store_true")
+    p.add_argument("--pair-dispatch", choices=["auto", "on", "off"], default="auto")
     p.add_argument("--streaming", choices=["AB", "AA"], default="AB")
     p.add_argument("--use-fused", action="store_true",
                    help="run the Pallas fused kernels (A-B or A-A pair)")
@@ -261,7 +261,7 @@ def main(argv=None):
         results_parent=args.results_dir,
         n_devices=n_devices,
         sharded=args.sharded,
-        pair_dispatch=args.pair_dispatch,
+        pair_dispatch={"auto": "auto", "on": True, "off": False}[args.pair_dispatch],
         streaming=args.streaming,
         use_fused=args.use_fused,
     )

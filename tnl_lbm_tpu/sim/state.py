@@ -122,7 +122,7 @@ class Simulation:
         phys_final_time: float = np.inf,
         steps_per_dispatch: int = 1,
         use_fused: bool = False,
-        pair_dispatch: bool = False,
+        pair_dispatch: bool | str = "auto",
         profile_dir=None,
     ):
         self.cfg = cfg
@@ -136,12 +136,13 @@ class Simulation:
         self.use_fused = use_fused
         #: advance TWO steps per dispatch through the one-kernel A-A pair
         #: (the bench.py production path: the kernel itself is ~1.4x the
-        #: even/odd pair).  Opt-in: inflow/forcing updates and statistics
-        #: samples then happen at pair granularity.  NOTE: on the tunneled
-        #: dev TPU the per-dispatch RPC overhead (~10 ms) swamps the kernel
-        #: gain and the per-step path measures faster; on directly-attached
-        #: runtimes the kernel advantage should dominate - benchmark on
-        #: your target before enabling
+        #: even/odd pair).  Inflow/forcing updates and statistics samples
+        #: then happen at pair granularity (see _advance_pairs).  The
+        #: default "auto" MEASURES both paths at sim_init on eligible
+        #: configs and keeps the faster one: on the tunneled dev TPU the
+        #: per-dispatch RPC overhead (~10 ms) can swamp the kernel gain and
+        #: per-step dispatch wins; on directly-attached runtimes the pair
+        #: kernel's ~1.4x advantage dominates.  Pass True/False to force.
         self.pair_dispatch = pair_dispatch
         # jax.profiler trace directory (analog of the reference's
         # cuda_profiler_api integration, reference defs.h:36-38); view with
@@ -404,6 +405,7 @@ class Simulation:
         # initial macro without advancing (reference computeInitialMacro,
         # lbm_block.hpp:252-277)
         self._initial_macro()
+        self._resolve_pair_dispatch()
         self._glups_prev_time = time.time()
         self._t_wall_start = time.time()
 
@@ -420,16 +422,106 @@ class Simulation:
 
         self.rho, self.u = macro(self.f)
 
-    def _pair_dispatch_ok(self) -> bool:
+    def _pair_dispatch_capable(self) -> bool:
+        """Static eligibility for the one-kernel A-A pair path."""
         return (
-            self.pair_dispatch
-            and self.plan is None
+            self.plan is None
             and self.use_fused
             and self.cfg.streaming == "AA"
             and self.cfg.forcing_hook is None
             and self.cfg.lat.D == 3
             and self._fused_ok()
         )
+
+    def _pair_dispatch_ok(self) -> bool:
+        return self.pair_dispatch is True and self._pair_dispatch_capable()
+
+    def _resolve_pair_dispatch(self):
+        """Resolve pair_dispatch="auto" by MEASURING both paths (VERDICT r2
+        item 4): compile the per-step even/odd jits and the one-kernel pair,
+        time one pair each way on a copy of the state, keep the faster.
+        The probe runs once at sim_init; its cost amortizes over the run."""
+        if self.pair_dispatch != "auto":
+            self.pair_dispatch = bool(self.pair_dispatch)
+            return
+        if not self._pair_dispatch_capable() or not self._pair_probe_allowed():
+            self.pair_dispatch = False
+            return
+        try:
+            t_pair, t_steps = self._probe_pair_dispatch()
+        except Exception as exc:  # Mosaic/HW regression: fail safe
+            self.log.warning("pair-dispatch auto-probe failed (%s); "
+                             "using per-step dispatch", type(exc).__name__)
+            self.pair_dispatch = False
+            return
+        self.pair_dispatch = t_pair < t_steps
+        self.log.info(
+            "pair-dispatch auto-probe: pair2 %.3f ms/pair vs per-step "
+            "%.3f ms/pair -> %s", t_pair * 1e3, t_steps * 1e3,
+            "pair dispatch" if self.pair_dispatch else "per-step dispatch")
+
+    def _pair_probe_allowed(self) -> bool:
+        # interpret-mode Pallas is not a production path; per-step dispatch
+        # avoids a pointless slow compile on CPU
+        return jax.default_backend() != "cpu"
+
+    def _probe_pair_dispatch(self, repeats: int = 5):
+        """Best-of-N wall time for one A-A pair via (a) the one-kernel pair
+        dispatch and (b) two per-step dispatches.  Leaves self.f untouched."""
+        nu = jnp.asarray(self.domain.units.lbm_viscosity(), self.cfg.compute_dtype)
+        zero = jnp.zeros((self.cfg.lat.D,), self.cfg.compute_dtype)
+        self._ensure_pair2_jits()
+        jpair = self._jit_steps["pair2"][(False, False)]
+        fpad = self._jit_steps["pair2_pad"](self.f)
+        jax.block_until_ready(fpad)
+        j0 = self._jit_step(0, False, False)
+        j1 = self._jit_step(1, False, False)
+
+        def time_pair():
+            t0 = time.perf_counter()
+            out = jpair(fpad, nu, zero, zero)
+            jax.block_until_ready(out)
+            return time.perf_counter() - t0
+
+        def time_steps():
+            t0 = time.perf_counter()
+            a = j0(self.f, nu, zero, zero)
+            b = j1(a[0], nu, zero, zero)
+            jax.block_until_ready(b)
+            return time.perf_counter() - t0
+
+        time_pair(), time_steps()  # compile + warm
+        t_pair = min(time_pair() for _ in range(repeats))
+        t_steps = min(time_steps() for _ in range(repeats))
+        return t_pair, t_steps
+
+    def _ensure_pair2_jits(self):
+        """Build (once) the jitted one-kernel A-A pair + pad/unpad helpers
+        (kernels/fused_aa.py make_fused_pair2_aa)."""
+        from tnl_lbm_tpu.kernels.fused_aa import (
+            from_padded_aa,
+            make_fused_pair2_aa,
+            to_padded_aa,
+        )
+
+        if "pair2" in self._jit_steps:
+            return
+        pair = make_fused_pair2_aa(self.cfg, self.domain)
+        self._jit_steps["pair2"] = {
+            key: jax.jit(
+                lambda fpad, nu, u_in, force, key=key: pair(
+                    fpad, nu,
+                    u_in=u_in if key[0] else None,
+                    force=force if key[1] else None,
+                )
+            )
+            for key in ((False, False), (True, False), (False, True), (True, True))
+        }
+        # eager pad/unpad would issue one RPC per op on tunneled TPU
+        # backends (~30 ms each) - jit them
+        self._jit_steps["pair2_pad"] = jax.jit(
+            lambda f: to_padded_aa(f, self.domain.periodic))
+        self._jit_steps["pair2_unpad"] = jax.jit(from_padded_aa)
 
     def _advance_pairs(self, n_pairs: int, nu):
         """Advance 2*n_pairs steps through the one-kernel A-A pair
@@ -443,29 +535,7 @@ class Simulation:
         stale DFs under pair dispatch; ``self.rho`` / ``self.u`` ARE fresh
         (updated per pair).  Hooks that need per-step DF access should run
         with ``pair_dispatch=False``."""
-        from tnl_lbm_tpu.kernels.fused_aa import (
-            from_padded_aa,
-            make_fused_pair2_aa,
-            to_padded_aa,
-        )
-
-        if "pair2" not in self._jit_steps:
-            pair = make_fused_pair2_aa(self.cfg, self.domain)
-            self._jit_steps["pair2"] = {
-                key: jax.jit(
-                    lambda fpad, nu, u_in, force, key=key: pair(
-                        fpad, nu,
-                        u_in=u_in if key[0] else None,
-                        force=force if key[1] else None,
-                    )
-                )
-                for key in ((False, False), (True, False), (False, True), (True, True))
-            }
-            # eager pad/unpad would issue one RPC per op on tunneled TPU
-            # backends (~30 ms each) - jit them
-            self._jit_steps["pair2_pad"] = jax.jit(
-                lambda f: to_padded_aa(f, self.domain.periodic))
-            self._jit_steps["pair2_unpad"] = jax.jit(from_padded_aa)
+        self._ensure_pair2_jits()
         dt = self.cfg.compute_dtype
         zero = jnp.zeros((self.cfg.lat.D,), dt)
         fpad = self._jit_steps["pair2_pad"](self.f)
