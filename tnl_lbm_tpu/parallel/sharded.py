@@ -41,10 +41,28 @@ class ShardPlan:
                     f"'{name}' of size {self.mesh.shape[name]}"
                 )
 
+    def divisible(self, domain: Domain) -> bool:
+        return all(
+            name is None or size % self.mesh.shape[name] == 0
+            for size, name in zip(domain.shape, self.spatial_axes)
+        )
+
+    def padded_shape(self, domain: Domain) -> tuple:
+        """Per-axis round-up to the mesh-axis multiple (the TPU analog of
+        the reference's uneven ``splitRange`` decomposition,
+        lattice_decomposition.h:16-55: instead of unequal blocks - which
+        shard_map cannot express - the lattice pads to the next multiple
+        and the ghost layers are refreshed/masked by the step wrapper)."""
+        out = []
+        for size, name in zip(domain.shape, self.spatial_axes):
+            n = self.mesh.shape[name] if name is not None else 1
+            out.append(-(-size // n) * n)
+        return tuple(out)
+
     def local_shape(self, domain: Domain):
         return tuple(
             size // (self.mesh.shape[name] if name is not None else 1)
-            for size, name in zip(domain.shape, self.spatial_axes)
+            for size, name in zip(self.padded_shape(domain), self.spatial_axes)
         )
 
     @property
@@ -57,7 +75,17 @@ class ShardPlan:
 
     def shard_field(self, arr, like_f: bool):
         spec = self.spec_f if like_f else self.spec_site
-        return jax.device_put(arr, NamedSharding(self.mesh, spec))
+        offset = 1 if like_f else 0
+        # device_put refuses uneven named shardings; replicate the
+        # non-divisible axes instead (the uneven step wrapper pads and
+        # reshards inside jit, _make_uneven_sharded_step)
+        axes = list(spec)
+        for i, name in enumerate(axes[offset:]):
+            if name is None:
+                continue
+            if arr.shape[offset + i] % self.mesh.shape[name] != 0:
+                axes[offset + i] = None
+        return jax.device_put(arr, NamedSharding(self.mesh, P(*axes)))
 
 
 def default_plan(domain: Domain, devices=None) -> ShardPlan:
@@ -96,39 +124,133 @@ def choose_plan(domain: Domain, devices=None, axis_weights=None,
     shape = domain.shape
     if axis_weights is None:
         axis_weights = (1.0, 8.0, 64.0)[:D]
-    best = None
-    for nx in _divisors(n):
-        for ny in _divisors(n // nx):
-            nz = n // nx // ny
-            counts = (nx, ny, nz)[:D]
-            if D == 2 and nz != 1:
-                continue
-            if not allow_z and D == 3 and nz > 1:
-                continue
-            if any(shape[a] % counts[a] != 0 for a in range(D)):
-                continue
-            if any(counts[a] > shape[a] for a in range(D)):
-                continue
-            cost = 0.0
-            for a in range(D):
-                if counts[a] == 1:
+    def search(require_divisible: bool):
+        best = None
+        for nx in _divisors(n):
+            for ny in _divisors(n // nx):
+                nz = n // nx // ny
+                counts = (nx, ny, nz)[:D]
+                if D == 2 and nz != 1:
                     continue
-                interfaces = counts[a] if domain.periodic[a] else counts[a] - 1
-                area = 1.0
-                for b in range(D):
-                    if b != a:
-                        area *= shape[b]
-                cost += axis_weights[a] * interfaces * area
-            key = (cost, -nx, -ny)  # ties: x-major, then y
-            if best is None or key < best[0]:
-                best = (key, counts)
+                if not allow_z and D == 3 and nz > 1:
+                    continue
+                if require_divisible and any(
+                        shape[a] % counts[a] != 0 for a in range(D)):
+                    continue
+                if any(counts[a] > shape[a] for a in range(D)):
+                    continue
+                padded = tuple(-(-shape[a] // counts[a]) * counts[a]
+                               for a in range(D))
+                cost = 0.0
+                for a in range(D):
+                    if counts[a] == 1:
+                        continue
+                    interfaces = counts[a] if domain.periodic[a] else counts[a] - 1
+                    area = 1.0
+                    for b in range(D):
+                        if b != a:
+                            area *= padded[b]
+                    cost += axis_weights[a] * interfaces * area
+                # uneven decomposition wastes the ghost sites' compute
+                # every step - weigh that ~10x a unit-weight halo site
+                cost += 10.0 * (int(np.prod(padded)) - int(np.prod(shape)))
+                key = (cost, -nx, -ny)  # ties: x-major, then y
+                if best is None or key < best[0]:
+                    best = (key, counts)
+        return best
+
+    # prefer exactly-divisible factorizations; fall back to pad-and-mask
+    # uneven decomposition (the reference's splitRange handles any extent,
+    # lattice_decomposition.h:16-55)
+    best = search(True) or search(False)
     if best is None:
         raise ValueError(
-            f"no factorization of {n} devices divides lattice {shape}")
+            f"no factorization of {n} devices fits lattice {shape}")
     counts = best[1]
     names = ("x", "y", "z")[:D]
     mesh = Mesh(np.asarray(devices).reshape(counts), names)
     return ShardPlan(mesh=mesh, spatial_axes=names)
+
+
+def _make_uneven_sharded_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan):
+    """Sharded step for a lattice NOT divisible by the mesh (the analog of
+    the reference's uneven ``splitRange`` decomposition,
+    lattice_decomposition.h:16-55).
+
+    shard_map needs equal blocks, so the lattice pads to the next mesh
+    multiple and the ghost layers are REBUILT FROM THE TRUE STATE every
+    step before the padded inner step runs:
+
+    - non-periodic padded axis: edge-replication - a pull from the first
+      ghost layer reads exactly the clamp value the unpadded step uses;
+    - periodic padded axis: wrap fill, with the LAST ghost layer holding
+      the true last column (the mesh-level wrap delivers it to shard 0).
+
+    Ghost-site outputs are junk and are cropped off; because the ghosts are
+    rebuilt from the true state each step, nothing ever reads stale ghost
+    data.  This is EXACT for pull (A-B) streaming incl. Bouzidi and the
+    OUTFLOW_* pull shifts; the A-A odd push would read post-collision ghost
+    values that cannot be refreshed from outside the kernel, so A-A raises.
+    """
+    if cfg.streaming != "AB":
+        raise NotImplementedError(
+            "uneven (non-divisible) decomposition requires A-B streaming; "
+            "use streaming='AB' or a mesh-divisible lattice")
+    S = domain.shape
+    Sp = plan.padded_shape(domain)
+    pads = [(0, p - s) for s, p in zip(S, Sp)]
+    D = cfg.lat.D
+    units_p = dataclasses.replace(domain.units, global_size=Sp)
+    map_p = np.pad(domain.map, pads, mode="edge")
+    bz_p = (np.pad(domain.bouzidi, [(0, 0)] + pads, mode="edge")
+            if domain.bouzidi is not None else None)
+    dom_p = dataclasses.replace(domain, units=units_p, map=map_p, bouzidi=bz_p)
+    inner = make_sharded_step(cfg, dom_p, plan)
+    crop_f = (slice(None),) + tuple(slice(0, s) for s in S)
+    crop_s = tuple(slice(0, s) for s in S)
+    map_p_dev = jnp.asarray(map_p)
+
+    def _pad_state(f):
+        fp = f
+        for a in range(D):
+            p = Sp[a] - S[a]
+            if p == 0:
+                continue
+            adim = f.ndim - D + a
+            pw = [(0, 0)] * fp.ndim
+            pw[adim] = (0, p)
+            fp = jnp.pad(fp, pw,
+                         mode="wrap" if domain.periodic[a] else "edge")
+            if domain.periodic[a]:
+                idx = [slice(None)] * fp.ndim
+                idx[adim] = Sp[a] - 1
+                src = [slice(None)] * fp.ndim
+                src[adim] = S[a] - 1
+                fp = fp.at[tuple(idx)].set(fp[tuple(src)])
+        return fp
+
+    def _pad_drive(arr, dt):
+        """[D] vectors pass through; [D, ...] profile fields broadcast to
+        the true lattice, then pad like the state."""
+        if arr is None:
+            return None
+        a = jnp.asarray(arr, dt)
+        if a.ndim <= 1:
+            return a
+        return _pad_state(jnp.broadcast_to(a, (D,) + S))
+
+    def step(f, map_arr, nu, u_in=None, force=None, parity: int = 0,
+             bouzidi_arr=None):
+        del map_arr, bouzidi_arr  # rebuilt padded internally
+        dt = cfg.compute_dtype
+        f_new, rho, u = inner(
+            _pad_state(f), map_p_dev, nu,
+            u_in=_pad_drive(u_in, dt), force=_pad_drive(force, dt),
+            parity=parity,
+        )
+        return f_new[crop_f], rho[crop_s], u[crop_f]
+
+    return step
 
 
 def make_sharded_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan):
@@ -138,7 +260,12 @@ def make_sharded_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan):
     ``f`` and ``map_arr`` must be device arrays sharded according to
     ``plan`` (use ``plan.shard_field``).  ``u_in``/``force`` are replicated
     [D] vectors (or None).  Returns (f_new, rho, u) with the same shardings.
+
+    Lattices NOT divisible by the mesh are supported for A-B streaming via
+    internal pad-and-crop (``_make_uneven_sharded_step``).
     """
+    if not plan.divisible(domain):
+        return _make_uneven_sharded_step(cfg, domain, plan)
     plan.check(domain)
     from tnl_lbm_tpu.ops.boundary import GEO
 

@@ -311,6 +311,7 @@ class Simulation:
                      or self.plan.mesh.shape[self.plan.spatial_axes[2]] == 1)
             )
             if (self.use_fused and self._fused_ok() and z_ok
+                    and self.plan.divisible(self.domain)
                     and self.cfg.forcing_hook is None):
                 if self.cfg.streaming == "AA":
                     self._step = make_sharded_fused_step_aa(self.cfg, self.domain, self.plan)
