@@ -153,20 +153,65 @@ def _eq_kind(cfg) -> str:
     return "quad"
 
 
+LANE = 128  # TPU lane width: manual-DMA buffers pad Z to this multiple
+
+#: VMEM budget handed to _fit_tiles_vmem.  Measured on v5e (round 3): the
+#: pair2/odd kernels compile with ~49 MB of estimated scratch (256^3 at tile
+#: (8,32) K=2, the headline config) but tpu_compile_helper crashes at ~74 MB
+#: (same tile at Zp=384) even though the chip has 128 MB VMEM - Mosaic's own
+#: double-buffering and spill overhead eat the difference.  56 MB keeps every
+#: known-good geometry and shrinks the ones that crashed.
+MOSAIC_SCRATCH_BUDGET = int(56e6)
+
+#: tests set True to exercise the padded-lane (Z % 128 != 0) kernel logic
+#: under CPU interpret mode, where the DMA alignment constraint is absent
+FORCE_LANE_PAD = False
+
+
+def _lane_pad(Z: int, interpret: bool) -> int:
+    """Padded lane extent for manual-DMA buffers: DMA windows that slice
+    the leading axes of an HBM array fail Mosaic compilation unless the
+    lane (last) axis is a multiple of 128 (probed on v5e, round 3);
+    interpret mode has no such constraint."""
+    if (interpret and not FORCE_LANE_PAD) or Z % LANE == 0:
+        return Z
+    return -(-Z // LANE) * LANE
+
+
 def _zshift(base, oz, Z, periodic_z):
-    """In-VMEM z shift with a wrap/clamp boundary plane (tiles span full Z)."""
+    """In-VMEM z shift with a wrap/clamp boundary plane.
+
+    ``base`` spans either exactly Z lanes or a 128-padded extent Zp > Z
+    (the manual-DMA layouts); in the padded case the boundary wrap/clamp
+    applies at the TRUE extent Z via a lane-iota select and lanes >= Z
+    carry junk (callers slice outputs to :Z).  Both forms verified on
+    hardware (scripts/probe_zshift round-3 probe)."""
     if oz == 0:
         return base
-    if oz == -1:  # out[z] = base[z - 1]
-        bndry = base[..., Z - 1 : Z] if periodic_z else base[..., 0:1]
-        return jnp.concatenate([bndry, base[..., : Z - 1]], axis=-1)
-    bndry = base[..., 0:1] if periodic_z else base[..., Z - 1 : Z]
-    return jnp.concatenate([base[..., 1:], bndry], axis=-1)
+    Zp = base.shape[-1]
+    if Zp == Z:
+        if oz == -1:  # out[z] = base[z - 1]
+            bndry = base[..., Z - 1 : Z] if periodic_z else base[..., 0:1]
+            return jnp.concatenate([bndry, base[..., : Z - 1]], axis=-1)
+        bndry = base[..., 0:1] if periodic_z else base[..., Z - 1 : Z]
+        return jnp.concatenate([base[..., 1:], bndry], axis=-1)
+    import jax
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, base.shape, base.ndim - 1)
+    if oz == -1:  # out[z] = base[z - 1]; boundary plane at z = 0
+        shifted = jnp.concatenate([base[..., :1], base[..., :-1]], axis=-1)
+        bplane = base[..., Z - 1 : Z] if periodic_z else base[..., 0:1]
+        return jnp.where(lane == 0, bplane, shifted)
+    # oz == +1: out[z] = base[z + 1]; boundary plane at z = Z - 1
+    shifted = jnp.concatenate([base[..., 1:], base[..., -1:]], axis=-1)
+    bplane = base[..., 0:1] if periodic_z else base[..., Z - 1 : Z]
+    return jnp.where(lane == Z - 1, bplane, shifted)
 
 
 def _stream_bc_collide(lat, cfg, codes, sym_codes, eq_kind, do_coll_codes,
                        dtype, shifted, m, params_ref,
-                       out_perm=None, defer_nothing=False, force_tile=None):
+                       out_perm=None, defer_nothing=False, force_tile=None,
+                       macro_only=False):
     """Pull-stream + BC mask-selects + collision for one VMEM tile.
 
     ``shifted(q, (ox, oy, oz))`` returns the [tx, ty, Z] slice of DF
@@ -238,6 +283,12 @@ def _stream_bc_collide(lat, cfg, codes, sym_codes, eq_kind, do_coll_codes,
 
     rho, u = _moments_local(lat, f_in, force, cfg.well,
                             high_precision=cfg.high_precision_rho)
+    if macro_only:
+        # u* pre-pass (reference kernels.h:178-218): the hook input is the
+        # streamed + wall/symmetry-transformed moments with the homogeneous
+        # force only - exactly sim/step.py ustar, BEFORE the inflow/outflow
+        # macro overrides below
+        return None, rho, u
 
     one = jnp.ones((), dtype)
     if GEO.INFLOW_LEFT in codes or GEO.INFLOW in codes:
@@ -302,14 +353,49 @@ def _stream_bc_collide(lat, cfg, codes, sym_codes, eq_kind, do_coll_codes,
     return f_post, rho_out, u_out
 
 
-def _pad_once(f, periodic, extra_y: int = 0):
+def _fit_tile(t: int, n: int, align: int = 1) -> int:
+    """Largest divisor of n that is <= t and a multiple of align (a
+    requested t below the alignment rounds up to it)."""
+    t = min(max(t, align), n)
+    while t >= align and (n % t != 0 or t % align != 0):
+        t -= align if t % align == 0 else t % align
+    assert t >= align, (t, n, align)
+    return t
+
+
+def _fit_tiles_vmem(bytes_fn, tile, K, X, Y, budget_bytes,
+                    ty_align: int = 8, tx_min: int = 1):
+    """Shrink (tx, ty, K) until the kernel's VMEM estimate fits the budget
+    (lifts the round-2 'Z <= 256' ceiling: large-Z configs simply run
+    smaller tiles instead of failing Mosaic - probed OK at Z=640 on v5e)."""
+    tx = _fit_tile(tile[0], X)
+    ty = _fit_tile(tile[1], Y, ty_align)
+    while K > 1 and Y % (ty * K) != 0:
+        K -= 1
+    while bytes_fn(tx, ty, K) > budget_bytes:
+        if K > 1:
+            K -= 1
+            while K > 1 and Y % (ty * K) != 0:
+                K -= 1
+        elif ty > ty_align:
+            ty = _fit_tile(ty // 2, Y, ty_align)
+        elif tx > tx_min:
+            tx = _fit_tile(max(tx // 2, tx_min), X)
+        else:
+            break  # smallest geometry - let Mosaic have the final say
+    return tx, ty, K
+
+
+def _pad_once(f, periodic, extra_y: int = 0, extra_z: int = 0):
     """One-pass halo pad on the X/Y axes (dims 1, 2): edge-replicate, then
     overwrite periodic-axis halo layers with the wrapped values.
 
     ``extra_y`` appends unused replicate rows on Y so the Q-major kernel's
-    DMA windows stay sublane-aligned.  The Z (lane) axis is never padded -
-    kernels span full Z and shift in-register (_zshift)."""
-    pads = [(0, 0), (1, 1), (1, 1 + extra_y), (0, 0)]
+    DMA windows stay sublane-aligned; ``extra_z`` appends junk lanes so
+    manual-DMA buffers reach the 128-multiple lane extent (_lane_pad) -
+    the kernel clamps z reads at the true extent (_zshift), so the pad
+    values are never consumed."""
+    pads = [(0, 0), (1, 1), (1, 1 + extra_y), (0, extra_z)]
     fpad = jnp.pad(f, pads, mode="edge")
     for a, per in enumerate(periodic[:2]):
         if not per:
@@ -379,7 +465,8 @@ def _prep(cfg, domain):
 
 def make_fused_step(cfg: LBMConfig, domain: Domain, tile=None, tiles_per_program: int = 2,
                     with_macro: bool = True, prepadded: bool = False,
-                    local_shape=None, force_field: bool = False):
+                    local_shape=None, force_field: bool = False,
+                    macro_only: bool = False):
     """Q-major fused step: step(f, nu, u_in, force) -> (f_new, rho, u).
 
     With ``with_macro=False`` the macro outputs are skipped (returns
@@ -391,19 +478,37 @@ def make_fused_step(cfg: LBMConfig, domain: Domain, tile=None, tiles_per_program
     [3, X, Y, Z] field DMA'd tile-by-tile into the kernel (reference macro
     force channels, kernels.h:92) - the carrier for IBM / non-Newtonian
     forcing (kernels/hooked.py).
+    With ``macro_only=True`` the kernel is the Pallas u* PRE-PASS
+    (reference kernels.h:178-218): stream + wall/symmetry transforms +
+    moments with the homogeneous force, NO collision and NO f output -
+    ``step(...)`` returns ``(rho0, u0)``.  Replaces the XLA ustar in
+    kernels/hooked.py (round 3: ~0.53x the HBM traffic of a full step).
     """
     lat, codes, sym_codes, eq_kind, do_coll_codes = _prep(cfg, domain)
     Q = lat.Q
     X, Y, Z = local_shape if local_shape is not None else domain.shape
     dtype = cfg.compute_dtype
     periodic_z = bool(domain.periodic[2])
+    interpret = jax.default_backend() == "cpu"
+    Zp = _lane_pad(Z, interpret)
+    itemsize = jnp.dtype(dtype).itemsize
 
     if tile is None:
         tile = (8, 8) if Z <= 192 else (4, 8)
-    tx, ty = tile
-    K = tiles_per_program
-    while K > 1 and Y % (ty * K) != 0:
-        K -= 1
+
+    def vmem_bytes(tx, ty, K):
+        tyK = ty * K
+        scr = K * Q * (tx + 2) * (ty + 8) * Zp * itemsize
+        out_ch = 4 if macro_only else Q + 4         # f out + rho + u
+        bspec = 2 * (tx * tyK) * (
+            Zp * 4                                  # map
+            + out_ch * Z * itemsize
+            + (3 * Zp * itemsize if force_field else 0)
+        )
+        return scr + bspec
+
+    tx, ty, K = _fit_tiles_vmem(vmem_bytes, tile, tiles_per_program, X, Y,
+                                budget_bytes=MOSAIC_SCRATCH_BUDGET)
     assert X % tx == 0 and Y % (ty * K) == 0, (X, Y, tile, K)
     assert ty % 8 == 0, "ty must be sublane-aligned (multiple of 8)"
 
@@ -444,31 +549,35 @@ def make_fused_step(cfg: LBMConfig, domain: Domain, tile=None, tiles_per_program
             f_post, rho_out, u_out = _stream_bc_collide(
                 lat, cfg, codes, sym_codes, eq_kind, do_coll_codes, dtype,
                 shifted, m, params_ref, force_tile=ft,
+                macro_only=macro_only,
             )
-            fout_ref[:, :, t * ty : (t + 1) * ty, :] = f_post
+            if not macro_only:
+                fout_ref[:, :, t * ty : (t + 1) * ty, :] = f_post[..., :Z]
             if with_macro:
-                rho_ref[:, t * ty : (t + 1) * ty, :] = rho_out
-                u_ref[:, :, t * ty : (t + 1) * ty, :] = u_out
+                rho_ref[:, t * ty : (t + 1) * ty, :] = rho_out[..., :Z]
+                u_ref[:, :, t * ty : (t + 1) * ty, :] = u_out[..., :Z]
 
     grid = (X // tx, Y // (ty * K))
     tyK = ty * K
-    interpret = jax.default_backend() == "cpu"
     dummy = (8, 8, 128)
-    force_specs = [pl.BlockSpec((3, tx, tyK, Z), lambda i, j: (0, i, j, 0),
+    force_specs = [pl.BlockSpec((3, tx, tyK, Zp), lambda i, j: (0, i, j, 0),
                                 memory_space=pltpu.VMEM)] if force_field else []
     call = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # params [8]
-            pl.BlockSpec((tx, tyK, Z), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tx, tyK, Zp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ]
         + force_specs
         + [
             pl.BlockSpec(memory_space=pl.ANY),  # fpad stays in HBM
         ],
         out_specs=(
-            pl.BlockSpec((Q, tx, tyK, Z), lambda i, j: (0, i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(dummy if macro_only else (Q, tx, tyK, Z),
+                         (lambda i, j: (0, 0, 0)) if macro_only
+                         else (lambda i, j: (0, i, j, 0)),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((tx, tyK, Z) if with_macro else dummy,
                          (lambda i, j: (i, j, 0)) if with_macro else (lambda i, j: (0, 0, 0)),
                          memory_space=pltpu.VMEM),
@@ -477,29 +586,42 @@ def make_fused_step(cfg: LBMConfig, domain: Domain, tile=None, tiles_per_program
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((Q, X, Y, Z), dtype),
+            jax.ShapeDtypeStruct(dummy if macro_only else (Q, X, Y, Z), dtype),
             jax.ShapeDtypeStruct((X, Y, Z) if with_macro else dummy, dtype),
             jax.ShapeDtypeStruct((3, X, Y, Z) if with_macro else (3,) + dummy, dtype),
         ),
-        scratch_shapes=[pltpu.VMEM((Q, tx + 2, ty + 8, Z), dtype) for _ in range(K)]
+        scratch_shapes=[pltpu.VMEM((Q, tx + 2, ty + 8, Zp), dtype) for _ in range(K)]
         + [pltpu.SemaphoreType.DMA((K,))],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )
 
-    map_arr = np.asarray(domain.map, np.int32)
+    # map padded to the lane multiple (the mask-selects combine it with
+    # Zp-laned DF tiles); the edge codes at junk lanes keep the (discarded)
+    # pad-lane arithmetic finite
+    map_arr = np.pad(np.asarray(domain.map, np.int32),
+                     [(0, 0), (0, 0), (0, Zp - Z)], mode="edge")
+
+    def _zpad(arr):
+        if Zp == Z:
+            return arr
+        pw = [(0, 0)] * (arr.ndim - 1) + [(0, Zp - Z)]
+        return jnp.pad(arr, pw, mode="edge")
 
     def step(f, nu, u_in=None, force=None, parity: int = 0, map_arr_in=None):
         del parity
-        mp = map_arr if map_arr_in is None else map_arr_in
-        fpad = f if prepadded else _pad_once(f, domain.periodic, extra_y=6)
+        mp = map_arr if map_arr_in is None else _zpad(map_arr_in)
+        fpad = (_zpad(f) if prepadded
+                else _pad_once(f, domain.periodic, extra_y=6, extra_z=Zp - Z))
         if force_field:
             assert force is not None and force.ndim == 4, \
                 "force_field kernel expects a [3, X, Y, Z] force"
             params = _params_vec(dtype, nu, u_in, None)
-            f_new, rho, u = call(params, mp, force.astype(dtype), fpad)
+            f_new, rho, u = call(params, mp, _zpad(force.astype(dtype)), fpad)
         else:
             f_new, rho, u = call(_params_vec(dtype, nu, u_in, force), mp, fpad)
+        if macro_only:
+            return rho, u
         if not with_macro:
             return f_new, None, None
         return f_new, rho, u

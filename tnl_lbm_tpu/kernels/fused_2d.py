@@ -71,12 +71,15 @@ def _shift_axis(a, o, axis, n, periodic):
     return jnp.concatenate([sl(1, n), bndry], axis=axis)
 
 
-def make_fused_step_2d(cfg: LBMConfig, domain: Domain):
+def make_fused_step_2d(cfg: LBMConfig, domain: Domain,
+                       force_field: bool = False):
     """D2Q9 fused step: ``step(f, nu, u_in, force) -> (f_new, rho, u)``.
 
     ``u_in`` may be None, a [2] vector or a broadcastable [2, ...] profile
-    field (sim2d_2's parabolic inflow).  ``force`` is a [2] vector (no 2D
-    forcing hooks in the reference's pipeline).
+    field (sim2d_2's parabolic inflow).  ``force`` is a [2] vector, or -
+    with ``force_field=True`` - a per-site [2, X, Y] field (the carrier
+    for 2D forcing hooks, kernels/hooked.py; analog of the reference's
+    macro force channels, kernels.h:92).
     """
     lat = cfg.lat
     assert lat.D == 2 and cfg.streaming == "AB"
@@ -111,13 +114,18 @@ def make_fused_step_2d(cfg: LBMConfig, domain: Domain):
         return jnp.stack(rows)
 
     def kernel(params_ref, map_ref, uin_ref, *args):
+        if force_field:
+            fr_ref, *args = args
+        else:
+            fr_ref = None
         if has_bouzidi:
             bz_ref, f_ref, fout_ref, rho_ref, u_ref = args
         else:
             f_ref, fout_ref, rho_ref, u_ref = args
             bz_ref = None
         nu = params_ref[0]
-        force = [params_ref[4], params_ref[5]]
+        force = (fr_ref[...] if force_field
+                 else [params_ref[4], params_ref[5]])
         m = map_ref[...]
         masks = {c: (m == int(c)) for c in codes}
         f = [f_ref[q] for q in range(Q)]
@@ -191,7 +199,10 @@ def make_fused_step_2d(cfg: LBMConfig, domain: Domain):
 
         # ---- collision (masked select) ----
         rho_safe = jnp.where(rho == 0, one, rho)
-        force_col = (jnp.stack(force).reshape(2, 1, 1) if _has_force[0] else None)
+        if force_field:
+            force_col = force
+        else:
+            force_col = (jnp.stack(force).reshape(2, 1, 1) if _has_force[0] else None)
         f_post = cfg.collision(lat, f_in, rho_safe, u, nu, force=force_col)
         do_coll = jnp.zeros_like(m, dtype=jnp.bool_)
         for code in do_coll_codes:
@@ -216,6 +227,7 @@ def make_fused_step_2d(cfg: LBMConfig, domain: Domain):
     call = pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), vmem, vmem]
+        + ([vmem] if force_field else [])
         + ([vmem] if has_bouzidi else [])
         + [vmem],  # f
         out_specs=(vmem, vmem, vmem),
@@ -248,10 +260,14 @@ def make_fused_step_2d(cfg: LBMConfig, domain: Domain):
         else:
             uin = jnp.broadcast_to(jnp.asarray(u_in, dtype), (2, X, Y)).astype(dtype)
         bz = bz_arr if bouzidi_arr is None else bouzidi_arr
+        ops = [params, mp, uin]
+        if force_field:
+            assert force is not None and force.ndim == 3, \
+                "force_field kernel expects a [2, X, Y] force"
+            ops.append(force.astype(dtype))
         if has_bouzidi:
-            f_new, rho, u = call(params, mp, uin, jnp.asarray(bz, dtype), f)
-        else:
-            f_new, rho, u = call(params, mp, uin, f)
+            ops.append(jnp.asarray(bz, dtype))
+        f_new, rho, u = call(*ops, f)
         return f_new, rho, u
 
     return step

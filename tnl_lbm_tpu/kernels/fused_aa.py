@@ -41,6 +41,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tnl_lbm_tpu.ops.boundary import GEO
 from tnl_lbm_tpu.kernels.fused import (
+    MOSAIC_SCRATCH_BUDGET,
+    _fit_tile,
+    _fit_tiles_vmem,
+    _lane_pad,
     _params_vec,
     _prep,
     _stream_bc_collide,
@@ -49,13 +53,14 @@ from tnl_lbm_tpu.kernels.fused import (
 from tnl_lbm_tpu.sim.config import Domain, LBMConfig
 
 
-def _pad_aa_odd(f, periodic):
+def _pad_aa_odd(f, periodic, extra_z: int = 0):
     """2-halo pad on X (origin 2) and a 4-row Y pad (origin 4) for the odd
-    kernel's DMA windows: fpad is [Q, X+4, Y+8, Z].  With the interior at
+    kernel's DMA windows: fpad is [Q, X+4, Y+8, Zp].  With the interior at
     Y offset 4, an 8-aligned window [j*ty, j*ty+ty+8) covers the 2-halo rows
-    [j*ty-2, j*ty+ty+2) of the tile - minimal read amplification."""
+    [j*ty-2, j*ty+ty+2) of the tile - minimal read amplification.
+    ``extra_z`` lane-pads to the 128 multiple (reads clamp at true Z)."""
     X, Y = f.shape[1], f.shape[2]
-    fpad = jnp.pad(f, [(0, 0), (2, 2), (4, 4), (0, 0)], mode="edge")
+    fpad = jnp.pad(f, [(0, 0), (2, 2), (4, 4), (0, extra_z)], mode="edge")
     if periodic[0]:
         fpad = fpad.at[:, 0:2].set(fpad[:, X : X + 2])
         fpad = fpad.at[:, X + 2 : X + 4].set(fpad[:, 2:4])
@@ -65,10 +70,10 @@ def _pad_aa_odd(f, periodic):
     return fpad
 
 
-def _pad_map_ring(map_arr, periodic):
-    """Static 1-halo map pad (X origin 1, Y origin 4): [X+2, Y+8, Z]."""
+def _pad_map_ring(map_arr, periodic, extra_z: int = 0):
+    """Static 1-halo map pad (X origin 1, Y origin 4): [X+2, Y+8, Zp]."""
     X, Y = map_arr.shape[0], map_arr.shape[1]
-    mp = np.pad(map_arr, [(1, 1), (4, 4), (0, 0)], mode="edge")
+    mp = np.pad(map_arr, [(1, 1), (4, 4), (0, extra_z)], mode="edge")
     if periodic[0]:
         mp[0] = mp[X]
         mp[X + 1] = mp[1]
@@ -91,22 +96,27 @@ def _edge_rep(v, axis, is_first, is_last):
     return jnp.concatenate([first, v[:, 1:-1], last], axis=1)
 
 
-def _fit_tile(t: int, n: int, align: int = 1) -> int:
-    """Largest divisor of n that is <= t and a multiple of align."""
-    t = min(t, n)
-    while t >= align and (n % t != 0 or t % align != 0):
-        t -= align if t % align == 0 else t % align
-    assert t >= align, (t, n, align)
-    return t
+def _edge_rep_z(v, is_lo, is_hi, z_lo, z_hi):
+    """Lane-axis analog of ``_edge_rep`` for z-halo (z-sharded) builds:
+    when this shard owns a non-periodic global z boundary, replace the
+    halo lanes (< z_lo / > z_hi) with the boundary lane's value so the
+    push's boundary contribution comes from the boundary site's own
+    collision - matching the edge-replicate jnp.pad in sim/step.py's odd
+    push (and the single-chip kernel's _zshift clamp)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
+    lo_plane = v[..., z_lo : z_lo + 1]
+    hi_plane = v[..., z_hi : z_hi + 1]
+    v = jnp.where(jnp.logical_and(is_lo, lane < z_lo), lo_plane, v)
+    return jnp.where(jnp.logical_and(is_hi, lane > z_hi), hi_plane, v)
 
 
-def _pad_force_ring(force, periodic):
+def _pad_force_ring(force, periodic, extra_z: int = 0):
     """1-halo pad of a [3, X, Y, Z] force field on the odd kernel's map-ring
-    origins (x 1, y 4): [3, X+2, Y+8, Z].  Edge-replication matches the XLA
+    origins (x 1, y 4): [3, X+2, Y+8, Zp].  Edge-replication matches the XLA
     push's jnp.pad of f_post (halo-ring sites carry the force their own
     collision saw)."""
     X, Y = force.shape[1], force.shape[2]
-    fp = jnp.pad(force, [(0, 0), (1, 1), (4, 4), (0, 0)], mode="edge")
+    fp = jnp.pad(force, [(0, 0), (1, 1), (4, 4), (0, extra_z)], mode="edge")
     if periodic[0]:
         fp = fp.at[:, 0:1].set(fp[:, X : X + 1])
         fp = fp.at[:, X + 1 : X + 2].set(fp[:, 1:2])
@@ -119,18 +129,26 @@ def _pad_force_ring(force, periodic):
 def _build_odd_call(lat, cfg_ab, codes, sym_codes, eq_kind, do_coll_codes,
                     dtype, periodic, periodic_z, X, Y, Z, tile_odd,
                     tiles_per_program, with_macro, interpret, y_org,
-                    force_field: bool = False):
+                    force_field: bool = False, z_halo: int = 0):
     """The odd-parity push kernel.  ``y_org`` is the fpad Y origin: 4 for
     the standalone step (minimal ty+8 windows on a [Q,X+4,Y+8,Z] pad), 8
     for the persistent-pad pair (aligned even-step writes require origin 8,
     costing ty+16 windows on [Q,X+4,Y+16,Z])."""
     Q = lat.Q
     opp = np.asarray(lat.opp)
-    tx = _fit_tile(tile_odd[0], X)
-    ty = _fit_tile(tile_odd[1], Y, align=8)
-    K = tiles_per_program
-    while K > 1 and Y % (ty * K) != 0:
-        K -= 1
+    Zp = _lane_pad(Z, interpret)
+    itemsize = jnp.dtype(dtype).itemsize
+
+    def vmem_bytes(tx, ty, K):
+        scr = K * ((Q * (tx + 4) * (ty + 2 * y_org) + (tx + 2) * (ty + 8))
+                   * Zp * itemsize)
+        if force_field:
+            scr += K * 3 * (tx + 2) * (ty + 8) * Zp * itemsize
+        bspec = 2 * tx * ty * K * (Q + 4) * Z * itemsize
+        return scr + bspec
+
+    tx, ty, K = _fit_tiles_vmem(vmem_bytes, tile_odd, tiles_per_program,
+                                X, Y, budget_bytes=MOSAIC_SCRATCH_BUDGET)
     assert X % tx == 0 and Y % (ty * K) == 0, (X, Y, tile_odd, K)
     assert ty % 8 == 0, "ty must be sublane-aligned (multiple of 8)"
     txc, tyc = tx + 2, ty + 2  # ring (interior + 1-halo) extents
@@ -213,6 +231,11 @@ def _build_odd_call(lat, cfg_ab, codes, sym_codes, eq_kind, do_coll_codes,
                 lo = (jt == 0) & (params_ref[10] > 0)
                 hi = (jt == ny_t - 1) & (params_ref[11] > 0)
                 post = [_edge_rep(v, 1, lo, hi) for v in post]
+            if z_halo and not periodic_z:
+                zlo = params_ref[12] > 0
+                zhi = params_ref[13] > 0
+                post = [_edge_rep_z(v, zlo, zhi, z_halo, Z - z_halo - 1)
+                        for v in post]
 
             # push: out[q](x) = f_post[q](x - c_q); ring covers x +- 1
             rows = []
@@ -229,10 +252,10 @@ def _build_odd_call(lat, cfg_ab, codes, sym_codes, eq_kind, do_coll_codes,
                 center = scratch[:, 2 : 2 + tx, y_org : y_org + ty, :]
                 pushed = jnp.where(m_int == int(GEO.NOTHING), center, pushed)
 
-            fout_ref[:, :, t * ty : (t + 1) * ty, :] = pushed
+            fout_ref[:, :, t * ty : (t + 1) * ty, :] = pushed[..., :Z]
             if with_macro:
-                rho_ref[:, t * ty : (t + 1) * ty, :] = rho_ring[1 : 1 + tx, 1 : 1 + ty, :]
-                u_ref[:, :, t * ty : (t + 1) * ty, :] = u_ring[:, 1 : 1 + tx, 1 : 1 + ty, :]
+                rho_ref[:, t * ty : (t + 1) * ty, :] = rho_ring[1 : 1 + tx, 1 : 1 + ty, :Z]
+                u_ref[:, :, t * ty : (t + 1) * ty, :] = u_ring[:, 1 : 1 + tx, 1 : 1 + ty, :Z]
 
     odd_call = pl.pallas_call(
         odd_kernel,
@@ -257,9 +280,9 @@ def _build_odd_call(lat, cfg_ab, codes, sym_codes, eq_kind, do_coll_codes,
             jax.ShapeDtypeStruct((X, Y, Z) if with_macro else dummy, dtype),
             jax.ShapeDtypeStruct((3, X, Y, Z) if with_macro else (3,) + dummy, dtype),
         ),
-        scratch_shapes=[pltpu.VMEM((Q, tx + 4, wy, Z), dtype) for _ in range(K)]
-        + [pltpu.VMEM((tx + 2, ty + 8, Z), jnp.int32) for _ in range(K)]
-        + ([pltpu.VMEM((3, tx + 2, ty + 8, Z), dtype) for _ in range(K)]
+        scratch_shapes=[pltpu.VMEM((Q, tx + 4, wy, Zp), dtype) for _ in range(K)]
+        + [pltpu.VMEM((tx + 2, ty + 8, Zp), jnp.int32) for _ in range(K)]
+        + ([pltpu.VMEM((3, tx + 2, ty + 8, Zp), dtype) for _ in range(K)]
            if force_field else [])
         + [pltpu.SemaphoreType.DMA((K, 3 if force_field else 2))],
         interpret=interpret,
@@ -272,7 +295,7 @@ def make_fused_step_aa(cfg: LBMConfig, domain: Domain,
                        tile_even=(8, 16), tile_odd=(8, 16),
                        tiles_per_program: int = 4, with_macro: bool = True,
                        prepadded: bool = False, local_shape=None,
-                       force_field: bool = False):
+                       force_field: bool = False, z_halo: int = 0):
     """A-A fused pair: ``step(f, nu, u_in, force, parity)`` with parity
     0 = even, 1 = odd (Python-static).  Returns (f_new, rho, u).
 
@@ -299,11 +322,19 @@ def make_fused_step_aa(cfg: LBMConfig, domain: Domain,
     periodic_z = bool(periodic[2])
     opp = np.asarray(lat.opp)
     interpret = jax.default_backend() == "cpu"
+    Zp = _lane_pad(Z, interpret)
+    itemsize = jnp.dtype(dtype).itemsize
     map_arr = None if prepadded else np.asarray(domain.map, np.int32)
 
-    # ---------------------------------------------------------------- even
-    ex = _fit_tile(tile_even[0], X)
-    ey = _fit_tile(tile_even[1], Y)
+    # ------------------------------------------------------------ even
+    # all-BlockSpec kernel: native Z (any extent), VMEM-fit tile
+    def even_bytes(ex, ey, k):
+        del k
+        per_site = (2 * Q + 4) * itemsize + 4 + (3 * itemsize if force_field else 0)
+        return 2 * ex * ey * Z * per_site
+
+    ex, ey, _ = _fit_tiles_vmem(even_bytes, tile_even, 1, X, Y,
+                                budget_bytes=int(90e6), ty_align=1)
     assert X % ex == 0 and Y % ey == 0, (X, Y, tile_even)
 
     def even_kernel(params_ref, map_ref, *args):
@@ -366,13 +397,22 @@ def make_fused_step_aa(cfg: LBMConfig, domain: Domain,
         lat, cfg_ab, codes, sym_codes, eq_kind, do_coll_codes, dtype,
         periodic, periodic_z, X, Y, Z, tile_odd, tiles_per_program,
         with_macro, interpret, y_org=4, force_field=force_field,
+        z_halo=z_halo,
     )
-    map_ring = None if prepadded else _pad_map_ring(map_arr, periodic)
+    map_ring = None if prepadded else _pad_map_ring(map_arr, periodic,
+                                                    extra_z=Zp - Z)
+
+    def _zpad(arr):
+        if Zp == Z or arr is None:
+            return arr
+        pw = [(0, 0)] * (arr.ndim - 1) + [(0, Zp - Z)]
+        return jnp.pad(arr, pw, mode="edge")
 
     def step(f, nu, u_in=None, force=None, parity: int = 0,
              map_arr_in=None, map_ring_in=None, bflags=None):
-        flags = (jnp.ones((4,), dtype) if bflags is None
-                 else jnp.asarray(bflags, dtype).reshape(4))
+        flags = (jnp.ones((6,), dtype) if bflags is None
+                 else jnp.asarray(bflags, dtype).reshape(-1))
+        flags = jnp.concatenate([flags, jnp.ones((6 - flags.shape[0],), dtype)])
         if force_field:
             assert force is not None and force.ndim == 4, \
                 "force_field kernel expects a [3, X, Y, Z] force"
@@ -388,13 +428,14 @@ def make_fused_step_aa(cfg: LBMConfig, domain: Domain,
                 f_new, rho, u = even_call(params, mp, f)
         else:
             if prepadded:
-                fpad = f
-                mr = map_ring_in
+                fpad = _zpad(f)
+                mr = _zpad(map_ring_in)
             else:
-                fpad = _pad_aa_odd(f, periodic)
+                fpad = _pad_aa_odd(f, periodic, extra_z=Zp - Z)
                 mr = map_ring
             if force_field:
-                fr = _pad_force_ring(force.astype(dtype), periodic)
+                fr = _pad_force_ring(force.astype(dtype), periodic,
+                                     extra_z=Zp - Z)
                 f_new, rho, u = odd_call(params, fpad, mr, fr)
             else:
                 f_new, rho, u = odd_call(params, fpad, mr)
@@ -425,17 +466,22 @@ def _edge_rep2(v, axis, is_lo, is_hi, lo_src, hi_src, n_lo, n_hi):
 
 
 def to_padded_aa(f, periodic):
-    """[Q, X, Y, Z] -> the persistent-pad pair state [Q, X+4, Y+16, Z]
-    (x-origin 2, y-origin 8) with halo layers filled."""
+    """[Q, X, Y, Z] -> the persistent-pad pair state [Q, X+4, Y+16, Zp]
+    (x-origin 2, y-origin 8, lanes padded to the 128 multiple) with halo
+    layers filled."""
     Q, X, Y, Z = f.shape
-    fpad = jnp.pad(f, [(0, 0), (2, 2), (8, 8), (0, 0)], mode="edge")
+    Zp = _lane_pad(Z, jax.default_backend() == "cpu")
+    fpad = jnp.pad(f, [(0, 0), (2, 2), (8, 8), (0, Zp - Z)], mode="edge")
     return _fill_halos_pad8(fpad, periodic, X, Y, Z, Q)
 
 
-def from_padded_aa(fpad):
-    """Persistent-pad state -> plain [Q, X, Y, Z]."""
-    Q, Xp, Yp, Z = fpad.shape
-    return fpad[:, 2 : Xp - 2, 8 : Yp - 8, :]
+def from_padded_aa(fpad, Z: int | None = None):
+    """Persistent-pad state -> plain [Q, X, Y, Z].  Pass the true ``Z``
+    when the lane extent was padded (to_padded_aa pads to the 128
+    multiple); with Z=None the full lane extent is returned."""
+    Q, Xp, Yp, Zl = fpad.shape
+    out = fpad[:, 2 : Xp - 2, 8 : Yp - 8, :]
+    return out if Z is None else out[..., :Z]
 
 
 def _fill_halos_pad8(fpad, periodic, X, Y, Z, Q):
@@ -454,9 +500,9 @@ def _fill_halos_pad8(fpad, periodic, X, Y, Z, Q):
         fpad = fpad.at[:, :, Y + 8 : Y + 10].set(fpad[:, :, 8:10])
     else:
         fpad = fpad.at[:, :, 6:8].set(jnp.broadcast_to(
-            fpad[:, :, 8:9], fpad.shape[:2] + (2, Z)))
+            fpad[:, :, 8:9], fpad.shape[:2] + (2, fpad.shape[-1])))
         fpad = fpad.at[:, :, Y + 8 : Y + 10].set(jnp.broadcast_to(
-            fpad[:, :, Y + 7 : Y + 8], fpad.shape[:2] + (2, Z)))
+            fpad[:, :, Y + 7 : Y + 8], fpad.shape[:2] + (2, fpad.shape[-1])))
     return fpad
 
 
@@ -465,7 +511,7 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
                         with_macro: bool = True, even_band: str = "aligned",
                         local_shape=None, prepadded: bool = False,
                         vmem_limit_mb: int = 112,
-                        _debug_dma: str = "full"):
+                        _debug_dma: str = "full", z_halo: int = 0):
     """One-kernel A-A pair on persistent-padded state: ``pair(fpad, nu,
     u_in, force) -> (fpad_new, rho, u)`` advances TWO lattice steps with a
     single windowed read and a single interior write.
@@ -511,14 +557,22 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
     periodic_z = bool(periodic[2])
     opp = np.asarray(lat.opp)
     interpret = jax.default_backend() == "cpu"
+    Zp = _lane_pad(Z, interpret)
+    itemsize = jnp.dtype(dtype).itemsize
 
-    tx = _fit_tile(tile[0], X)
-    ty = _fit_tile(tile[1], Y, align=8)
+    def vmem_bytes(tx, ty, k):
+        per_tile = ((Q + 1) * (tx + 4) * (ty + 16)   # window + map (int32)
+                    + (Q + 4) * tx * ty)             # out + rho + u
+        return k * per_tile * Zp * itemsize
+
+    tx, ty, K = _fit_tiles_vmem(
+        vmem_bytes, tile, tiles_per_program, X, Y,
+        budget_bytes=min(MOSAIC_SCRATCH_BUDGET,
+                         int(vmem_limit_mb * 0.85 * 1e6)))
     wx, wy = tx + 4, ty + 16  # window extents (x-origin 2, y-origin 8)
     txc, tyc = tx + 2, ty + 2  # odd ring extents
     nx_t, ny_t = X // tx, Y // ty
     n_tiles = nx_t * ny_t
-    K = tiles_per_program
     while K > 1 and n_tiles % K != 0:
         K -= 1
     n_prog = n_tiles // K
@@ -527,8 +581,8 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
         map_pad = None  # each shard passes its own padded local map
     else:
         # static padded map, same layout/origins as the state
-        mp = np.pad(np.asarray(domain.map, np.int32), [(2, 2), (8, 8), (0, 0)],
-                    mode="edge")
+        mp = np.pad(np.asarray(domain.map, np.int32),
+                    [(2, 2), (8, 8), (0, Zp - Z)], mode="edge")
         if periodic[0]:
             mp[0:2] = mp[X : X + 2]
             mp[X + 2 : X + 4] = mp[2:4]
@@ -681,6 +735,11 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
                 lo = (jt == 0) & (params_ref[10] > 0)
                 hi = (jt == ny_t - 1) & (params_ref[11] > 0)
                 post = [_edge_rep(v, 1, lo, hi) for v in post]
+            if z_halo and not periodic_z:
+                zlo = params_ref[12] > 0
+                zhi = params_ref[13] > 0
+                post = [_edge_rep_z(v, zlo, zhi, z_halo, Z - z_halo - 1)
+                        for v in post]
 
             rows = []
             for q in range(Q):
@@ -735,15 +794,15 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
             pl.BlockSpec(memory_space=pl.ANY),  # u via manual DMA
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((Q, X + 4, Y + 16, Z), dtype),
-            jax.ShapeDtypeStruct((X, Y, Z) if with_macro else dummy_scr, dtype),
-            jax.ShapeDtypeStruct(((3, X, Y, Z) if with_macro else (3,) + dummy_scr), dtype),
+            jax.ShapeDtypeStruct((Q, X + 4, Y + 16, Zp), dtype),
+            jax.ShapeDtypeStruct((X, Y, Zp) if with_macro else dummy_scr, dtype),
+            jax.ShapeDtypeStruct(((3, X, Y, Zp) if with_macro else (3,) + dummy_scr), dtype),
         ),
-        scratch_shapes=[pltpu.VMEM((Q, wx, wy, Z), dtype) for _ in range(K)]
-        + [pltpu.VMEM((wx, wy, Z), jnp.int32) for _ in range(K)]
-        + [pltpu.VMEM((Q, tx, ty, Z), dtype) for _ in range(K)]
-        + [pltpu.VMEM((tx, ty, Z) if with_macro else dummy_scr, dtype) for _ in range(K)]
-        + [pltpu.VMEM((3, tx, ty, Z) if with_macro else (3,) + dummy_scr, dtype)
+        scratch_shapes=[pltpu.VMEM((Q, wx, wy, Zp), dtype) for _ in range(K)]
+        + [pltpu.VMEM((wx, wy, Zp), jnp.int32) for _ in range(K)]
+        + [pltpu.VMEM((Q, tx, ty, Zp), dtype) for _ in range(K)]
+        + [pltpu.VMEM((tx, ty, Zp) if with_macro else dummy_scr, dtype) for _ in range(K)]
+        + [pltpu.VMEM((3, tx, ty, Zp) if with_macro else (3,) + dummy_scr, dtype)
            for _ in range(K)]
         + [pltpu.SemaphoreType.DMA((K, n_sems))],
         interpret=interpret,
@@ -752,10 +811,17 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
     )
 
     def pair(fpad, nu, u_in=None, force=None, map_pad_in=None, bflags=None):
-        flags = (jnp.ones((4,), dtype) if bflags is None
-                 else jnp.asarray(bflags, dtype).reshape(4))
+        flags = (jnp.ones((6,), dtype) if bflags is None
+                 else jnp.asarray(bflags, dtype).reshape(-1))
+        flags = jnp.concatenate([flags, jnp.ones((6 - flags.shape[0],), dtype)])
         params = jnp.concatenate([_params_vec(dtype, nu, u_in, force), flags])
-        mp_in = map_pad if map_pad_in is None else map_pad_in
+        if map_pad_in is None:
+            mp_in = map_pad
+        elif Zp != Z and map_pad_in.shape[-1] == Z:
+            mp_in = jnp.pad(map_pad_in, [(0, 0), (0, 0), (0, Zp - Z)],
+                            mode="edge")
+        else:
+            mp_in = map_pad_in
         fpad_new, rho, u = call(params, fpad, mp_in)
         if not prepadded:
             # halos for the NEXT pair; the distributed wrapper exchanges
@@ -763,7 +829,7 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
             fpad_new = _fill_halos_pad8(fpad_new, periodic, X, Y, Z, Q)
         if not with_macro:
             return fpad_new, None, None
-        return fpad_new, rho, u
+        return fpad_new, rho[..., :Z], u[..., :Z]
 
     return pair
 
@@ -794,6 +860,11 @@ def make_fused_pair_aa(cfg: LBMConfig, domain: Domain,
     periodic_z = bool(periodic[2])
     opp = np.asarray(lat.opp)
     interpret = jax.default_backend() == "cpu"
+    if _lane_pad(Z, interpret) != Z:
+        raise NotImplementedError(
+            "make_fused_pair_aa (two-kernel pair) requires Z % 128 == 0 on "
+            "TPU (the even kernel's manual output DMA); use "
+            "make_fused_pair2_aa or make_fused_step_aa for other extents")
     map_arr = np.asarray(domain.map, np.int32)
     map_ring = _pad_map_ring(map_arr, periodic)
 

@@ -44,6 +44,9 @@ def make_hooked_fused_step(cfg: LBMConfig, domain: Domain, **kernel_kwargs):
     from tnl_lbm_tpu.kernels.fused_aa import make_fused_step_aa
     from tnl_lbm_tpu.sim.step import make_step
 
+    import jax.numpy as _jnp
+    import numpy as _np
+
     lat = cfg.lat
     dtype = cfg.compute_dtype
     hook = cfg.forcing_hook
@@ -54,7 +57,28 @@ def make_hooked_fused_step(cfg: LBMConfig, domain: Domain, **kernel_kwargs):
     else:
         base = make_fused_step(cfg_nohook, domain, force_field=True,
                                **kernel_kwargs)
-    ustar = make_step(cfg_nohook, domain).ustar
+    xla_ustar = make_step(cfg_nohook, domain).ustar
+    if cfg.streaming == "AB" and lat.D == 3:
+        # round 3: Pallas u* pre-pass (macro_only kernel - stream + BC
+        # transforms + moments, no collision, no f write; ~0.53x the HBM
+        # traffic of a full step vs the XLA ustar's ~3x)
+        from tnl_lbm_tpu.ops.boundary import GEO as _GEO
+
+        macro = make_fused_step(cfg_nohook, domain, macro_only=True)
+        fluid_mask = _jnp.asarray(
+            _np.asarray(domain.map) == int(_GEO.FLUID))
+
+        def ustar(f, force=None, parity: int = 0):
+            del parity
+            fvec = None if (force is not None and force.ndim > 1) else force
+            rho0, u0 = macro(f, 0.0, force=fvec)
+            if fvec is None and force is not None:
+                # [3, X, Y, Z] homogeneous-force field: fold the half-force
+                # correction in afterwards (the kernel only takes vectors)
+                u0 = u0 + force.astype(dtype) / (2 * _jnp.maximum(rho0, 1e-12))
+            return rho0, u0, fluid_mask
+    else:
+        ustar = xla_ustar
 
     def step(f, nu, u_in=None, force=None, parity: int = 0):
         rho0, u0, fluid = ustar(f, force=force, parity=parity)

@@ -172,7 +172,8 @@ def choose_plan(domain: Domain, devices=None, axis_weights=None,
     return ShardPlan(mesh=mesh, spatial_axes=names)
 
 
-def _make_uneven_sharded_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan):
+def _make_uneven_sharded_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan,
+                              inner_builder=None):
     """Sharded step for a lattice NOT divisible by the mesh (the analog of
     the reference's uneven ``splitRange`` decomposition,
     lattice_decomposition.h:16-55).
@@ -196,6 +197,8 @@ def _make_uneven_sharded_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan):
         raise NotImplementedError(
             "uneven (non-divisible) decomposition requires A-B streaming; "
             "use streaming='AB' or a mesh-divisible lattice")
+    if inner_builder is None:
+        inner_builder = make_sharded_step
     S = domain.shape
     Sp = plan.padded_shape(domain)
     pads = [(0, p - s) for s, p in zip(S, Sp)]
@@ -205,7 +208,7 @@ def _make_uneven_sharded_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan):
     bz_p = (np.pad(domain.bouzidi, [(0, 0)] + pads, mode="edge")
             if domain.bouzidi is not None else None)
     dom_p = dataclasses.replace(domain, units=units_p, map=map_p, bouzidi=bz_p)
-    inner = make_sharded_step(cfg, dom_p, plan)
+    inner = inner_builder(cfg, dom_p, plan)
     crop_f = (slice(None),) + tuple(slice(0, s) for s in S)
     crop_s = tuple(slice(0, s) for s in S)
     map_p_dev = jnp.asarray(map_p)
@@ -408,31 +411,44 @@ def make_sharded_fused_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan,
                             with_macro: bool = True):
     """Distributed Pallas path: ppermute halo exchange + the fused kernel.
 
-    The lattice shards over the mesh's x/y axes (z must stay unsharded - the
-    kernel shifts z in-register).  Each step exchanges 1-wide x/y face slabs
-    with lax.ppermute (sequential sweeps, corner-correct), assembles the
-    local haloed block and runs the single-chip fused kernel on it - the
-    TPU analog of the reference's overlapped halo pipeline
-    (reference state.hpp:1047-1111).
+    The lattice shards over any subset of the mesh's x/y/z axes.  Each step
+    exchanges 1-wide face slabs with lax.ppermute (sequential sweeps,
+    corner-correct), assembles the local haloed block and runs the
+    single-chip fused kernel on it - the TPU analog of the reference's
+    overlapped halo pipeline (reference state.hpp:1047-1111).
+
+    z-sharded meshes (round 3): the z halo planes are concatenated into the
+    lane axis and the local kernel is built at extent Zl+2 with clamp (not
+    wrap) z semantics - halo planes supply the neighbor data, the halo
+    planes' own outputs are junk and are cropped off.  This costs the
+    lane-pad of Zl+2 to the next 128 multiple, which is why ``choose_plan``
+    still weights z cuts heavily - but a z-sharded mesh now runs the fused
+    kernel instead of silently landing on the ~10x slower XLA step.
     """
     from jax import lax
 
     from tnl_lbm_tpu.kernels.fused import make_fused_step
 
     plan.check(domain)
-    assert plan.spatial_axes[2] is None or plan.mesh.shape[plan.spatial_axes[2]] == 1, (
-        "fused distributed path requires the z axis unsharded"
-    )
-    local_shape = plan.local_shape(domain)
+    ax_z = plan.spatial_axes[2]
+    nz = plan.mesh.shape[ax_z] if ax_z is not None else 1
+    zsh = nz > 1
+    Xl, Yl, Zl = plan.local_shape(domain)
+    if zsh:
+        dom_k = dataclasses.replace(
+            domain, periodic=(domain.periodic[0], domain.periodic[1], False))
+        kshape = (Xl, Yl, Zl + 2)
+    else:
+        dom_k = domain
+        kshape = (Xl, Yl, Zl)
     local_step = make_fused_step(
-        cfg, domain, tile=tile, tiles_per_program=tiles_per_program,
-        with_macro=with_macro, prepadded=True, local_shape=local_shape,
+        cfg, dom_k, tile=tile, tiles_per_program=tiles_per_program,
+        with_macro=with_macro, prepadded=True, local_shape=kshape,
     )
 
-    def _exchange(f, axis, name, per):
-        """1-wide halo pad along `axis` via ppermute (or local pad)."""
+    def _exchange(f, adim, name, per):
+        """1-wide halo pad along array dim ``adim`` via ppermute (or local pad)."""
         n = plan.mesh.shape[name] if name is not None else 1
-        adim = axis + 1
         if n == 1:
             pad_width = [(0, 0)] * f.ndim
             pad_width[adim] = (1, 1)
@@ -454,13 +470,27 @@ def make_sharded_fused_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan,
         return jnp.concatenate([from_left, f, from_right], axis=adim)
 
     def local(f, map_arr, nu, u_in, force):
-        fpad = _exchange(f, 0, plan.spatial_axes[0], domain.periodic[0])
-        fpad = _exchange(fpad, 1, plan.spatial_axes[1], domain.periodic[1])
+        map_arr = map_arr.astype(jnp.int32)
+        if zsh:
+            # z first, so the x/y sweeps carry the z-halo planes too
+            # (transitively corner-correct, like the x-then-y order below)
+            f = _exchange(f, 3, ax_z, domain.periodic[2])
+            map_arr = _exchange(map_arr, 2, ax_z, domain.periodic[2])
+        fpad = _exchange(f, 1, plan.spatial_axes[0], domain.periodic[0])
+        fpad = _exchange(fpad, 2, plan.spatial_axes[1], domain.periodic[1])
         # unused alignment rows expected by the kernel's DMA windows
         fpad = jnp.pad(fpad, [(0, 0), (0, 0), (0, 6), (0, 0)], mode="edge")
-        return local_step(fpad, nu, u_in=u_in, force=force, map_arr_in=map_arr)
+        f_new, rho, u = local_step(fpad, nu, u_in=u_in, force=force,
+                                   map_arr_in=map_arr)
+        if zsh:
+            f_new = f_new[..., 1 : 1 + Zl]
+            if with_macro:
+                rho = rho[..., 1 : 1 + Zl]
+                u = u[..., 1 : 1 + Zl]
+        return f_new, rho, u
 
-    def step(f, map_arr, nu, u_in=None, force=None):
+    def step(f, map_arr, nu, u_in=None, force=None, parity: int = 0):
+        del parity  # A-B kernel; accepted so callers can stay pattern-blind
         dt = cfg.compute_dtype
         nu = jnp.asarray(nu, dt)
         u_in_v = jnp.zeros((3,), dt) if u_in is None else jnp.asarray(u_in, dt)
@@ -491,20 +521,32 @@ def make_sharded_fused_step_aa(cfg: LBMConfig, domain: Domain, plan: ShardPlan,
     boundaries.  Notably the reference never completed multi-GPU A-A
     synchronization (reference defs.h:3-9: even-step corner sync marked
     TODO) - the functional halo exchange sidesteps the corner races.
+
+    z-sharded meshes (round 3): the odd step exchanges 2-wide z plane slabs
+    into the lane axis and the kernels run at extent Zl+4 with clamp z
+    semantics; halo-plane outputs are cropped.  The even step needs no z
+    exchange (same-site) - it just edge-pads the junk halo planes.
     """
     from jax import lax
 
     from tnl_lbm_tpu.kernels.fused_aa import make_fused_step_aa
 
     plan.check(domain)
-    assert plan.spatial_axes[2] is None or plan.mesh.shape[plan.spatial_axes[2]] == 1, (
-        "fused A-A distributed path requires the z axis unsharded"
-    )
-    local_shape = plan.local_shape(domain)
+    ax_z = plan.spatial_axes[2]
+    nz = plan.mesh.shape[ax_z] if ax_z is not None else 1
+    zsh = nz > 1
+    Xl, Yl, Zl = plan.local_shape(domain)
+    if zsh:
+        dom_k = dataclasses.replace(
+            domain, periodic=(domain.periodic[0], domain.periodic[1], False))
+        kshape = (Xl, Yl, Zl + 4)
+    else:
+        dom_k = domain
+        kshape = (Xl, Yl, Zl)
     local_step = make_fused_step_aa(
-        cfg, domain, tile_even=tile_even, tile_odd=tile_odd,
+        cfg, dom_k, tile_even=tile_even, tile_odd=tile_odd,
         tiles_per_program=tiles_per_program, with_macro=with_macro,
-        prepadded=True, local_shape=local_shape,
+        prepadded=True, local_shape=kshape, z_halo=2 if zsh else 0,
     )
     ax_x, ax_y = plan.spatial_axes[0], plan.spatial_axes[1]
 
@@ -549,26 +591,51 @@ def make_sharded_fused_step_aa(cfg: LBMConfig, domain: Domain, plan: ShardPlan,
             cfg.compute_dtype
         )
 
+    def _crop_z(out):
+        if not zsh:
+            return out
+        f_new, rho, u = out
+        f_new = f_new[..., 2 : 2 + Zl]
+        if with_macro:
+            rho = rho[..., 2 : 2 + Zl]
+            u = u[..., 2 : 2 + Zl]
+        return f_new, rho, u
+
     def local(parity, f, map_loc, nu, u_in, force):
         if parity == 0:
-            return local_step(f, nu, u_in=u_in, force=force, parity=0,
-                              map_arr_in=map_loc.astype(jnp.int32))
-        # 2-wide f halos: x then y (sequential sweeps -> corner-correct),
-        # plus 2 junk y rows each side for the kernel's y-origin-4 layout
+            if zsh:
+                # even step is same-site: junk halo planes, cropped after
+                f = jnp.pad(f, [(0, 0)] * 3 + [(2, 2)], mode="edge")
+                m = jnp.pad(map_loc.astype(jnp.int32),
+                            [(0, 0), (0, 0), (2, 2)], mode="edge")
+            else:
+                m = map_loc.astype(jnp.int32)
+            return _crop_z(local_step(f, nu, u_in=u_in, force=force,
+                                      parity=0, map_arr_in=m))
+        # 2-wide f halos: z first (so the x/y slabs carry the z planes),
+        # then x then y (sequential sweeps -> corner-correct), plus 2 junk
+        # y rows each side for the kernel's y-origin-4 layout
+        m = map_loc.astype(jnp.int32)[None]
+        if zsh:
+            f = _exchange_w(f, 2, ax_z, domain.periodic[2], 2)
+            m = _exchange_w(m, 2, ax_z, domain.periodic[2], 2)
         fpad = _exchange_w(f, 0, ax_x, domain.periodic[0], 2)
         fpad = _exchange_w(fpad, 1, ax_y, domain.periodic[1], 2)
         fpad = jnp.pad(fpad, [(0, 0), (0, 0), (2, 2), (0, 0)], mode="edge")
-        # 1-wide map ring in the [Xl+2, Yl+8, Z] layout (x-origin 1, y 4)
-        m = map_loc.astype(jnp.int32)[None]
+        # 1-wide map ring in the [Xl+2, Yl+8, Zk] layout (x-origin 1, y 4)
         mring = _exchange_w(m, 0, ax_x, domain.periodic[0], 1)
         mring = _exchange_w(mring, 1, ax_y, domain.periodic[1], 1)
         mring = jnp.pad(mring, [(0, 0), (0, 0), (3, 3), (0, 0)], mode="edge")[0]
+        zero = jnp.asarray(0.0, cfg.compute_dtype)
         bflags = jnp.stack([
             _bflag(ax_x, False), _bflag(ax_x, True),
             _bflag(ax_y, False), _bflag(ax_y, True),
+            # periodic global z: halos wrap, no edge replication anywhere
+            zero if domain.periodic[2] else _bflag(ax_z, False),
+            zero if domain.periodic[2] else _bflag(ax_z, True),
         ]).astype(cfg.compute_dtype)
-        return local_step(fpad, nu, u_in=u_in, force=force, parity=1,
-                          map_ring_in=mring, bflags=bflags)
+        return _crop_z(local_step(fpad, nu, u_in=u_in, force=force, parity=1,
+                                  map_ring_in=mring, bflags=bflags))
 
     def step(f, map_arr, nu, u_in=None, force=None, parity: int = 0):
         dt = cfg.compute_dtype
@@ -608,19 +675,32 @@ def make_sharded_fused_pair2_aa(cfg: LBMConfig, domain: Domain, plan: ShardPlan,
     blocks [Q, nx*(Xl+4), ny*(Yl+16), Z] sharded so each device holds
     [Q, Xl+4, Yl+16, Z] (helpers ``to_padded_aa_sharded`` /
     ``from_padded_aa_sharded``).
+
+    z-sharded meshes (round 3): the persistent state gains 2 halo planes
+    each side on the lane axis ([Q, Xl+4, Yl+16, Zl+4] per shard, before
+    lane padding); each pair refreshes them with the same ppermute sweep as
+    x/y, and the kernel runs at extent Zl+4 with clamp z semantics.
     """
     from jax import lax
 
     from tnl_lbm_tpu.kernels.fused_aa import make_fused_pair2_aa
 
     plan.check(domain)
-    assert plan.spatial_axes[2] is None or plan.mesh.shape[plan.spatial_axes[2]] == 1, (
-        "distributed pair2 requires the z axis unsharded"
-    )
+    ax_z = plan.spatial_axes[2]
+    nz = plan.mesh.shape[ax_z] if ax_z is not None else 1
+    zsh = nz > 1
     Xl, Yl, Zl = plan.local_shape(domain)
+    if zsh:
+        dom_k = dataclasses.replace(
+            domain, periodic=(domain.periodic[0], domain.periodic[1], False))
+        kshape = (Xl, Yl, Zl + 4)
+    else:
+        dom_k = domain
+        kshape = (Xl, Yl, Zl)
     pair_local = make_fused_pair2_aa(
-        cfg, domain, tile=tile, tiles_per_program=tiles_per_program,
-        with_macro=with_macro, local_shape=(Xl, Yl, Zl), prepadded=True,
+        cfg, dom_k, tile=tile, tiles_per_program=tiles_per_program,
+        with_macro=with_macro, local_shape=kshape, prepadded=True,
+        z_halo=2 if zsh else 0,
     )
     ax_x, ax_y = plan.spatial_axes[0], plan.spatial_axes[1]
     periodic = domain.periodic
@@ -678,21 +758,35 @@ def make_sharded_fused_pair2_aa(cfg: LBMConfig, domain: Domain, plan: ShardPlan,
         return ((idx == (n - 1)) if last else (idx == 0)).astype(cfg.compute_dtype)
 
     def local(fpad, m_loc, nu, u_in, force):
-        # refresh the persistent-pad halos: x sweep then y sweep (the y
-        # slabs span the already-filled x halos -> corners route)
+        # refresh the persistent-pad halos: z sweep first (so the x/y slabs
+        # carry the z planes), then x, then y (the y slabs span the
+        # already-filled x halos -> corners route)
+        mzpad = [(2, 2), (8, 8), (0, 0)]
+        if zsh:
+            fpad = _fill_axis(fpad, 3, ax_z, periodic[2], 2, Zl, 2)
+            mzpad[2] = (2, 2)
         fpad = _fill_axis(fpad, 1, ax_x, periodic[0], 2, Xl, 2)
         fpad = _fill_axis(fpad, 2, ax_y, periodic[1], 8, Yl, 2)
         # local padded map in the same layout (int32; cheap per pair)
-        mp = jnp.pad(m_loc.astype(jnp.int32), [(2, 2), (8, 8), (0, 0)],
-                     mode="edge")
+        mp = jnp.pad(m_loc.astype(jnp.int32), mzpad, mode="edge")
+        if zsh:
+            mp = _fill_axis(mp, 2, ax_z, periodic[2], 2, Zl, 2)
         mp = _fill_axis(mp, 0, ax_x, periodic[0], 2, Xl, 2)
         mp = _fill_axis(mp, 1, ax_y, periodic[1], 8, Yl, 2)
+        zero = jnp.asarray(0.0, cfg.compute_dtype)
         bflags = jnp.stack([
             _bflag(ax_x, False), _bflag(ax_x, True),
             _bflag(ax_y, False), _bflag(ax_y, True),
+            # periodic global z: halos wrap, no edge replication anywhere
+            zero if domain.periodic[2] else _bflag(ax_z, False),
+            zero if domain.periodic[2] else _bflag(ax_z, True),
         ]).astype(cfg.compute_dtype)
-        return pair_local(fpad, nu, u_in=u_in, force=force,
-                          map_pad_in=mp, bflags=bflags)
+        fpad_new, rho, u = pair_local(fpad, nu, u_in=u_in, force=force,
+                                      map_pad_in=mp, bflags=bflags)
+        if zsh and with_macro:
+            rho = rho[..., 2 : 2 + Zl]
+            u = u[..., 2 : 2 + Zl]
+        return fpad_new, rho, u
 
     spec_pad = plan.spec_f
 
@@ -714,14 +808,33 @@ def make_sharded_fused_pair2_aa(cfg: LBMConfig, domain: Domain, plan: ShardPlan,
     return pair
 
 
+def _pair2_z_layout(plan: ShardPlan, domain: Domain):
+    """(z-halo width, kernel z extent, lane extent) of the per-shard
+    persistent-pad pair2 state: z-sharded plans carry 2 halo planes each
+    side before the 128-multiple lane pad."""
+    import jax as _jax
+
+    from tnl_lbm_tpu.kernels.fused import _lane_pad
+
+    ax_z = plan.spatial_axes[2] if len(plan.spatial_axes) > 2 else None
+    nz = plan.mesh.shape[ax_z] if ax_z is not None else 1
+    Zl = plan.local_shape(domain)[2]
+    zw = 2 if nz > 1 else 0
+    Zk = Zl + 2 * zw
+    return zw, Zk, _lane_pad(Zk, _jax.default_backend() == "cpu")
+
+
 def to_padded_aa_sharded(f, plan: ShardPlan, domain: Domain):
     """Plain sharded [Q, X, Y, Z] -> per-shard persistent-pad blocks
-    [Q, nx*(Xl+4), ny*(Yl+16), Z] (halo layers uninitialized; the pair
-    wrapper fills them before every call)."""
-    Xl, Yl, Zl = plan.local_shape(domain)
+    [Q, nx*(Xl+4), ny*(Yl+16), Zp] (halo layers uninitialized; the pair
+    wrapper fills them before every call; z-sharded plans add 2 halo
+    planes per side; lanes padded to the 128 multiple,
+    kernels/fused.py _lane_pad)."""
+    zw, Zk, Zp = _pair2_z_layout(plan, domain)
 
     def local(fl):
-        return jnp.pad(fl, [(0, 0), (2, 2), (8, 8), (0, 0)], mode="edge")
+        return jnp.pad(fl, [(0, 0), (2, 2), (8, 8),
+                            (zw, zw + Zp - Zk)], mode="edge")
 
     return shard_map(
         local, mesh=plan.mesh,
@@ -731,8 +844,11 @@ def to_padded_aa_sharded(f, plan: ShardPlan, domain: Domain):
 
 def from_padded_aa_sharded(fpad, plan: ShardPlan, domain: Domain):
     """Inverse of ``to_padded_aa_sharded``: strip the per-shard pads."""
+    zw, _, _ = _pair2_z_layout(plan, domain)
+    Zl = plan.local_shape(domain)[2]
+
     def local(fl):
-        return fl[:, 2 : fl.shape[1] - 2, 8 : fl.shape[2] - 8, :]
+        return fl[:, 2 : fl.shape[1] - 2, 8 : fl.shape[2] - 8, zw : zw + Zl]
 
     return shard_map(
         local, mesh=plan.mesh,

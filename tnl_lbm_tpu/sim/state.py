@@ -253,10 +253,11 @@ class Simulation:
         return True
 
     def _fused_ok(self) -> bool:
-        """The Pallas kernels need 3D, supported GEO codes, and - on real
-        TPU - a lane (Z) extent that is a multiple of 128 (manual halo DMA
-        slices the HBM lane tiling; interpret mode on CPU has no such
-        constraint)."""
+        """The Pallas kernels need 3D (or supported 2D) and supported GEO
+        codes.  Any Z extent works: manual-DMA buffers lane-pad to the 128
+        multiple internally and clamp reads at the true extent
+        (kernels/fused.py _lane_pad/_zshift, round 3); large Z shrinks the
+        tile geometry via the VMEM-fit instead of failing Mosaic."""
         from tnl_lbm_tpu.kernels.fused import supports
 
         if self.cfg.lat.D == 2:
@@ -264,16 +265,7 @@ class Simulation:
 
             # 2D forcing hooks stay on the XLA path (no 2D hooked kernel)
             return supports_2d(self.cfg, self.domain) and self.cfg.forcing_hook is None
-        if self.cfg.lat.D != 3 or not supports(self.domain, self.cfg.streaming):
-            return False
-        if jax.default_backend() != "cpu" and self.domain.shape[-1] % 128 != 0:
-            self.log.warning(
-                "use_fused requested but Z=%d is not a multiple of 128 "
-                "(TPU lane tiling); falling back to the XLA step",
-                self.domain.shape[-1],
-            )
-            return False
-        return True
+        return self.cfg.lat.D == 3 and supports(self.domain, self.cfg.streaming)
 
     def _build_step(self):
         if self.plan is None:
@@ -300,26 +292,28 @@ class Simulation:
                 self._step = make_step(self.cfg, self.domain)
         else:
             from tnl_lbm_tpu.parallel.sharded import (
+                _make_uneven_sharded_step,
                 make_sharded_fused_step,
                 make_sharded_fused_step_aa,
                 make_sharded_step,
             )
 
-            z_ok = (
-                self.cfg.lat.D == 3
-                and (self.plan.spatial_axes[2] is None
-                     or self.plan.mesh.shape[self.plan.spatial_axes[2]] == 1)
-            )
-            if (self.use_fused and self._fused_ok() and z_ok
-                    and self.plan.divisible(self.domain)
-                    and self.cfg.forcing_hook is None):
+            fused_want = (self.use_fused and self._fused_ok()
+                          and self.cfg.lat.D == 3
+                          and self.cfg.forcing_hook is None)
+            if fused_want and self.plan.divisible(self.domain):
                 if self.cfg.streaming == "AA":
                     self._step = make_sharded_fused_step_aa(self.cfg, self.domain, self.plan)
                 else:
-                    ab = make_sharded_fused_step(self.cfg, self.domain, self.plan)
-                    self._step = lambda f, m, nu, u_in=None, force=None, parity=0: ab(
-                        f, m, nu, u_in=u_in, force=force
-                    )
+                    self._step = make_sharded_fused_step(self.cfg, self.domain, self.plan)
+                map_dtype = jnp.int32
+            elif fused_want and self.cfg.streaming == "AB":
+                # non-divisible lattice: pad-and-crop around the fused
+                # sharded step (reference splitRange analog,
+                # lattice_decomposition.h:16-55)
+                self._step = _make_uneven_sharded_step(
+                    self.cfg, self.domain, self.plan,
+                    inner_builder=make_sharded_fused_step)
                 map_dtype = jnp.int32
             else:
                 self._step = make_sharded_step(self.cfg, self.domain, self.plan)
@@ -522,7 +516,8 @@ class Simulation:
         # backends (~30 ms each) - jit them
         self._jit_steps["pair2_pad"] = jax.jit(
             lambda f: to_padded_aa(f, self.domain.periodic))
-        self._jit_steps["pair2_unpad"] = jax.jit(from_padded_aa)
+        self._jit_steps["pair2_unpad"] = jax.jit(
+            lambda fp: from_padded_aa(fp, self.domain.shape[-1]))
 
     def _advance_pairs(self, n_pairs: int, nu):
         """Advance 2*n_pairs steps through the one-kernel A-A pair
