@@ -92,7 +92,7 @@ def test_use_fused_aa_driver(tmp_path):
     units = Lattice(global_size=(X, Y, Z), phys_origin=(0, 0, 0),
                     phys_dl=0.01, phys_dt=0.001, phys_viscosity=1e-3)
     dom = Domain(lat=D3Q27, units=units, map=m, periodic=(True, False, False))
-    cfg = LBMConfig(lat=D3Q27, collision=col3.collide_cum_well, eq=eqlib.eq_well,
+    cfg = LBMConfig(lat=D3Q27, collision=col3.collide_srt_well, eq=eqlib.eq_well,
                     well=True, streaming="AA", compute_dtype=jnp.float32)
 
     class ForcedSim(Simulation):
@@ -276,7 +276,7 @@ def test_pair_dispatch_matches_per_step(tmp_path):
     m[:, 0] = m[:, -1] = GEO.WALL
     units = Lattice((X, Y, Z), (0, 0, 0), 1.0, 1.0)
     dom = Domain(lat=D3Q27, units=units, map=m, periodic=(True, False, True))
-    cfg = LBMConfig(lat=D3Q27, collision=col.collide_cum_well, eq=eqlib.eq_well,
+    cfg = LBMConfig(lat=D3Q27, collision=col.collide_srt_well, eq=eqlib.eq_well,
                     well=True, streaming="AA")
 
     class Sim(Simulation):

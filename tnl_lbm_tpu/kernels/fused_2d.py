@@ -251,7 +251,8 @@ def make_fused_step_2d(cfg: LBMConfig, domain: Domain,
         mp = map_arr if map_arr_in is None else map_arr_in
         _has_force[0] = force is not None
         z2 = jnp.zeros((2,), dtype)
-        fv = z2 if force is None else jnp.asarray(force, dtype).reshape(2)
+        fv = (z2 if force is None or force_field
+              else jnp.asarray(force, dtype).reshape(2))
         params = jnp.concatenate([
             jnp.asarray([nu], dtype), jnp.zeros((3,), dtype), fv,
             jnp.zeros((2,), dtype)])

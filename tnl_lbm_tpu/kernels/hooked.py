@@ -51,7 +51,13 @@ def make_hooked_fused_step(cfg: LBMConfig, domain: Domain, **kernel_kwargs):
     dtype = cfg.compute_dtype
     hook = cfg.forcing_hook
     cfg_nohook = dataclasses.replace(cfg, forcing_hook=None)
-    if cfg.streaming == "AA":
+    if lat.D == 2:
+        # round 3: 2D hooked kernel (the reference's 2D apps accept the
+        # same plugin set as 3D) - per-site [2, X, Y] force operand
+        from tnl_lbm_tpu.kernels.fused_2d import make_fused_step_2d
+
+        base = make_fused_step_2d(cfg_nohook, domain, force_field=True)
+    elif cfg.streaming == "AA":
         base = make_fused_step_aa(cfg_nohook, domain, force_field=True,
                                   **kernel_kwargs)
     else:
@@ -86,8 +92,70 @@ def make_hooked_fused_step(cfg: LBMConfig, domain: Domain, **kernel_kwargs):
         if force is not None:
             fb = jnp.asarray(force, dtype)
             if fb.ndim == 1:
+                fb = fb.reshape((lat.D,) + (1,) * lat.D)
+            extra = extra + fb
+        if lat.D == 2:
+            extra = jnp.broadcast_to(extra, (2,) + tuple(domain.shape))
+            return base(f, nu, u_in=u_in, force=extra)
+        return base(f, nu, u_in=u_in, force=extra, parity=parity)
+
+    return step
+
+
+def make_sharded_hooked_fused_step(cfg: LBMConfig, domain: Domain, plan,
+                                   **kernel_kwargs):
+    """Distributed forcing-hook (IBM / non-Newtonian) step on the fused
+    Pallas path (round 3) - the analog of the reference's multi-GPU hooked
+    kernels (reference state.hpp:995-1015, nonNewtonian.h:216-391 + MPI
+    sync).  Same three-phase structure as ``make_hooked_fused_step``:
+
+    1. **u* pass**: the sharded macro-only Pallas kernel (ppermute halos +
+       stream/BC-transform/moments, no collision, no f write).
+    2. **hook**: plain XLA on the GSPMD-sharded global arrays - the
+       strain-rate / IBM stencils partition automatically (XLA inserts the
+       halo collectives), replacing the reference's hand-rolled MPI sync of
+       the non-Newtonian ghost layers.
+    3. **force-field sharded fused kernel** (per-site [3, X, Y, Z] force
+       operand, sharded like u).
+
+    A-B streaming only (the macro-only pre-pass kernel is A-B); A-A hooked
+    configs stay on the XLA sharded step.  Returns ``step(f, map_arr, nu,
+    u_in=None, force=None, parity=0)`` matching ``make_sharded_step``.
+    """
+    assert cfg.forcing_hook is not None, "use make_sharded_fused_step"
+    assert cfg.streaming == "AB" and cfg.lat.D == 3, \
+        "sharded hooked fused path is A-B / 3D only"
+    import numpy as np
+
+    from tnl_lbm_tpu.ops.boundary import GEO
+    from tnl_lbm_tpu.parallel.sharded import make_sharded_fused_step
+
+    lat = cfg.lat
+    dtype = cfg.compute_dtype
+    hook = cfg.forcing_hook
+    cfg_nohook = dataclasses.replace(cfg, forcing_hook=None)
+    base = make_sharded_fused_step(cfg_nohook, domain, plan,
+                                   force_field=True, **kernel_kwargs)
+    macro = make_sharded_fused_step(cfg_nohook, domain, plan,
+                                    macro_only=True, **kernel_kwargs)
+    fluid_mask = plan.shard_field(
+        jnp.asarray(np.asarray(domain.map) == int(GEO.FLUID)), like_f=False)
+
+    def step(f, map_arr, nu, u_in=None, force=None, parity: int = 0):
+        del parity  # A-B
+        fvec = None if (force is not None and jnp.ndim(force) > 1) else force
+        rho0, u0 = macro(f, map_arr, nu, u_in=u_in, force=fvec)
+        if fvec is None and force is not None:
+            # [3, X, Y, Z] homogeneous-force field: fold the half-force
+            # correction in afterwards (the macro kernel takes vectors only)
+            u0 = u0 + force.astype(dtype) / (2 * jnp.maximum(rho0, 1e-12))
+        extra = hook(lat, rho0, u0, nu, fluid_mask).astype(dtype)
+        if force is not None:
+            fb = jnp.asarray(force, dtype)
+            if fb.ndim == 1:
                 fb = fb.reshape((3, 1, 1, 1))
             extra = extra + fb
-        return base(f, nu, u_in=u_in, force=extra, parity=parity)
+        extra = jnp.broadcast_to(extra, (3,) + tuple(domain.shape))
+        return base(f, map_arr, nu, u_in=u_in, force=extra)
 
     return step

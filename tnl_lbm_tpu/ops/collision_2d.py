@@ -30,11 +30,12 @@ def guo_forcing(lat: LatticeDescriptor, u: jnp.ndarray, force: jnp.ndarray) -> j
     (d2q9/col_srt.h:21-35).  Returns [Q, *S]; multiply by (1 - omega/2).
     """
     ics2 = float(lat.i_cs2)
-    w = jnp.asarray(lat.w, dtype=u.dtype).reshape((lat.Q,) + (1,) * (u.ndim - 1))
     cF = lattice_dot(lat.c, force)
     cu = lattice_dot(lat.c, u)
     uF = jnp.sum(u * force, axis=0)
-    return w * (ics2 * (cF - uF) + ics2 * ics2 * cu * cF)
+    body = ics2 * (cF - uF) + ics2 * ics2 * cu * cF
+    # per-q scalar weights (not a [Q]-array constant): kernel-safe
+    return jnp.stack([float(lat.w[q]) * body[q] for q in range(lat.Q)])
 
 
 def collide_srt_2d(lat, f, rho, u, nu, force=None, eq=eqlib.eq_quadratic):

@@ -35,21 +35,23 @@ def _cu(lat: LatticeDescriptor, u: jnp.ndarray) -> jnp.ndarray:
 def eq_quadratic(lat: LatticeDescriptor, rho: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     """Second-order Maxwell-Boltzmann equilibrium for any descriptor."""
     ics2 = float(lat.i_cs2)
-    w = jnp.asarray(lat.w, dtype=u.dtype).reshape((lat.Q,) + (1,) * (u.ndim - 1))
     cu = _cu(lat, u)
     uu = jnp.sum(u * u, axis=0)
     feq = 1 + ics2 * cu + 0.5 * ics2 * ics2 * cu * cu - 0.5 * ics2 * uu
-    return w * rho * feq
+    # per-q scalar weights (not a [Q]-array constant) keep this callable
+    # inside Pallas kernels, which reject captured array constants
+    return jnp.stack([float(lat.w[q]) * rho * feq[q] for q in range(lat.Q)])
 
 
 def eq_well(lat: LatticeDescriptor, rho: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     """Well-conditioned equilibrium: w_q * (rho * feq_term - 1)."""
     ics2 = float(lat.i_cs2)
-    w = jnp.asarray(lat.w, dtype=u.dtype).reshape((lat.Q,) + (1,) * (u.ndim - 1))
     cu = _cu(lat, u)
     uu = jnp.sum(u * u, axis=0)
     feq = 1 + ics2 * cu + 0.5 * ics2 * ics2 * cu * cu - 0.5 * ics2 * uu
-    return w * (rho * feq - 1)
+    # per-q scalar weights: kernel-safe (see eq_quadratic)
+    return jnp.stack([float(lat.w[q]) * (rho * feq[q] - 1)
+                      for q in range(lat.Q)])
 
 
 def _product_eq(lat: LatticeDescriptor, rho: jnp.ndarray, factors) -> jnp.ndarray:

@@ -270,6 +270,38 @@ def make_sharded_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan):
     if not plan.divisible(domain):
         return _make_uneven_sharded_step(cfg, domain, plan)
     plan.check(domain)
+    if cfg.forcing_hook is not None:
+        # Evaluate the hook GLOBALLY, outside shard_map: GSPMD partitions
+        # the strain-rate / IBM stencils with automatic halo collectives.
+        # Inside shard_map the hook's edge pads (_pad1) would silently
+        # corrupt shard seams.  The no-hook sharded step then consumes the
+        # per-site force field (reference nonNewtonian.h:216-391 MPI-synced
+        # ghost layers).
+        from tnl_lbm_tpu.sim.step import make_step as _mk
+
+        hook = cfg.forcing_hook
+        lat = cfg.lat
+        dtype = cfg.compute_dtype
+        cfg_nohook = dataclasses.replace(cfg, forcing_hook=None)
+        inner = make_sharded_step(cfg_nohook, domain, plan)
+        ustar = _mk(cfg_nohook, domain).ustar
+
+        def hooked_step(f, map_arr, nu, u_in=None, force=None,
+                        parity: int = 0, bouzidi_arr=None):
+            fvec = None if (force is not None and jnp.ndim(force) > 1) else force
+            rho0, u0, fluid = ustar(f, force=fvec, parity=parity)
+            if fvec is None and force is not None:
+                u0 = u0 + jnp.asarray(force, dtype) / (2 * jnp.maximum(rho0, 1e-12))
+            extra = hook(lat, rho0, u0, nu, fluid).astype(dtype)
+            if force is not None:
+                fb = jnp.asarray(force, dtype)
+                if fb.ndim == 1:
+                    fb = fb.reshape((lat.D,) + (1,) * lat.D)
+                extra = extra + fb
+            return inner(f, map_arr, nu, u_in=u_in, force=extra,
+                         parity=parity, bouzidi_arr=bouzidi_arr)
+
+        return hooked_step
     from tnl_lbm_tpu.ops.boundary import GEO
 
     codes = domain.codes_present()
@@ -408,7 +440,9 @@ def make_sharded_ade_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan):
 
 def make_sharded_fused_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan,
                             tile=None, tiles_per_program: int = 2,
-                            with_macro: bool = True):
+                            with_macro: bool = True,
+                            force_field: bool = False,
+                            macro_only: bool = False):
     """Distributed Pallas path: ppermute halo exchange + the fused kernel.
 
     The lattice shards over any subset of the mesh's x/y/z axes.  Each step
@@ -444,6 +478,7 @@ def make_sharded_fused_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan,
     local_step = make_fused_step(
         cfg, dom_k, tile=tile, tiles_per_program=tiles_per_program,
         with_macro=with_macro, prepadded=True, local_shape=kshape,
+        force_field=force_field, macro_only=macro_only,
     )
 
     def _exchange(f, adim, name, per):
@@ -476,12 +511,22 @@ def make_sharded_fused_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan,
             # (transitively corner-correct, like the x-then-y order below)
             f = _exchange(f, 3, ax_z, domain.periodic[2])
             map_arr = _exchange(map_arr, 2, ax_z, domain.periodic[2])
+            if force_field:
+                # z-halo planes only feed halo-site collisions whose
+                # outputs are cropped below - edge values suffice, no ICI
+                force = jnp.pad(force, [(0, 0)] * 3 + [(1, 1)], mode="edge")
         fpad = _exchange(f, 1, plan.spatial_axes[0], domain.periodic[0])
         fpad = _exchange(fpad, 2, plan.spatial_axes[1], domain.periodic[1])
         # unused alignment rows expected by the kernel's DMA windows
         fpad = jnp.pad(fpad, [(0, 0), (0, 0), (0, 6), (0, 0)], mode="edge")
-        f_new, rho, u = local_step(fpad, nu, u_in=u_in, force=force,
-                                   map_arr_in=map_arr)
+        out = local_step(fpad, nu, u_in=u_in, force=force,
+                         map_arr_in=map_arr)
+        if macro_only:
+            rho, u = out
+            if zsh:
+                rho, u = rho[..., 1 : 1 + Zl], u[..., 1 : 1 + Zl]
+            return rho, u
+        f_new, rho, u = out
         if zsh:
             f_new = f_new[..., 1 : 1 + Zl]
             if with_macro:
@@ -494,13 +539,24 @@ def make_sharded_fused_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan,
         dt = cfg.compute_dtype
         nu = jnp.asarray(nu, dt)
         u_in_v = jnp.zeros((3,), dt) if u_in is None else jnp.asarray(u_in, dt)
-        force_v = jnp.zeros((3,), dt) if force is None else jnp.asarray(force, dt)
-        out_macro = (plan.spec_site, plan.spec_f) if with_macro else (P(), P())
+        if force_field:
+            assert force is not None and force.ndim == 4, \
+                "force_field sharded step expects a [3, X, Y, Z] force"
+            force_v = force.astype(dt)
+            force_spec = plan.spec_f
+        else:
+            force_v = jnp.zeros((3,), dt) if force is None else jnp.asarray(force, dt)
+            force_spec = P()
+        if macro_only:
+            out_specs = (plan.spec_site, plan.spec_f)
+        else:
+            out_macro = (plan.spec_site, plan.spec_f) if with_macro else (P(), P())
+            out_specs = (plan.spec_f,) + out_macro
         sharded = shard_map(
             local,
             mesh=plan.mesh,
-            in_specs=(plan.spec_f, plan.spec_site, P(), P(), P()),
-            out_specs=(plan.spec_f,) + out_macro,
+            in_specs=(plan.spec_f, plan.spec_site, P(), P(), force_spec),
+            out_specs=out_specs,
             check_vma=False,
         )
         return sharded(f, map_arr, nu, u_in_v, force_v)

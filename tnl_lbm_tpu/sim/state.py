@@ -263,23 +263,23 @@ class Simulation:
         if self.cfg.lat.D == 2:
             from tnl_lbm_tpu.kernels.fused_2d import supports_2d
 
-            # 2D forcing hooks stay on the XLA path (no 2D hooked kernel)
-            return supports_2d(self.cfg, self.domain) and self.cfg.forcing_hook is None
+            return supports_2d(self.cfg, self.domain)
         return self.cfg.lat.D == 3 and supports(self.domain, self.cfg.streaming)
 
     def _build_step(self):
         if self.plan is None:
             if self.use_fused and self._fused_ok():
-                if self.cfg.lat.D == 2:
-                    from tnl_lbm_tpu.kernels.fused_2d import make_fused_step_2d
-
-                    self._step = make_fused_step_2d(self.cfg, self.domain)
-                elif self.cfg.forcing_hook is not None:
-                    # IBM / non-Newtonian: u* pass + hook at the XLA level,
-                    # force-field fused kernel (reference kernels.h:92,178-218)
+                if self.cfg.forcing_hook is not None:
+                    # IBM / non-Newtonian (2D or 3D): u* pass + hook, then
+                    # the force-field fused kernel (reference kernels.h:92,
+                    # 178-218)
                     from tnl_lbm_tpu.kernels.hooked import make_hooked_fused_step
 
                     self._step = make_hooked_fused_step(self.cfg, self.domain)
+                elif self.cfg.lat.D == 2:
+                    from tnl_lbm_tpu.kernels.fused_2d import make_fused_step_2d
+
+                    self._step = make_fused_step_2d(self.cfg, self.domain)
                 elif self.cfg.streaming == "AA":
                     from tnl_lbm_tpu.kernels.fused_aa import make_fused_step_aa
 
@@ -301,7 +301,19 @@ class Simulation:
             fused_want = (self.use_fused and self._fused_ok()
                           and self.cfg.lat.D == 3
                           and self.cfg.forcing_hook is None)
-            if fused_want and self.plan.divisible(self.domain):
+            hooked_want = (self.use_fused and self._fused_ok()
+                           and self.cfg.lat.D == 3
+                           and self.cfg.forcing_hook is not None
+                           and self.cfg.streaming == "AB")
+            if hooked_want and self.plan.divisible(self.domain):
+                # distributed IBM / non-Newtonian at fused-kernel speed
+                # (reference state.hpp:995-1015 multi-GPU hooked kernels)
+                from tnl_lbm_tpu.kernels.hooked import make_sharded_hooked_fused_step
+
+                self._step = make_sharded_hooked_fused_step(
+                    self.cfg, self.domain, self.plan)
+                map_dtype = jnp.int32
+            elif fused_want and self.plan.divisible(self.domain):
                 if self.cfg.streaming == "AA":
                     self._step = make_sharded_fused_step_aa(self.cfg, self.domain, self.plan)
                 else:
