@@ -43,7 +43,6 @@ def forcing_terms(lat: LatticeDescriptor, u: jnp.ndarray, force: jnp.ndarray, rh
     (reference d3q27/col_srt.h:25-52 "vzorce_bgk_force.mw").
     Returns [Q, *S].
     """
-    c = jnp.asarray(lat.c, dtype=u.dtype)  # [Q, D]
     cF = lattice_dot(lat.c, force)  # [Q, *S]
     uF = jnp.sum(u * force, axis=0)  # [*S]
     return float(lat.i_cs2) * (cF - uF) / rho
@@ -121,16 +120,51 @@ def _f_as_tensor(lat, f):
 
 
 def _tensor_as_f(lat, T):
-    return jnp.stack([
+    vals = [
         T[int(lat.c[q, 0]) + 1][int(lat.c[q, 1]) + 1][int(lat.c[q, 2]) + 1]
         for q in range(lat.Q)
-    ])
+    ]
+    # trace-time zero folding can leave Python floats; materialize them
+    ref = next(v for v in vals if not isinstance(v, (int, float)))
+    vals = [jnp.full(ref.shape, v, ref.dtype) if isinstance(v, (int, float))
+            else v for v in vals]
+    return jnp.stack(vals)
+
+
+def _pz(x) -> bool:
+    """True for a trace-time Python zero (kernel op-count folding)."""
+    return isinstance(x, (int, float)) and x == 0.0
+
+
+def _addz(*terms):
+    """Sum with trace-time zero folding (left-to-right association)."""
+    acc = None
+    for t in terms:
+        if _pz(t):
+            continue
+        acc = t if acc is None else acc + t
+    return 0.0 if acc is None else acc
+
+
+def _subz(a, b):
+    if _pz(b):
+        return a
+    if _pz(a):
+        return -b
+    return a - b
+
+
+def _mulz(a, b):
+    if _pz(a) or _pz(b):
+        return 0.0
+    return a * b
 
 
 def _forward_axis(triple, v, offsets=None):
     """Central-moment cascade along one axis (Geier 2015 eqs. 6-8).
 
-    triple = (f_minus, f_zero, f_plus) -> (k0, k1, k2).
+    triple = (f_minus, f_zero, f_plus) -> (k0, k1, k2), factorized to share
+    the v*k0 / v*d products between k1 and k2.
 
     With ``offsets`` (Python floats (Km, Kz, Kp)), the inputs are treated as
     deviations from those constants and the outputs are the correspondingly
@@ -144,20 +178,28 @@ def _forward_axis(triple, v, offsets=None):
     d = fp - fm
     k0 = s + fz
     if offsets is None:
-        k1 = d - v * k0
-        k2 = s - 2 * v * d + v * v * k0
+        kk0 = k0
+    else:
+        Km, Kz, Kp = offsets
+        assert Kp == Km, "axis weight offsets must be symmetric"
+        K0 = Km + Kz + Kp
+        K2 = Km + Kp
+        kk0 = _addz(k0, K0)
+    t = _mulz(v, kk0)
+    w = _mulz(v, d)
+    k1 = _subz(d, t)
+    k2 = _addz(_subz(s, _addz(w, w)), _mulz(v, t))
+    if offsets is None:
         return k0, k1, k2
-    Km, Kz, Kp = offsets
-    assert Kp == Km, "axis weight offsets must be symmetric"
-    K0 = Km + Kz + Kp
-    K2 = Km + Kp
-    k1 = d - v * (k0 + K0)
-    k2 = s - 2 * v * d + v * v * (k0 + K0)
     return (k0, k1, k2), (K0, 0.0, K2)
 
 
 def _backward_axis(triple, v, offsets=None):
-    """Inverse cascade along one axis (Geier 2015 eqs. 88-90).
+    """Inverse cascade along one axis (Geier 2015 eqs. 88-90), factorized:
+    with s = v^2 kk0 + 2 v k1 + k2 and w = v kk0 + k1,
+    fz = k0 - s, fm = (s - w)/2, fp = (s + w)/2.  Trace-time Python zeros
+    in the inputs (relax-to-equilibrium cumulants) fold out of the jaxpr -
+    Mosaic is not trusted to simplify 0*x.
 
     triple = (k0, k1, k2) -> (f_minus, f_zero, f_plus).
 
@@ -167,15 +209,21 @@ def _backward_axis(triple, v, offsets=None):
     """
     k0, k1, k2 = triple
     if offsets is None:
-        fz = k0 * (1 - v * v) - 2 * v * k1 - k2
-        fm = (k0 * (v * v - v) + k1 * (2 * v - 1) + k2) * 0.5
-        fp = (k0 * (v * v + v) + k1 * (2 * v + 1) + k2) * 0.5
+        kk0 = k0
+    else:
+        K0, K1, K2 = offsets
+        assert K1 == 0.0
+        kk0 = _addz(k0, K0)
+    b = _mulz(v, kk0)
+    a = _mulz(v, b)
+    t = _mulz(v, k1)
+    s = _addz(a, t, t, k2)
+    w = _addz(b, k1)
+    fz = _subz(k0, s)
+    fm = _mulz(0.5, _subz(s, w))
+    fp = _mulz(0.5, _addz(s, w))
+    if offsets is None:
         return fm, fz, fp
-    K0, K1, K2 = offsets
-    assert K1 == 0.0
-    fz = k0 * (1 - v * v) - 2 * v * k1 - k2 - K0 * (v * v)
-    fm = ((k0 + K0) * (v * v - v) + k1 * (2 * v - 1) + k2) * 0.5
-    fp = ((k0 + K0) * (v * v + v) + k1 * (2 * v + 1) + k2) * 0.5
     return (fm, fz, fp), (0.5 * K2, K0 - K2, 0.5 * K2)
 
 
@@ -331,71 +379,15 @@ def collide_cum(
     inv_rho = 1.0 / rho
     third = 1.0 / 3.0
 
-    # cumulants of order 4-6 (Geier 2015 eqs. 51-54; well-conditioned
-    # expansions keep only small-small products, reference col_cum_well.h)
-    if not well:
-        C211 = k[2][1][1] - (k200 * k011 + 2 * k101 * k110) * inv_rho
-        C121 = k[1][2][1] - (k020 * k101 + 2 * k110 * k011) * inv_rho
-        C112 = k[1][1][2] - (k002 * k110 + 2 * k011 * k101) * inv_rho
-        C220 = k[2][2][0] - (k020 * k200 + 2 * k110 * k110) * inv_rho
-        C022 = k[0][2][2] - (k002 * k020 + 2 * k011 * k011) * inv_rho
-        C202 = k[2][0][2] - (k200 * k002 + 2 * k101 * k101) * inv_rho
-        C122 = k[1][2][2] - (k020 * k102 + k002 * k120 + 4 * k011 * k111 + 2 * (k110 * k012 + k101 * k021)) * inv_rho
-        C212 = k[2][1][2] - (k002 * k210 + k200 * k012 + 4 * k101 * k111 + 2 * (k011 * k201 + k110 * k102)) * inv_rho
-        C221 = k[2][2][1] - (k200 * k021 + k020 * k201 + 4 * k110 * k111 + 2 * (k101 * k120 + k011 * k210)) * inv_rho
-        C222 = (
-            k[2][2][2]
-            - (
-                4 * k111 * k111 + k200 * k[0][2][2] + k020 * k[2][0][2] + k002 * k[2][2][0]
-                + 4 * (k011 * k[2][1][1] + k101 * k[1][2][1] + k110 * k[1][1][2])
-                + 2 * (k120 * k102 + k210 * k012 + k201 * k021)
-            ) * inv_rho
-            + (
-                16 * k110 * k101 * k011
-                + 4 * (k101 * k101 * k020 + k011 * k011 * k200 + k110 * k110 * k002)
-                + 2 * k200 * k020 * k002
-            ) * inv_rho * inv_rho
-        )
-    else:
-        C211 = k[2][1][1] - ((k200 + third) * k011 + 2 * k101 * k110) * inv_rho
-        C121 = k[1][2][1] - ((k020 + third) * k101 + 2 * k110 * k011) * inv_rho
-        C112 = k[1][1][2] - ((k002 + third) * k110 + 2 * k011 * k101) * inv_rho
-        C220 = k[2][2][0] - (k020 * k200 + 2 * k110 * k110 + (k020 + k200) * third - k000 / 9.0) * inv_rho
-        C022 = k[0][2][2] - (k002 * k020 + 2 * k011 * k011 + (k002 + k020) * third - k000 / 9.0) * inv_rho
-        C202 = k[2][0][2] - (k200 * k002 + 2 * k101 * k101 + (k200 + k002) * third - k000 / 9.0) * inv_rho
-        C122 = k[1][2][2] - (
-            k020 * k102 + k002 * k120 + 4 * k011 * k111 + 2 * (k110 * k012 + k101 * k021)
-            + (k102 + k120) * third
-        ) * inv_rho
-        C212 = k[2][1][2] - (
-            k002 * k210 + k200 * k012 + 4 * k101 * k111 + 2 * (k011 * k201 + k110 * k102)
-            + (k210 + k012) * third
-        ) * inv_rho
-        C221 = k[2][2][1] - (
-            k200 * k021 + k020 * k201 + 4 * k110 * k111 + 2 * (k101 * k120 + k011 * k210)
-            + (k021 + k201) * third
-        ) * inv_rho
-        k022_, k202_, k220_ = k[0][2][2], k[2][0][2], k[2][2][0]
-        sum_k2 = k200 + k020 + k002
-        sum_k22 = k022_ + k202_ + k220_
-        sum_sq = k101 * k101 + k011 * k011 + k110 * k110
-        sum_pairs = k200 * k020 + k200 * k002 + k020 * k002
-        C222 = (
-            k[2][2][2]
-            - (
-                4 * k111 * k111 + k200 * k022_ + k020 * k202_ + k002 * k220_
-                + 4 * (k011 * k[2][1][1] + k101 * k[1][2][1] + k110 * k[1][1][2])
-                + 2 * (k120 * k102 + k210 * k012 + k201 * k021)
-                + sum_k2 / 9.0 + sum_k22 * third
-            ) * inv_rho
-            + (
-                16 * k110 * k101 * k011
-                + 4 * (k101 * k101 * k020 + k011 * k011 * k200 + k110 * k110 * k002)
-                + 2 * k200 * k020 * k002
-                + (4.0 * third) * sum_sq + (2.0 * third) * sum_pairs + (2.0 / 9.0) * sum_k2
-            ) * inv_rho * inv_rho
-            + (k000 * k000 - k000) / 27.0 * inv_rho * inv_rho
-        )
+    # NOTE (round 3, VPU op-count reduction): the relaxation rates for
+    # cumulant orders 4-6 are unity in every supported configuration
+    # (reference col_cum.h:174-220 fixes omega6..omega10 = 1), so those
+    # pre-collision cumulants relax straight to equilibrium (zero) and
+    # their Geier eqs. 51-54 corrections (C211..C222) are NEVER consumed.
+    # They are not computed at all here - trace-time folding, since the
+    # Mosaic kernel compiler is not trusted to simplify (1-1)*C to zero.
+    # The post-collision back-corrections (ks211..ks222, eqs. 81-84) below
+    # are what actually shapes the order>=4 populations.
 
     # order-3 cumulants equal central moments (C_abc = k_abc for a+b+c <= 3)
     C110, C101, C011 = k110, k101, k011
@@ -439,11 +431,6 @@ def collide_cum(
             (4 * o1 * o2 * (9 * o1 - 16) - 4 * o1 * o1 - 2 * o2 * o2 * (2 + 9 * o1 * (o1 - 2)))
             / (3 * (o1 - o2) * (o2 * (2 + 3 * o1) - 8 * o1))
         )
-    else:
-        omega3 = omega4 = omega5 = 1.0
-        A = B = 0.0
-    omega6 = omega7 = omega8 = omega9 = omega10 = 1.0
-
     Cs110 = (1 - o1) * C110
     Cs101 = (1 - o1) * C101
     Cs011 = (1 - o1) * C011
@@ -467,18 +454,24 @@ def collide_cum(
         Dxu = Dyv = Dzw = 0.0
         DxvDyu = DxwDzu = DywDzv = 0.0
 
-    # second order (Geier 2017 eqs. 33-35)
-    eq33 = (1 - o1) * (C200 - C020) - 3 * rho * (1 - o1 * 0.5) * (vx * vx * Dxu - vy * vy * Dyv)
-    eq34 = (1 - o1) * (C200 - C002) - 3 * rho * (1 - o1 * 0.5) * (vx * vx * Dxu - vz * vz * Dzw)
-    eq35 = (
-        k000 * o2 + (1 - o2) * (C200 + C020 + C002)
-        - 3 * rho * (1 - o2 / 2) * (vx * vx * Dxu + vy * vy * Dyv + vz * vz * Dzw)
-    )
+    # second order (Geier 2017 eqs. 33-35); antialias-off and omega2 == 1
+    # terms fold at trace time
+    eq33 = (1 - o1) * (C200 - C020)
+    eq34 = (1 - o1) * (C200 - C002)
+    if omega2 == 1.0:
+        eq35 = k000
+    else:
+        eq35 = k000 * o2 + (1 - o2) * (C200 + C020 + C002)
+    if antialias:
+        eq33 = eq33 - 3 * rho * (1 - o1 * 0.5) * (vx * vx * Dxu - vy * vy * Dyv)
+        eq34 = eq34 - 3 * rho * (1 - o1 * 0.5) * (vx * vx * Dxu - vz * vz * Dzw)
+        eq35 = eq35 - 3 * rho * (1 - o2 / 2) * (vx * vx * Dxu + vy * vy * Dyv + vz * vz * Dzw)
     Cs200 = (eq33 + eq34 + eq35) / 3
     Cs020 = (-2 * eq33 + eq34 + eq35) / 3
     Cs002 = (eq33 - 2 * eq34 + eq35) / 3
 
-    # third order (eqs. 36-42)
+    # third order (eqs. 36-42): without the Geier-2017 limiters the rates
+    # omega3 = omega4 = omega5 = 1 relax these cumulants to equilibrium
     if geier_2017:
         e117 = (1 - o120p102) * (C120 + C102)
         e118 = (1 - o210p012) * (C210 + C012)
@@ -494,53 +487,65 @@ def collide_cum(
         Cs201 = 0.5 * (e122 + e119)
         Cs111 = (1 - omega111) * C111
     else:
-        Cs120 = (-C102 - C120) * omega3 * 0.5 + (C102 - C120) * omega4 * 0.5 + C120
-        Cs102 = (-C102 - C120) * omega3 * 0.5 + (-C102 + C120) * omega4 * 0.5 + C102
-        Cs210 = (-C012 - C210) * omega3 * 0.5 + (C012 - C210) * omega4 * 0.5 + C210
-        Cs012 = (-C012 - C210) * omega3 * 0.5 + (-C012 + C210) * omega4 * 0.5 + C012
-        Cs021 = (-C021 - C201) * omega3 * 0.5 + (-C021 + C201) * omega4 * 0.5 + C021
-        Cs201 = (-C021 - C201) * omega3 * 0.5 + (C021 - C201) * omega4 * 0.5 + C201
-        Cs111 = (1 - omega5) * C111
+        Cs120 = Cs102 = Cs210 = Cs012 = Cs021 = Cs201 = 0.0
+        Cs111 = 0.0
 
-    # fourth order (eqs. 43-48)
-    eq43 = (2.0 / 3.0) * (1.0 / o1 - 0.5) * omega6 * A * rho * (Dxu - 2 * Dyv + Dzw) + (1 - omega6) * (C220 - 2 * C202 + C022)
-    eq44 = (2.0 / 3.0) * (1.0 / o1 - 0.5) * omega6 * A * rho * (Dxu + Dyv - 2 * Dzw) + (1 - omega6) * (C220 + C202 - 2 * C022)
-    eq45 = (-4.0 / 3.0) * (1.0 / o1 - 0.5) * omega7 * A * rho * (Dxu + Dyv + Dzw) + (1 - omega7) * (C220 + C202 + C022)
-    Cs220 = (eq43 + eq44 + eq45) / 3
-    Cs202 = (-eq43 + eq45) / 3
-    Cs022 = (-eq44 + eq45) / 3
-    Cs211 = (-1.0 / 3.0) * (1.0 / o1 - 0.5) * omega8 * B * rho * DywDzv + (1 - omega8) * C211
-    Cs121 = (-1.0 / 3.0) * (1.0 / o1 - 0.5) * omega8 * B * rho * DxwDzu + (1 - omega8) * C121
-    Cs112 = (-1.0 / 3.0) * (1.0 / o1 - 0.5) * omega8 * B * rho * DxvDyu + (1 - omega8) * C112
+    # fourth order (eqs. 43-48): omega6..8 == 1, so only the A/B source
+    # terms survive, and those need the antialias velocity derivatives
+    # (1/o1 - 0.5 == 3 nu exactly, from omega1's definition)
+    if geier_2017 and antialias:
+        fac = 3.0 * nu * rho
+        eq43 = (2.0 / 3.0) * fac * A * (Dxu - 2 * Dyv + Dzw)
+        eq44 = (2.0 / 3.0) * fac * A * (Dxu + Dyv - 2 * Dzw)
+        eq45 = (-4.0 / 3.0) * fac * A * (Dxu + Dyv + Dzw)
+        Cs220 = (eq43 + eq44 + eq45) / 3
+        Cs202 = (-eq43 + eq45) / 3
+        Cs022 = (-eq44 + eq45) / 3
+        Cs211 = (-1.0 / 3.0) * fac * B * DywDzv
+        Cs121 = (-1.0 / 3.0) * fac * B * DxwDzu
+        Cs112 = (-1.0 / 3.0) * fac * B * DxvDyu
+    else:
+        Cs220 = Cs202 = Cs022 = 0.0
+        Cs211 = Cs121 = Cs112 = 0.0
 
-    # orders 5-6 (eqs. 49-52)
-    Cs221 = (1 - omega9) * C221
-    Cs212 = (1 - omega9) * C212
-    Cs122 = (1 - omega9) * C122
-    Cs222 = (1 - omega10) * C222
+    # orders 5-6 (eqs. 49-52): omega9 = omega10 = 1 always
+    Cs221 = Cs212 = Cs122 = 0.0
+    Cs222 = 0.0
 
-    # back to central moments (Geier 2015 eqs. 81-84); ks = Cs for order <= 3
+    # back to central moments (Geier 2015 eqs. 81-84); ks = Cs for order <= 3.
+    # The leading Cs terms of order >= 4 are often trace-time zeros (see the
+    # relaxation-rate note above): _addz / _mulz fold them out of the jaxpr.
     ks110, ks101, ks011 = Cs110, Cs101, Cs011
     ks200, ks020, ks002 = Cs200, Cs020, Cs002
     ks120, ks102, ks210, ks012, ks201, ks021 = Cs120, Cs102, Cs210, Cs012, Cs201, Cs021
     ks111 = Cs111
+    # order-3 products appearing in the order-5/6 inverses: zero whenever
+    # the third-order cumulants relaxed to equilibrium (geier_2017 off)
+    p5_122 = _addz(_mulz(ks020, ks102), _mulz(ks002, ks120),
+                   4 * _mulz(ks011, ks111),
+                   2 * _addz(_mulz(ks110, ks012), _mulz(ks101, ks021)))
+    p5_212 = _addz(_mulz(ks002, ks210), _mulz(ks200, ks012),
+                   4 * _mulz(ks101, ks111),
+                   2 * _addz(_mulz(ks011, ks201), _mulz(ks110, ks102)))
+    p5_221 = _addz(_mulz(ks200, ks021), _mulz(ks020, ks201),
+                   4 * _mulz(ks110, ks111),
+                   2 * _addz(_mulz(ks101, ks120), _mulz(ks011, ks210)))
+    p6 = _addz(4 * _mulz(ks111, ks111),
+               2 * _addz(_mulz(ks120, ks102), _mulz(ks210, ks012),
+                         _mulz(ks201, ks021)))
     if not well:
-        ks211 = Cs211 + (ks200 * ks011 + 2 * ks101 * ks110) * inv_rho
-        ks121 = Cs121 + (ks020 * ks101 + 2 * ks110 * ks011) * inv_rho
-        ks112 = Cs112 + (ks002 * ks110 + 2 * ks011 * ks101) * inv_rho
-        ks220 = Cs220 + (ks020 * ks200 + 2 * ks110 * ks110) * inv_rho
-        ks022 = Cs022 + (ks002 * ks020 + 2 * ks011 * ks011) * inv_rho
-        ks202 = Cs202 + (ks200 * ks002 + 2 * ks101 * ks101) * inv_rho
-        ks122 = Cs122 + (ks020 * ks102 + ks002 * ks120 + 4 * ks011 * ks111 + 2 * (ks110 * ks012 + ks101 * ks021)) * inv_rho
-        ks212 = Cs212 + (ks002 * ks210 + ks200 * ks012 + 4 * ks101 * ks111 + 2 * (ks011 * ks201 + ks110 * ks102)) * inv_rho
-        ks221 = Cs221 + (ks200 * ks021 + ks020 * ks201 + 4 * ks110 * ks111 + 2 * (ks101 * ks120 + ks011 * ks210)) * inv_rho
+        ks211 = _addz(Cs211, (ks200 * ks011 + 2 * ks101 * ks110) * inv_rho)
+        ks121 = _addz(Cs121, (ks020 * ks101 + 2 * ks110 * ks011) * inv_rho)
+        ks112 = _addz(Cs112, (ks002 * ks110 + 2 * ks011 * ks101) * inv_rho)
+        ks220 = _addz(Cs220, (ks020 * ks200 + 2 * ks110 * ks110) * inv_rho)
+        ks022 = _addz(Cs022, (ks002 * ks020 + 2 * ks011 * ks011) * inv_rho)
+        ks202 = _addz(Cs202, (ks200 * ks002 + 2 * ks101 * ks101) * inv_rho)
+        ks122 = _mulz(p5_122, inv_rho)
+        ks212 = _mulz(p5_212, inv_rho)
+        ks221 = _mulz(p5_221, inv_rho)
         ks222 = (
-            Cs222
-            + (
-                4 * ks111 * ks111 + ks200 * ks022 + ks020 * ks202 + ks002 * ks220
-                + 4 * (ks011 * ks211 + ks101 * ks121 + ks110 * ks112)
-                + 2 * (ks120 * ks102 + ks210 * ks012 + ks201 * ks021)
-            ) * inv_rho
+            _addz(p6, ks200 * ks022 + ks020 * ks202 + ks002 * ks220
+                  + 4 * (ks011 * ks211 + ks101 * ks121 + ks110 * ks112)) * inv_rho
             - (
                 16 * ks110 * ks101 * ks011
                 + 4 * (ks101 * ks101 * ks020 + ks011 * ks011 * ks200 + ks110 * ks110 * ks002)
@@ -549,36 +554,23 @@ def collide_cum(
         )
     else:
         # shifted-space inverses (reference col_cum_well.h eqs. 53-56)
-        ks211 = Cs211 + ((ks200 + third) * ks011 + 2 * ks101 * ks110) * inv_rho
-        ks121 = Cs121 + ((ks020 + third) * ks101 + 2 * ks110 * ks011) * inv_rho
-        ks112 = Cs112 + ((ks002 + third) * ks110 + 2 * ks011 * ks101) * inv_rho
-        ks220 = Cs220 + (ks020 * ks200 + 2 * ks110 * ks110 + (ks020 + ks200) * third) * inv_rho - k000 * inv_rho / 9.0
-        ks022 = Cs022 + (ks002 * ks020 + 2 * ks011 * ks011 + (ks002 + ks020) * third) * inv_rho - k000 * inv_rho / 9.0
-        ks202 = Cs202 + (ks200 * ks002 + 2 * ks101 * ks101 + (ks200 + ks002) * third) * inv_rho - k000 * inv_rho / 9.0
-        ks122 = Cs122 + (
-            ks020 * ks102 + ks002 * ks120 + 4 * ks011 * ks111 + 2 * (ks110 * ks012 + ks101 * ks021)
-            + (ks102 + ks120) * third
-        ) * inv_rho
-        ks212 = Cs212 + (
-            ks002 * ks210 + ks200 * ks012 + 4 * ks101 * ks111 + 2 * (ks011 * ks201 + ks110 * ks102)
-            + (ks210 + ks012) * third
-        ) * inv_rho
-        ks221 = Cs221 + (
-            ks200 * ks021 + ks020 * ks201 + 4 * ks110 * ks111 + 2 * (ks101 * ks120 + ks011 * ks210)
-            + (ks021 + ks201) * third
-        ) * inv_rho
+        ks211 = _addz(Cs211, ((ks200 + third) * ks011 + 2 * ks101 * ks110) * inv_rho)
+        ks121 = _addz(Cs121, ((ks020 + third) * ks101 + 2 * ks110 * ks011) * inv_rho)
+        ks112 = _addz(Cs112, ((ks002 + third) * ks110 + 2 * ks011 * ks101) * inv_rho)
+        ks220 = _addz(Cs220, (ks020 * ks200 + 2 * ks110 * ks110 + (ks020 + ks200) * third) * inv_rho) - k000 * inv_rho / 9.0
+        ks022 = _addz(Cs022, (ks002 * ks020 + 2 * ks011 * ks011 + (ks002 + ks020) * third) * inv_rho) - k000 * inv_rho / 9.0
+        ks202 = _addz(Cs202, (ks200 * ks002 + 2 * ks101 * ks101 + (ks200 + ks002) * third) * inv_rho) - k000 * inv_rho / 9.0
+        ks122 = _mulz(_addz(p5_122, _mulz(third, _addz(ks102, ks120))), inv_rho)
+        ks212 = _mulz(_addz(p5_212, _mulz(third, _addz(ks210, ks012))), inv_rho)
+        ks221 = _mulz(_addz(p5_221, _mulz(third, _addz(ks021, ks201))), inv_rho)
         sum_ks2 = ks200 + ks020 + ks002
         sum_ks22 = ks022 + ks202 + ks220
         sum_sq_s = ks101 * ks101 + ks011 * ks011 + ks110 * ks110
         sum_pairs_s = ks200 * ks020 + ks200 * ks002 + ks020 * ks002
         ks222 = (
-            Cs222
-            + (
-                4 * ks111 * ks111 + ks200 * ks022 + ks020 * ks202 + ks002 * ks220
-                + 4 * (ks011 * ks211 + ks101 * ks121 + ks110 * ks112)
-                + 2 * (ks120 * ks102 + ks210 * ks012 + ks201 * ks021)
-                + sum_ks2 / 9.0 + sum_ks22 * third
-            ) * inv_rho
+            _addz(p6, ks200 * ks022 + ks020 * ks202 + ks002 * ks220
+                  + 4 * (ks011 * ks211 + ks101 * ks121 + ks110 * ks112)
+                  + sum_ks2 / 9.0 + sum_ks22 * third) * inv_rho
             - (
                 16 * ks110 * ks101 * ks011
                 + 4 * (ks101 * ks101 * ks020 + ks011 * ks011 * ks200 + ks110 * ks110 * ks002)
@@ -668,10 +660,11 @@ def collide_srt_well(lat, f, rho, u, nu, force=None):
     feq_dev = eqlib.eq_well(lat, rho, u)
     out = f + (feq_dev - f) * omega
     if force is not None:
-        w = jnp.asarray(lat.w, f.dtype).reshape((lat.Q,) + (1,) * (f.ndim - 1))
         safe_rho = jnp.where(rho == 0, jnp.ones_like(rho), rho)
         S = forcing_terms(lat, u, force, safe_rho)
-        out = out + (1 - 0.5 * omega) * S * (feq_dev + w)
+        # per-q scalar weights: kernel-safe (Pallas rejects [Q]-array consts)
+        out = out + (1 - 0.5 * omega) * jnp.stack(
+            [S[q] * (feq_dev[q] + float(lat.w[q])) for q in range(lat.Q)])
     return out
 
 
