@@ -43,15 +43,19 @@ def run_case(dirac: str, method: str, n: int, points: int, steps: int):
     ibm = IBM(units, pts, dirac=dirac, method=method, max_iters=50)
     t_build = time.perf_counter() - t0
 
-    cfg = LBMConfig(lat=D3Q27, collision=col.collide_cum, forcing_hook=ibm.forcing_hook())
+    hook = ibm.forcing_hook()
+    cfg = LBMConfig(lat=D3Q27, collision=col.collide_cum, forcing_hook=hook)
     step = make_step(cfg, dom)
-    jstep = jax.jit(lambda f: step(f, 0.05)[0], donate_argnums=0)
+    # hook consts as jit ARGUMENTS (round 3): inlined they blow up the
+    # remote-compile upload at large point counts (ibm/lagrange.py)
+    jstep = jax.jit(lambda f, hc: step(f, 0.05, hook_consts=hc)[0],
+                    donate_argnums=0)
     f = initial_dfs(cfg, dom, u0=(0.05, 0.0, 0.0))
-    f = jstep(f)
+    f = jstep(f, hook.consts)
     jax.block_until_ready(f)
     t0 = time.perf_counter()
     for _ in range(steps):
-        f = jstep(f)
+        f = jstep(f, hook.consts)
     jax.block_until_ready(f)
     t_solve = (time.perf_counter() - t0) / steps
     return ibm.m, t_build, t_solve

@@ -105,7 +105,7 @@ class IBM:
         )
         self.stencil_nodes = nodes  # [m, s^3, 3] int lattice indices
         self.weights = jnp.asarray(w, jnp.float32)  # [m, s^3]
-        self._nodes_dev = jnp.asarray(nodes)
+        self._nodes_dev = jnp.asarray(nodes, jnp.int32)
 
     #: largest cloud for which "auto" picks the dense-A "modified" operator
     #: (the [m, m] matrix at 32k points is 4 GB - past that the matrix-free
@@ -145,41 +145,60 @@ class IBM:
             self.A = None  # matrix-free: A x = interpolate(spread(x))
 
     # ------------------------------------------------------------- operators
-    def interpolate(self, field: jnp.ndarray) -> jnp.ndarray:
+    #
+    # ``consts`` protocol: every operator takes an optional dict
+    # {"A": [m,m]|None, "w": [m,s^3], "nodes": [m,s^3,3]} overriding the
+    # solver's own device arrays.  Step builders thread this pytree through
+    # as an ACTUAL jit argument (Simulation passes hook.consts per call):
+    # closed-over arrays would be inlined into the lowered HLO as dense
+    # constants (measured: a 16 MB array costs a 33 MB HLO upload), which
+    # breaks remote compilation for large clouds - the round-2 ~10k-point
+    # ceiling.  As arguments they stay device buffers.
+
+    def hook_consts(self):
+        """The device arrays a jitted step must receive as arguments."""
+        return {"A": self.A, "w": self.weights, "nodes": self._nodes_dev}
+
+    def _cw(self, consts):
+        if consts is None:
+            return self.A, self.weights, self._nodes_dev
+        return consts["A"], consts["w"], consts["nodes"]
+
+    def interpolate(self, field: jnp.ndarray, consts=None) -> jnp.ndarray:
         """M u: sample an Eulerian field [C, X, Y, Z] at the points -> [m, C]."""
+        _, w, n = self._cw(consts)
         nx, ny, nz = field.shape[1:]
-        n = self._nodes_dev
         ix = jnp.clip(n[..., 0], 0, nx - 1)
         iy = jnp.clip(n[..., 1], 0, ny - 1)
         iz = jnp.clip(n[..., 2], 0, nz - 1)
         vals = field[:, ix, iy, iz]  # [C, m, s^3]
         # explicit multiply-sum: einsum lowers to a dot whose default TPU
         # precision rounds f32 inputs to bf16 (ops/contract.py)
-        w = self.weights.astype(field.dtype)
-        return jnp.sum(vals * w[None], axis=-1).T
+        return jnp.sum(vals * w.astype(field.dtype)[None], axis=-1).T
 
-    def spread(self, vals: jnp.ndarray, shape) -> jnp.ndarray:
+    def spread(self, vals: jnp.ndarray, shape, consts=None) -> jnp.ndarray:
         """M^T x: spread point values [m, C] to an Eulerian field [C, *shape]."""
+        _, w, n = self._cw(consts)
         nx, ny, nz = shape
-        n = self._nodes_dev
         ix = jnp.clip(n[..., 0], 0, nx - 1)
         iy = jnp.clip(n[..., 1], 0, ny - 1)
         iz = jnp.clip(n[..., 2], 0, nz - 1)
         flat = (ix * ny + iy) * nz + iz  # [m, s^3]
-        contrib = self.weights[..., None] * vals[:, None, :]  # [m, s^3, C]
+        contrib = w[..., None] * vals[:, None, :]  # [m, s^3, C]
         C = vals.shape[1]
         out = jnp.zeros((nx * ny * nz, C), vals.dtype)
         out = out.at[flat.reshape(-1)].add(contrib.reshape(-1, C))
         return out.T.reshape((C,) + tuple(shape))
 
-    def _matvec(self, x, shape):
+    def _matvec(self, x, shape, consts=None):
         """A x for the CG solve; x: [m, C]."""
-        if self.A is not None:
+        A = self._cw(consts)[0]
+        if A is not None:
             # f32 accumulation on the MXU: default matmul precision would
             # round the inputs to bf16 and stall CG convergence
-            return jnp.matmul(self.A.astype(x.dtype), x,
+            return jnp.matmul(A.astype(x.dtype), x,
                               precision=jax.lax.Precision.HIGHEST)
-        return self.interpolate(self.spread(x, shape))
+        return self.interpolate(self.spread(x, shape, consts), consts=consts)
 
     def _cg(self, matvec, b):
         """Batched CG over the C right-hand sides with iteration/residual
@@ -216,7 +235,8 @@ class IBM:
         return x, k, rel
 
     # ------------------------------------------------------------- solve
-    def compute_forces(self, u_star: jnp.ndarray, rho: jnp.ndarray) -> jnp.ndarray:
+    def compute_forces(self, u_star: jnp.ndarray, rho: jnp.ndarray,
+                       consts=None) -> jnp.ndarray:
         """Solve for the velocity-correction forces and spread them.
 
         u_star: [3, X, Y, Z] fluid velocity without the IBM force;
@@ -225,17 +245,17 @@ class IBM:
         CG solve A x = b per component, then f += 2 rho M^T x).
         """
         shape = u_star.shape[1:]
-        b = -self.interpolate(u_star)  # [m, 3]
+        b = -self.interpolate(u_star, consts=consts)  # [m, 3]
         if self.use_ll_velocity:
             b = b + jnp.asarray(self.prescribed_velocity, b.dtype)
 
-        matvec = partial(self._matvec, shape=shape)
+        matvec = partial(self._matvec, shape=shape, consts=consts)
         x, iters, rel = self._cg(matvec, b)
         self.last_cg_iters = iters      # traced under jit; concrete eagerly
         self.last_cg_residual = rel
         self._log_cg(iters, rel)
         f_pts = 2.0 * x  # [m, 3]
-        force = self.spread(f_pts, shape)
+        force = self.spread(f_pts, shape, consts=consts)
         return force * rho[None]
 
     def _log_cg(self, iters, rel):
@@ -263,12 +283,18 @@ class IBM:
             emit(iters, rel)
 
     def forcing_hook(self):
-        """Adapter: LBMConfig.forcing_hook closing over this solver."""
+        """Adapter: LBMConfig.forcing_hook closing over this solver.
 
-        def hook(lat, rho, u, nu, fluid_mask):
+        The hook carries ``hook.consts`` (A / weights / nodes as a pytree):
+        hook-aware step builders accept a ``hook_consts`` argument and pass
+        it through, so the arrays enter jit as buffers instead of inlined
+        HLO constants (the round-2 large-cloud remote-compile ceiling)."""
+
+        def hook(lat, rho, u, nu, fluid_mask, consts=None):
             del lat, nu, fluid_mask
-            return self.compute_forces(u, rho)
+            return self.compute_forces(u, rho, consts=consts)
 
+        hook.consts = self.hook_consts()
         return hook
 
     # ------------------------------------------------------- distributed IBM
@@ -312,49 +338,65 @@ class IBM:
             loc.append(jnp.clip(l, 0, exts[a] - 1))
         return loc, inside, exts, names
 
-    def interpolate_sharded(self, field, plan, shape):
+    def _owned_c(self, plan, shape, nodes):
+        """Per-shard local node coords + ownership mask for given nodes."""
+        offs, exts, names = self._local_ids(plan, shape)
+        loc, inside = [], None
+        for a in range(3):
+            g = jnp.clip(nodes[..., a], 0, shape[a] - 1)
+            l = g - offs[a]
+            ok = (l >= 0) & (l < exts[a])
+            inside = ok if inside is None else (inside & ok)
+            loc.append(jnp.clip(l, 0, exts[a] - 1))
+        return loc, inside, exts, names
+
+    def interpolate_sharded(self, field, plan, shape, consts=None):
         """M u on the local shard of ``field`` [C, Xl, Yl, Zl] -> replicated
         [m, C] (partial sums over owned nodes, completed with one psum)."""
         from jax import lax
 
-        (ix, iy, iz), inside, _, names = self._owned(plan, shape)
+        _, w, nodes = self._cw(consts)
+        (ix, iy, iz), inside, _, names = self._owned_c(plan, shape, nodes)
         vals = field[:, ix, iy, iz]  # [C, m, s^3]
-        w = (self.weights * inside).astype(field.dtype)
-        partial_mc = jnp.sum(vals * w[None], axis=-1).T  # [m, C] exact sum
+        wl = (w * inside).astype(field.dtype)
+        partial_mc = jnp.sum(vals * wl[None], axis=-1).T  # [m, C] exact sum
         return lax.psum(partial_mc, names) if names else partial_mc
 
-    def spread_sharded(self, vals, plan, shape):
+    def spread_sharded(self, vals, plan, shape, consts=None):
         """M^T x onto this shard's local block [C, Xl, Yl, Zl]."""
-        (ix, iy, iz), inside, exts, _ = self._owned(plan, shape)
+        _, w, nodes = self._cw(consts)
+        (ix, iy, iz), inside, exts, _ = self._owned_c(plan, shape, nodes)
         lx, ly, lz = exts
         flat = (ix * ly + iy) * lz + iz  # [m, s^3] local flat ids
-        w = (self.weights * inside).astype(vals.dtype)
-        contrib = w[..., None] * vals[:, None, :]  # [m, s^3, C]
+        wl = (w * inside).astype(vals.dtype)
+        contrib = wl[..., None] * vals[:, None, :]  # [m, s^3, C]
         C = vals.shape[1]
         out = jnp.zeros((lx * ly * lz, C), vals.dtype)
         out = out.at[flat.reshape(-1)].add(contrib.reshape(-1, C))
         return out.T.reshape((C, lx, ly, lz))
 
-    def compute_forces_sharded(self, u_star, rho, plan, shape):
+    def compute_forces_sharded(self, u_star, rho, plan, shape, consts=None):
         """Per-shard force solve: same math as ``compute_forces`` with the
         Eulerian operators partitioned by node ownership.  ``u_star``/``rho``
         are this shard's local blocks; returns the local force block."""
-        b = -self.interpolate_sharded(u_star, plan, shape)
+        A = self._cw(consts)[0]
+        b = -self.interpolate_sharded(u_star, plan, shape, consts)
         if self.use_ll_velocity:
             b = b + jnp.asarray(self.prescribed_velocity, b.dtype)
-        if self.A is not None:
+        if A is not None:
             matvec = lambda x: jnp.matmul(  # noqa: E731
-                self.A.astype(x.dtype), x, precision=jax.lax.Precision.HIGHEST)
+                A.astype(x.dtype), x, precision=jax.lax.Precision.HIGHEST)
         else:
             def matvec(x):
                 return self.interpolate_sharded(
-                    self.spread_sharded(x, plan, shape), plan, shape)
+                    self.spread_sharded(x, plan, shape, consts), plan, shape,
+                    consts)
 
         x, iters, rel = self._cg(matvec, b)
         self.last_cg_iters = iters
         self.last_cg_residual = rel
         self._log_cg(iters, rel)
-        force = self.spread_sharded(2.0 * x, plan, shape)
+        force = self.spread_sharded(2.0 * x, plan, shape, consts)
         return force * rho[None]
 
     def sharded_hook(self, plan, shape):
@@ -362,10 +404,15 @@ class IBM:
         executed INSIDE shard_map (pass the resulting cfg + plan to
         Simulation / make_sharded_step)."""
 
-        def hook(lat, rho, u, nu, fluid_mask):
+        def hook(lat, rho, u, nu, fluid_mask, consts=None):
             del lat, nu, fluid_mask
-            return self.compute_forces_sharded(u, rho, plan, tuple(shape))
+            return self.compute_forces_sharded(u, rho, plan, tuple(shape),
+                                               consts=consts)
 
+        # runs INSIDE shard_map (lax.axis_index / psum over the mesh axes) -
+        # make_sharded_step must not lift it to the global GSPMD level
+        hook.shard_local = True
+        hook.consts = self.hook_consts()
         return hook
 
     # ---------------------------------------------------------- diagnostics

@@ -86,9 +86,16 @@ def make_hooked_fused_step(cfg: LBMConfig, domain: Domain, **kernel_kwargs):
     else:
         ustar = xla_ustar
 
-    def step(f, nu, u_in=None, force=None, parity: int = 0):
+    has_consts = getattr(hook, "consts", None) is not None
+
+    def step(f, nu, u_in=None, force=None, parity: int = 0,
+             hook_consts=None):
         rho0, u0, fluid = ustar(f, force=force, parity=parity)
-        extra = hook(lat, rho0, u0, nu, fluid).astype(dtype)
+        if has_consts:
+            extra = hook(lat, rho0, u0, nu, fluid,
+                         consts=hook_consts).astype(dtype)
+        else:
+            extra = hook(lat, rho0, u0, nu, fluid).astype(dtype)
         if force is not None:
             fb = jnp.asarray(force, dtype)
             if fb.ndim == 1:
@@ -141,7 +148,10 @@ def make_sharded_hooked_fused_step(cfg: LBMConfig, domain: Domain, plan,
     fluid_mask = plan.shard_field(
         jnp.asarray(np.asarray(domain.map) == int(GEO.FLUID)), like_f=False)
 
-    def step(f, map_arr, nu, u_in=None, force=None, parity: int = 0):
+    has_consts = getattr(hook, "consts", None) is not None
+
+    def step(f, map_arr, nu, u_in=None, force=None, parity: int = 0,
+             hook_consts=None):
         del parity  # A-B
         fvec = None if (force is not None and jnp.ndim(force) > 1) else force
         rho0, u0 = macro(f, map_arr, nu, u_in=u_in, force=fvec)
@@ -149,7 +159,11 @@ def make_sharded_hooked_fused_step(cfg: LBMConfig, domain: Domain, plan,
             # [3, X, Y, Z] homogeneous-force field: fold the half-force
             # correction in afterwards (the macro kernel takes vectors only)
             u0 = u0 + force.astype(dtype) / (2 * jnp.maximum(rho0, 1e-12))
-        extra = hook(lat, rho0, u0, nu, fluid_mask).astype(dtype)
+        if has_consts:
+            extra = hook(lat, rho0, u0, nu, fluid_mask,
+                         consts=hook_consts).astype(dtype)
+        else:
+            extra = hook(lat, rho0, u0, nu, fluid_mask).astype(dtype)
         if force is not None:
             fb = jnp.asarray(force, dtype)
             if fb.ndim == 1:

@@ -270,13 +270,16 @@ def make_sharded_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan):
     if not plan.divisible(domain):
         return _make_uneven_sharded_step(cfg, domain, plan)
     plan.check(domain)
-    if cfg.forcing_hook is not None:
+    if cfg.forcing_hook is not None and not getattr(cfg.forcing_hook,
+                                                    "shard_local", False):
         # Evaluate the hook GLOBALLY, outside shard_map: GSPMD partitions
-        # the strain-rate / IBM stencils with automatic halo collectives.
-        # Inside shard_map the hook's edge pads (_pad1) would silently
-        # corrupt shard seams.  The no-hook sharded step then consumes the
-        # per-site force field (reference nonNewtonian.h:216-391 MPI-synced
-        # ghost layers).
+        # the strain-rate stencils with automatic halo collectives.  Inside
+        # shard_map the hook's edge pads (_pad1) would silently corrupt
+        # shard seams.  The no-hook sharded step then consumes the per-site
+        # force field (reference nonNewtonian.h:216-391 MPI-synced ghost
+        # layers).  Hooks marked ``shard_local`` (IBM's ownership-
+        # partitioned sharded_hook, which psums inside the mapped body)
+        # keep running inside shard_map via the local step below.
         from tnl_lbm_tpu.sim.step import make_step as _mk
 
         hook = cfg.forcing_hook
@@ -286,13 +289,19 @@ def make_sharded_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan):
         inner = make_sharded_step(cfg_nohook, domain, plan)
         ustar = _mk(cfg_nohook, domain).ustar
 
+        has_consts = getattr(hook, "consts", None) is not None
+
         def hooked_step(f, map_arr, nu, u_in=None, force=None,
-                        parity: int = 0, bouzidi_arr=None):
+                        parity: int = 0, bouzidi_arr=None, hook_consts=None):
             fvec = None if (force is not None and jnp.ndim(force) > 1) else force
             rho0, u0, fluid = ustar(f, force=fvec, parity=parity)
             if fvec is None and force is not None:
                 u0 = u0 + jnp.asarray(force, dtype) / (2 * jnp.maximum(rho0, 1e-12))
-            extra = hook(lat, rho0, u0, nu, fluid).astype(dtype)
+            if has_consts:
+                extra = hook(lat, rho0, u0, nu, fluid,
+                             consts=hook_consts).astype(dtype)
+            else:
+                extra = hook(lat, rho0, u0, nu, fluid).astype(dtype)
             if force is not None:
                 fb = jnp.asarray(force, dtype)
                 if fb.ndim == 1:
@@ -320,13 +329,20 @@ def make_sharded_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan):
     local_step = make_step(cfg, domain, pad_halo=pad, local_shape=local_shape)
 
     use_bouzidi = domain.bouzidi is not None
+    # shard-local hooks with a consts pytree (IBM): thread the arrays
+    # through shard_map as replicated operands, not inlined HLO constants
+    use_hc = (cfg.forcing_hook is not None
+              and getattr(cfg.forcing_hook, "consts", None) is not None)
 
-    def run(parity, f, map_arr, nu, u_in, force, bouzidi_arr, uin_spec, force_spec):
+    def run(parity, f, map_arr, nu, u_in, force, bouzidi_arr, uin_spec,
+            force_spec, hook_consts):
         def local(f, map_arr, nu, u_in, force, *rest):
-            bz = rest[0] if use_bouzidi else None
+            rest = list(rest)
+            bz = rest.pop(0) if use_bouzidi else None
+            hc = rest.pop(0) if use_hc else None
             return local_step(
                 f, nu, u_in=u_in, force=force, parity=parity,
-                map_arr=map_arr, bouzidi_arr=bz,
+                map_arr=map_arr, bouzidi_arr=bz, hook_consts=hc,
             )
 
         in_specs = [plan.spec_f, plan.spec_site, P(), uin_spec, force_spec]
@@ -334,6 +350,9 @@ def make_sharded_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan):
         if use_bouzidi:
             in_specs.append(plan.spec_f)
             operands.append(bouzidi_arr)
+        if use_hc:
+            in_specs.append(P())  # replicated pytree
+            operands.append(hook_consts)
         sharded = shard_map(
             local,
             mesh=plan.mesh,
@@ -356,7 +375,8 @@ def make_sharded_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan):
         a = jnp.broadcast_to(a, (lat.D,) + tuple(domain.shape))
         return a, plan.spec_f
 
-    def step(f, map_arr, nu, u_in=None, force=None, parity: int = 0, bouzidi_arr=None):
+    def step(f, map_arr, nu, u_in=None, force=None, parity: int = 0,
+             bouzidi_arr=None, hook_consts=None):
         dt = cfg.compute_dtype
         nu = jnp.asarray(nu, dt)
         u_in, uin_spec = _field_or_vec(u_in, dt)
@@ -365,8 +385,10 @@ def make_sharded_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan):
             bouzidi_arr = plan.shard_field(
                 jnp.asarray(domain.bouzidi, dtype=dt), like_f=True
             )
+        if use_hc and hook_consts is None:
+            hook_consts = cfg.forcing_hook.consts
         return run(parity, f, map_arr, nu, u_in, force, bouzidi_arr,
-                   uin_spec, force_spec)
+                   uin_spec, force_spec, hook_consts)
 
     return step
 

@@ -339,21 +339,30 @@ class Simulation:
         if key in self._jit_steps:
             return self._jit_steps[key]
 
+        # hooks with a consts pytree (IBM's A/weights/nodes): thread the
+        # arrays through jit as ARGUMENTS - closed over, they would inline
+        # into the lowered HLO as dense constants and blow up the (remote)
+        # compile upload for large point clouds
+        hc = (getattr(self.cfg.forcing_hook, "consts", None)
+              if self.cfg.forcing_hook is not None else None)
+
         if self.plan is None:
-            def fn(f, nu, u_in, force):
+            def fn(f, nu, u_in, force, hook_consts=None):
+                kw = {} if hc is None else {"hook_consts": hook_consts}
                 return self._step(
                     f, nu,
                     u_in=u_in if have_uin else None,
                     force=force if have_force else None,
-                    parity=parity,
+                    parity=parity, **kw,
                 )
         else:
-            def fn(f, nu, u_in, force):
+            def fn(f, nu, u_in, force, hook_consts=None):
+                kw = {} if hc is None else {"hook_consts": hook_consts}
                 return self._step(
                     f, self._map_sharded, nu,
                     u_in=u_in if have_uin else None,
                     force=force if have_force else None,
-                    parity=parity,
+                    parity=parity, **kw,
                 )
 
         # Donation would alias the Pallas A-A even kernel's output onto its
@@ -364,6 +373,9 @@ class Simulation:
             self.use_fused and self.cfg.streaming == "AA" and parity == 0
         )
         jfn = jax.jit(fn, donate_argnums=0 if donate_ok else ())
+        if hc is not None:
+            inner = jfn
+            jfn = lambda f, nu, u_in, force: inner(f, nu, u_in, force, hc)  # noqa: E731
         self._jit_steps[key] = jfn
         return jfn
 

@@ -136,7 +136,8 @@ def make_step(cfg: LBMConfig, domain: Domain, pad_halo=None, local_shape=None):
             rows.append(jnp.where(th < 0, f_in[q], interp))
         return jnp.stack(rows)
 
-    def step(f, nu, u_in=None, force=None, parity: int = 0, map_arr=None, bouzidi_arr=None):
+    def step(f, nu, u_in=None, force=None, parity: int = 0, map_arr=None,
+             bouzidi_arr=None, hook_consts=None):
         if map_arr is None:
             map_arr = jnp.asarray(domain.map)
         if bouzidi_arr is None and domain.bouzidi is not None:
@@ -164,7 +165,11 @@ def make_step(cfg: LBMConfig, domain: Domain, pad_halo=None, local_shape=None):
             rho0, u0 = mom.density_velocity(lat, f_in, force=force_b, well=cfg.well,
                                             high_precision=cfg.high_precision_rho)
             fluid = masks.get(GEO.FLUID, jnp.zeros(S, bool))
-            extra = cfg.forcing_hook(lat, rho0, u0, nu, fluid)
+            if getattr(cfg.forcing_hook, "consts", None) is not None:
+                extra = cfg.forcing_hook(lat, rho0, u0, nu, fluid,
+                                         consts=hook_consts)
+            else:
+                extra = cfg.forcing_hook(lat, rho0, u0, nu, fluid)
             force_b = extra if force_b is None else force_b + extra
 
         # moments (with half-force correction)
