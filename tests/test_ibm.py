@@ -173,3 +173,20 @@ def test_ibm_consts_enter_jit_as_parameters_not_inline():
     f_arg = jax.jit(lambda f, hc: step(f, 0.05, hook_consts=hc)[0])(f0, hook.consts)
     f_clo = step(f0, 0.05)[0]
     assert float(jnp.abs(f_arg - f_clo).max()) < 1e-6
+
+
+def test_ibm_dense_A_positive_definite_at_subgrid_spacing():
+    """The point-point matrix uses the hat LL kernel (reference
+    diracDeltaTypeLL = 1, lagrange_3D.h:115) independently of the
+    interpolation dirac.  With the interpolation kernel (phi2) instead, a
+    sub-grid-spaced cloud yields an INDEFINITE A and the CG force solve
+    diverges - the round-3 sim_ibm blow-up."""
+    units = make_units()
+    pts = points_cylinder((12.0, 8.0, 8.0), diameter=6.0, length=8.0, sigma=0.7)
+    ibm = IBM(units, pts, dirac="phi2")
+    w = np.linalg.eigvalsh(np.asarray(ibm.A, np.float64))
+    assert w.min() > 0, f"A not SPD: min eig {w.min()}"
+    # and the wide kernel really is indefinite there (guards the default)
+    bad = IBM(units, pts, dirac="phi2", dirac_ll="phi2")
+    wb = np.linalg.eigvalsh(np.asarray(bad.A, np.float64))
+    assert wb.min() < 0

@@ -51,6 +51,7 @@ class IBM:
         max_iters: int = 10000,
         tol: float = 3e-4,
         use_ll_velocity: bool = False,
+        dirac_ll: str = "phi3",
     ):
         """Args:
         units: Lattice unit system (phys <-> lattice transforms).
@@ -64,9 +65,18 @@ class IBM:
           would change results - ADVICE r2).
         max_iters/tol: CG parameters (reference lagrange_3D.hpp:899-906
           uses maxIter 10000, residue 3e-4).
+        dirac_ll: kernel for the POINT-POINT matrix of the "modified"
+          method.  The reference pins this to its type 1 = the hat kernel
+          (``diracDeltaTypeLL = 1``, lagrange_3D.h:115, dirac.h:40-41)
+          independently of the interpolation dirac: the hat is a
+          positive-definite function with support 1, so A stays CG-solvable
+          at sub-grid point spacing - the wide cosine/Peskin kernels
+          produce an INDEFINITE A there (measured: phi2 at 0.7 dl spacing
+          has ~38% negative eigenvalues and CG diverges).
         """
         self.units = units
         self.dirac = dirac
+        self.dirac_ll = dirac_ll
         self.method = method
         self.max_iters = max_iters
         self.tol = tol
@@ -125,17 +135,19 @@ class IBM:
                 f"{self.DENSE_A_MAX_POINTS} points).  Use method='auto' or "
                 f"'original' (matrix-free A = M M^T).")
         if self.method == "modified":
-            # A[k,l] = 3D dirac of point pairs (reference
-            # lagrange_3D.hpp:265-295), built ON DEVICE in row blocks: the
-            # full [m, m, 3] host difference tensor would be m^2 * 24 bytes
-            # (25 GB at 32k points), and a host-built A re-uploads per trace
+            # A[k,l] = 3D dirac of point pairs with the LL kernel (hat by
+            # default - see dirac_ll in __init__; reference
+            # lagrange_3D.hpp:265-295 + diracDeltaTypeLL), built ON DEVICE
+            # in row blocks: the full [m, m, 3] host difference tensor
+            # would be m^2 * 24 bytes (25 GB at 32k points), and a
+            # host-built A re-uploads per trace
             ll = jnp.asarray(self.ll_lat, jnp.float32)
 
             @jax.jit
             def block(rows, ll):
                 d = rows[:, None, :] - ll[None, :, :]
                 return dirac_delta_3d(
-                    self.dirac, d[..., 0], d[..., 1], d[..., 2])
+                    self.dirac_ll, d[..., 0], d[..., 1], d[..., 2])
 
             bs = max(1, min(self.m, 2**26 // max(self.m, 1)))  # ~256MB temps
             parts = [block(ll[i : i + bs], ll) for i in range(0, self.m, bs)]
