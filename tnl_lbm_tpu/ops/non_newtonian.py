@@ -53,12 +53,33 @@ class Casson:
         return jnp.where(sg > 1e-10, nu_c, nu)
 
 
-def _pad1(field, D):
-    """Edge-replicate 1-halo on all spatial axes of [*S] or [C, *S]."""
+def _pad1(field, D, periodic=None):
+    """1-halo pad on all spatial axes of [*S] or [C, *S]: edge-replicate,
+    with wrap on axes flagged periodic (matching the reference's MPI halo
+    semantics, nonNewtonian.h:216-391 - an edge pad at a periodic seam
+    would feed the stencil its own boundary value instead of the wrapped
+    neighbor)."""
     pads = [(0, 0)] * field.ndim
     for a in range(field.ndim - D, field.ndim):
         pads[a] = (1, 1)
-    return jnp.pad(field, pads, mode="edge")
+    out = jnp.pad(field, pads, mode="edge")
+    if periodic is not None:
+        off = field.ndim - D
+        for a, per in enumerate(periodic[:D]):
+            if not per:
+                continue
+            n = field.shape[off + a]
+            idx_lo = [slice(None)] * field.ndim
+            idx_hi = [slice(None)] * field.ndim
+            src_lo = [slice(None)] * field.ndim
+            src_hi = [slice(None)] * field.ndim
+            idx_lo[off + a] = 0
+            src_lo[off + a] = n      # last true layer (at padded index n)
+            idx_hi[off + a] = n + 1
+            src_hi[off + a] = 1      # first true layer
+            out = out.at[tuple(idx_lo)].set(out[tuple(src_lo)])
+            out = out.at[tuple(idx_hi)].set(out[tuple(src_hi)])
+    return out
 
 
 def _neighbor(fieldpad, D, axis, shift, shape):
@@ -81,15 +102,16 @@ def _wall_aware_derivative(gpad, fluid_p, fluid_m, D, axis, shape, center):
     return jnp.where(both, cen, jnp.where(onlyp, fwd, jnp.where(onlym, bwd, 0.0)))
 
 
-def strain_rate_tensor(u, fluid_mask, D=3):
+def strain_rate_tensor(u, fluid_mask, D=3, periodic=None):
     """Symmetric strain-rate components from velocity differences.
 
     Returns dict with keys (a, b), a <= b.  Components are zero where the
     required neighbors are not fluid, matching the reference's stencil.
+    ``periodic`` wraps the flagged axes (see _pad1).
     """
     shape = u.shape[1:]
-    upad = _pad1(u, D)
-    fpad = _pad1(fluid_mask, D)
+    upad = _pad1(u, D, periodic)
+    fpad = _pad1(fluid_mask, D, periodic)
     fl = {}
     for a in range(D):
         fl[(a, +1)] = _neighbor(fpad, D, a, +1, shape)
@@ -116,8 +138,12 @@ def shear_rate_magnitude(S, D=3):
     return jnp.sqrt(diag + 2 * off)
 
 
-def make_nn_forcing_hook(model, nu: float | None = None):
+def make_nn_forcing_hook(model, nu: float | None = None, periodic=None):
     """Build the forcing hook: F = 2 (nu_eff - nu) rho div(S).
+
+    ``periodic`` (e.g. ``domain.periodic``) wraps the stencils across the
+    flagged axes; without it the seams edge-replicate (wrong for periodic
+    domains - pass it whenever the domain has periodic axes).
 
     ``model`` is a CarreauYasuda or Casson instance.  Use as
     ``LBMConfig(..., forcing_hook=make_nn_forcing_hook(model))``.
@@ -126,7 +152,7 @@ def make_nn_forcing_hook(model, nu: float | None = None):
     def hook(lat: LatticeDescriptor, rho, u, nu_lattice, fluid_mask):
         D = lat.D
         shape = u.shape[1:]
-        S = strain_rate_tensor(u, fluid_mask, D)
+        S = strain_rate_tensor(u, fluid_mask, D, periodic)
         gamma = shear_rate_magnitude(S, D)
         nu_eff = model(nu_lattice, gamma)
 
@@ -135,7 +161,7 @@ def make_nn_forcing_hook(model, nu: float | None = None):
         for a in range(D):
             for b in range(D):
                 Sfull[(a, b)] = S[(min(a, b), max(a, b))]
-        fpad = _pad1(fluid_mask, D)
+        fpad = _pad1(fluid_mask, D, periodic)
         fl = {}
         for a in range(D):
             fl[(a, +1)] = _neighbor(fpad, D, a, +1, shape)
@@ -144,11 +170,15 @@ def make_nn_forcing_hook(model, nu: float | None = None):
         for b in range(D):  # force component
             div_b = 0.0
             for a in range(D):  # derivative axis
-                spad = _pad1(Sfull[(a, b)], D)
+                spad = _pad1(Sfull[(a, b)], D, periodic)
                 div_b = div_b + _wall_aware_derivative(
                     spad, fl[(a, +1)], fl[(a, -1)], D, a, shape, Sfull[(a, b)]
                 )
             rows.append(jnp.where(fluid_mask, 2 * (nu_eff - nu_lattice) * div_b * rho, 0.0))
         return jnp.stack(rows)
 
+    # markers for the single-kernel fused NN path (kernels/fused_nn.py):
+    # the kernel re-implements this stencil pipeline in VMEM
+    hook.nn_model = model
+    hook.nn_periodic = periodic
     return hook
