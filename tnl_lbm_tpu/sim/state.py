@@ -756,6 +756,15 @@ class Simulation:
         bytes_macro = (1 + self.cfg.lat.D) * sites * itemsize
         bytes_map = sites * 4
         total = bytes_dfs + bytes_macro + bytes_map
+        if (self.cfg.streaming == "AA" and self.use_fused
+                and self.cfg.lat.D == 3 and self._pair_dispatch_capable()):
+            # pair dispatch carries the persistent padded layout
+            # [Q, X+4, Y+8(+16 sharded), Zp] NEXT TO self.f while active
+            # (kernels/fused_aa.py to_padded_aa) - an extra ~full DF buffer
+            X, Y, Z = self.domain.shape
+            from tnl_lbm_tpu.kernels.fused import LANE
+            Zp = -(-Z // LANE) * LANE
+            total += Q * (X + 4) * (Y + 16) * Zp * itemsize
         try:
             stats = jax.devices()[0].memory_stats() or {}
             limit = stats.get("bytes_limit", 0)
