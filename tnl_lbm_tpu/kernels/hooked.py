@@ -50,6 +50,7 @@ def make_hooked_fused_step(cfg: LBMConfig, domain: Domain, **kernel_kwargs):
     lat = cfg.lat
     dtype = cfg.compute_dtype
     hook = cfg.forcing_hook
+    pallas_hook = kernel_kwargs.pop("pallas_hook", True)
     cfg_nohook = dataclasses.replace(cfg, forcing_hook=None)
     if lat.D == 2:
         # round 3: 2D hooked kernel (the reference's 2D apps accept the
@@ -64,6 +65,21 @@ def make_hooked_fused_step(cfg: LBMConfig, domain: Domain, **kernel_kwargs):
         base = make_fused_step(cfg_nohook, domain, force_field=True,
                                **kernel_kwargs)
     xla_ustar = make_step(cfg_nohook, domain).ustar
+
+    # single-kernel Pallas non-Newtonian forcing (round 3): hooks built by
+    # make_nn_forcing_hook carry the model/periodic markers; the fused_nn
+    # kernel replaces the whole XLA stencil pipeline (the dominant cost of
+    # the hooked step - see kernels/fused_nn.py)
+    nn_force = None
+    nn_model = getattr(hook, "nn_model", None)
+    if nn_model is not None and lat.D == 3 and pallas_hook:
+        from tnl_lbm_tpu.kernels.fused_nn import make_nn_force_kernel
+        from tnl_lbm_tpu.ops.boundary import GEO as _GEO2
+
+        nn_force = make_nn_force_kernel(
+            nn_model, domain, dtype,
+            _np.asarray(domain.map) == int(_GEO2.FLUID),
+            periodic=hook.nn_periodic)
     if cfg.streaming == "AB" and lat.D == 3:
         # round 3: Pallas u* pre-pass (macro_only kernel - stream + BC
         # transforms + moments, no collision, no f write; ~0.53x the HBM
@@ -91,7 +107,9 @@ def make_hooked_fused_step(cfg: LBMConfig, domain: Domain, **kernel_kwargs):
     def step(f, nu, u_in=None, force=None, parity: int = 0,
              hook_consts=None):
         rho0, u0, fluid = ustar(f, force=force, parity=parity)
-        if has_consts:
+        if nn_force is not None:
+            extra = nn_force(rho0, u0, nu)
+        elif has_consts:
             extra = hook(lat, rho0, u0, nu, fluid,
                          consts=hook_consts).astype(dtype)
         else:
