@@ -129,11 +129,18 @@ def _pad_force_ring(force, periodic, extra_z: int = 0):
 def _build_odd_call(lat, cfg_ab, codes, sym_codes, eq_kind, do_coll_codes,
                     dtype, periodic, periodic_z, X, Y, Z, tile_odd,
                     tiles_per_program, with_macro, interpret, y_org,
-                    force_field: bool = False, z_halo: int = 0):
+                    force_field: bool = False, z_halo: int = 0,
+                    macro_only: bool = False):
     """The odd-parity push kernel.  ``y_org`` is the fpad Y origin: 4 for
     the standalone step (minimal ty+8 windows on a [Q,X+4,Y+8,Z] pad), 8
     for the persistent-pad pair (aligned even-step writes require origin 8,
-    costing ty+16 windows on [Q,X+4,Y+16,Z])."""
+    costing ty+16 windows on [Q,X+4,Y+16,Z]).
+
+    ``macro_only=True`` builds the odd-parity u* PRE-PASS instead: pull
+    the neighbor-opposite components, apply the wall/symmetry transforms
+    and the moments on the TILE only (no ring, no collision, no push, no
+    f output) - the A-A analog of fused.py's macro_only kernel (reference
+    kernels.h:178-218)."""
     Q = lat.Q
     opp = np.asarray(lat.opp)
     Zp = _lane_pad(Z, interpret)
@@ -144,7 +151,8 @@ def _build_odd_call(lat, cfg_ab, codes, sym_codes, eq_kind, do_coll_codes,
                    * Zp * itemsize)
         if force_field:
             scr += K * 3 * (tx + 2) * (ty + 8) * Zp * itemsize
-        bspec = 2 * tx * ty * K * (Q + 4) * Z * itemsize
+        out_ch = 4 if macro_only else Q + 4
+        bspec = 2 * tx * ty * K * out_ch * Z * itemsize
         return scr + bspec
 
     tx, ty, K = _fit_tiles_vmem(vmem_bytes, tile_odd, tiles_per_program,
@@ -201,6 +209,25 @@ def _build_odd_call(lat, cfg_ab, codes, sym_codes, eq_kind, do_coll_codes,
             for d in dmas[t]:
                 d.wait()
             scratch = fscr[t]
+
+            if macro_only:
+                # u* on the tile only: neighbor-opposite pull + transforms
+                # + moments (f scratch interior origin: x 2, y y_org)
+                def shifted_m(q, offs, scratch=scratch):
+                    ox, oy, oz = offs
+                    qo = int(opp[q])
+                    base = scratch[qo, 2 + ox : 2 + ox + tx,
+                                   y_org + oy : y_org + oy + ty, :]
+                    return _zshift(base, oz, Z, periodic_z)
+
+                m_tile = mscr[t][1 : 1 + tx, 4 : 4 + ty, :]
+                _, rho_t, u_t = _stream_bc_collide(
+                    lat, cfg_ab, codes, sym_codes, eq_kind, do_coll_codes,
+                    dtype, shifted_m, m_tile, params_ref, macro_only=True,
+                )
+                rho_ref[:, t * ty : (t + 1) * ty, :] = rho_t[..., :Z]
+                u_ref[:, :, t * ty : (t + 1) * ty, :] = u_t[..., :Z]
+                continue
             # ring map: global rows [i*tx-1, ...); with map x-origin 1 and
             # window start i*tx the ring begins at window x offset 0, y 3
             m_ring = mscr[t][0:txc, 3 : 3 + tyc, :]
@@ -267,7 +294,10 @@ def _build_odd_call(lat, cfg_ab, codes, sym_codes, eq_kind, do_coll_codes,
         ]
         + ([pl.BlockSpec(memory_space=pl.ANY)] if force_field else []),
         out_specs=(
-            pl.BlockSpec((Q, tx, tyK, Z), lambda i, j: (0, i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(dummy if macro_only else (Q, tx, tyK, Z),
+                         (lambda i, j: (0, 0, 0)) if macro_only
+                         else (lambda i, j: (0, i, j, 0)),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((tx, tyK, Z) if with_macro else dummy,
                          (lambda i, j: (i, j, 0)) if with_macro else (lambda i, j: (0, 0, 0)),
                          memory_space=pltpu.VMEM),
@@ -276,7 +306,7 @@ def _build_odd_call(lat, cfg_ab, codes, sym_codes, eq_kind, do_coll_codes,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((Q, X, Y, Z), dtype),
+            jax.ShapeDtypeStruct(dummy if macro_only else (Q, X, Y, Z), dtype),
             jax.ShapeDtypeStruct((X, Y, Z) if with_macro else dummy, dtype),
             jax.ShapeDtypeStruct((3, X, Y, Z) if with_macro else (3,) + dummy, dtype),
         ),
@@ -295,9 +325,17 @@ def make_fused_step_aa(cfg: LBMConfig, domain: Domain,
                        tile_even=(8, 16), tile_odd=(8, 16),
                        tiles_per_program: int = 4, with_macro: bool = True,
                        prepadded: bool = False, local_shape=None,
-                       force_field: bool = False, z_halo: int = 0):
+                       force_field: bool = False, z_halo: int = 0,
+                       macro_only: bool = False):
     """A-A fused pair: ``step(f, nu, u_in, force, parity)`` with parity
     0 = even, 1 = odd (Python-static).  Returns (f_new, rho, u).
+
+    With ``macro_only=True`` the kernels are the A-A u* PRE-PASS
+    (reference kernels.h:178-218): parity-aware read (even: same-site
+    same-direction; odd: neighbor-opposite pull) + wall/symmetry
+    transforms + moments with the homogeneous force - no collision, no f
+    write.  ``step(...)`` returns ``(rho0, u0)``.  Feeds the forcing hook
+    in kernels/hooked.py at ~0.3-0.5x the HBM traffic of a full step.
 
     With ``prepadded=True`` (the distributed path - the reference never
     finished multi-GPU A-A sync, defs.h:3-9 marks it TODO; the TPU build
@@ -311,6 +349,9 @@ def make_fused_step_aa(cfg: LBMConfig, domain: Domain,
       push's edge replication must only fire there).
     """
     assert cfg.streaming == "AA", "use make_fused_step for the A-B pattern"
+    if macro_only:
+        assert with_macro and not force_field, \
+            "macro_only is the u* pre-pass: macros only, no force field"
     cfg_ab = dataclasses.replace(cfg, streaming="AB")
     lat, codes, sym_codes, eq_kind, do_coll_codes = _prep(cfg_ab, domain)
     if GEO.OUTFLOW_RIGHT_INTERP in codes:
@@ -355,8 +396,10 @@ def make_fused_step_aa(cfg: LBMConfig, domain: Domain,
         f_post, rho_out, u_out = _stream_bc_collide(
             lat, cfg_ab, codes, sym_codes, eq_kind, do_coll_codes, dtype,
             shifted, map_ref[...], params_ref, out_perm=opp, force_tile=ft,
+            macro_only=macro_only,
         )
-        fout_ref[...] = f_post
+        if not macro_only:
+            fout_ref[...] = f_post
         if with_macro:
             rho_ref[...] = rho_out
             u_ref[...] = u_out
@@ -375,7 +418,10 @@ def make_fused_step_aa(cfg: LBMConfig, domain: Domain,
             pl.BlockSpec((Q, ex, ey, Z), lambda i, j: (0, i, j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((Q, ex, ey, Z), lambda i, j: (0, i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(dummy if macro_only else (Q, ex, ey, Z),
+                         (lambda i, j: (0, 0, 0)) if macro_only
+                         else (lambda i, j: (0, i, j, 0)),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((ex, ey, Z) if with_macro else dummy,
                          (lambda i, j: (i, j, 0)) if with_macro else (lambda i, j: (0, 0, 0)),
                          memory_space=pltpu.VMEM),
@@ -384,7 +430,7 @@ def make_fused_step_aa(cfg: LBMConfig, domain: Domain,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((Q, X, Y, Z), dtype),
+            jax.ShapeDtypeStruct(dummy if macro_only else (Q, X, Y, Z), dtype),
             jax.ShapeDtypeStruct((X, Y, Z) if with_macro else dummy, dtype),
             jax.ShapeDtypeStruct((3, X, Y, Z) if with_macro else (3,) + dummy, dtype),
         ),
@@ -397,7 +443,7 @@ def make_fused_step_aa(cfg: LBMConfig, domain: Domain,
         lat, cfg_ab, codes, sym_codes, eq_kind, do_coll_codes, dtype,
         periodic, periodic_z, X, Y, Z, tile_odd, tiles_per_program,
         with_macro, interpret, y_org=4, force_field=force_field,
-        z_halo=z_halo,
+        z_halo=z_halo, macro_only=macro_only,
     )
     map_ring = None if prepadded else _pad_map_ring(map_arr, periodic,
                                                     extra_z=Zp - Z)
@@ -439,6 +485,8 @@ def make_fused_step_aa(cfg: LBMConfig, domain: Domain,
                 f_new, rho, u = odd_call(params, fpad, mr, fr)
             else:
                 f_new, rho, u = odd_call(params, fpad, mr)
+        if macro_only:
+            return rho, u
         if not with_macro:
             return f_new, None, None
         return f_new, rho, u

@@ -80,20 +80,22 @@ def make_hooked_fused_step(cfg: LBMConfig, domain: Domain, **kernel_kwargs):
             nn_model, domain, dtype,
             _np.asarray(domain.map) == int(_GEO2.FLUID),
             periodic=hook.nn_periodic)
-    if cfg.streaming == "AB" and lat.D == 3:
-        # round 3: Pallas u* pre-pass (macro_only kernel - stream + BC
-        # transforms + moments, no collision, no f write; ~0.53x the HBM
-        # traffic of a full step vs the XLA ustar's ~3x)
+    if lat.D == 3 and cfg.streaming in ("AB", "AA"):
+        # round 3: Pallas u* pre-pass (macro_only kernels - parity-aware
+        # read + BC transforms + moments, no collision, no f write;
+        # ~0.3-0.5x the HBM traffic of a full step vs the XLA ustar's ~3x)
         from tnl_lbm_tpu.ops.boundary import GEO as _GEO
 
-        macro = make_fused_step(cfg_nohook, domain, macro_only=True)
+        if cfg.streaming == "AB":
+            macro = make_fused_step(cfg_nohook, domain, macro_only=True)
+        else:
+            macro = make_fused_step_aa(cfg_nohook, domain, macro_only=True)
         fluid_mask = _jnp.asarray(
             _np.asarray(domain.map) == int(_GEO.FLUID))
 
         def ustar(f, force=None, parity: int = 0):
-            del parity
             fvec = None if (force is not None and force.ndim > 1) else force
-            rho0, u0 = macro(f, 0.0, force=fvec)
+            rho0, u0 = macro(f, 0.0, force=fvec, parity=parity)
             if fvec is None and force is not None:
                 # [3, X, Y, Z] homogeneous-force field: fold the half-force
                 # correction in afterwards (the kernel only takes vectors)
