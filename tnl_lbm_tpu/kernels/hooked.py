@@ -52,6 +52,10 @@ def make_hooked_fused_step(cfg: LBMConfig, domain: Domain, **kernel_kwargs):
     hook = cfg.forcing_hook
     pallas_hook = kernel_kwargs.pop("pallas_hook", True)
     cfg_nohook = dataclasses.replace(cfg, forcing_hook=None)
+    # round 3: the macro pre-pass and the main kernel read the SAME haloed
+    # array - build both prepadded and pad once per step (saves a full
+    # read+write pass of the DF field)
+    share_pad = lat.D == 3 and cfg.streaming in ("AB", "AA")
     if lat.D == 2:
         # round 3: 2D hooked kernel (the reference's 2D apps accept the
         # same plugin set as 3D) - per-site [2, X, Y] force operand
@@ -60,10 +64,10 @@ def make_hooked_fused_step(cfg: LBMConfig, domain: Domain, **kernel_kwargs):
         base = make_fused_step_2d(cfg_nohook, domain, force_field=True)
     elif cfg.streaming == "AA":
         base = make_fused_step_aa(cfg_nohook, domain, force_field=True,
-                                  **kernel_kwargs)
+                                  prepadded=share_pad, **kernel_kwargs)
     else:
         base = make_fused_step(cfg_nohook, domain, force_field=True,
-                               **kernel_kwargs)
+                               prepadded=share_pad, **kernel_kwargs)
     xla_ustar = make_step(cfg_nohook, domain).ustar
 
     # single-kernel Pallas non-Newtonian forcing (round 3): hooks built by
@@ -80,22 +84,37 @@ def make_hooked_fused_step(cfg: LBMConfig, domain: Domain, **kernel_kwargs):
             nn_model, domain, dtype,
             _np.asarray(domain.map) == int(_GEO2.FLUID),
             periodic=hook.nn_periodic)
-    if lat.D == 3 and cfg.streaming in ("AB", "AA"):
+    if share_pad:
         # round 3: Pallas u* pre-pass (macro_only kernels - parity-aware
         # read + BC transforms + moments, no collision, no f write;
         # ~0.3-0.5x the HBM traffic of a full step vs the XLA ustar's ~3x)
+        from tnl_lbm_tpu.kernels.fused import _pad_once
+        from tnl_lbm_tpu.kernels.fused_aa import _pad_aa_odd, _pad_map_ring
         from tnl_lbm_tpu.ops.boundary import GEO as _GEO
 
+        map_np = _np.asarray(domain.map, _np.int32)
         if cfg.streaming == "AB":
-            macro = make_fused_step(cfg_nohook, domain, macro_only=True)
+            macro = make_fused_step(cfg_nohook, domain, macro_only=True,
+                                    prepadded=True)
         else:
-            macro = make_fused_step_aa(cfg_nohook, domain, macro_only=True)
-        fluid_mask = _jnp.asarray(
-            _np.asarray(domain.map) == int(_GEO.FLUID))
+            macro = make_fused_step_aa(cfg_nohook, domain, macro_only=True,
+                                       prepadded=True)
+            map_ring = _pad_map_ring(map_np, domain.periodic)
+        fluid_mask = _jnp.asarray(map_np == int(_GEO.FLUID))
 
-        def ustar(f, force=None, parity: int = 0):
+        def prep(f, parity):
+            """Shared haloed input + map kwargs for macro and base (lane
+            padding to the 128 multiple happens inside each call)."""
+            if cfg.streaming == "AB":
+                return _pad_once(f, domain.periodic, extra_y=6), {}
+            if parity == 1:
+                return (_pad_aa_odd(f, domain.periodic),
+                        {"map_ring_in": jnp.asarray(map_ring)})
+            return f, {"map_arr_in": map_np}
+
+        def ustar(f_in, force=None, parity: int = 0, **aux):
             fvec = None if (force is not None and force.ndim > 1) else force
-            rho0, u0 = macro(f, 0.0, force=fvec, parity=parity)
+            rho0, u0 = macro(f_in, 0.0, force=fvec, parity=parity, **aux)
             if fvec is None and force is not None:
                 # [3, X, Y, Z] homogeneous-force field: fold the half-force
                 # correction in afterwards (the kernel only takes vectors)
@@ -108,7 +127,12 @@ def make_hooked_fused_step(cfg: LBMConfig, domain: Domain, **kernel_kwargs):
 
     def step(f, nu, u_in=None, force=None, parity: int = 0,
              hook_consts=None):
-        rho0, u0, fluid = ustar(f, force=force, parity=parity)
+        if share_pad:
+            f_in, aux = prep(f, parity)
+            rho0, u0, fluid = ustar(f_in, force=force, parity=parity, **aux)
+        else:
+            f_in, aux = f, {}
+            rho0, u0, fluid = ustar(f, force=force, parity=parity)
         if nn_force is not None:
             extra = nn_force(rho0, u0, nu)
         elif has_consts:
@@ -124,7 +148,7 @@ def make_hooked_fused_step(cfg: LBMConfig, domain: Domain, **kernel_kwargs):
         if lat.D == 2:
             extra = jnp.broadcast_to(extra, (2,) + tuple(domain.shape))
             return base(f, nu, u_in=u_in, force=extra)
-        return base(f, nu, u_in=u_in, force=extra, parity=parity)
+        return base(f_in, nu, u_in=u_in, force=extra, parity=parity, **aux)
 
     return step
 
