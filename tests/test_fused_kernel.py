@@ -549,3 +549,26 @@ def test_hooked_fused_2d_matches_xla():
         f2, rho2, u2 = step_fused(f2, 0.02, force=force)
     assert float(jnp.abs(f1 - f2).max()) < 1e-6
     assert float(jnp.abs(u1 - u2).max()) < 1e-6
+
+
+def test_macro_only_aa_matches_xla_ustar():
+    """The A-A u* pre-pass kernels (fused_aa.py macro_only=True) == the
+    XLA ustar for both parities - the hook input of every A-A hooked
+    config (kernels/hooked.py)."""
+    from tnl_lbm_tpu.kernels.fused_aa import make_fused_step_aa
+
+    dom = duct_domain()
+    cfg = LBMConfig(lat=D3Q27, collision=col.collide_cum_well,
+                    eq=eqlib.eq_well, well=True, streaming="AA")
+    ref_ustar = make_step(cfg, dom).ustar
+    macro = make_fused_step_aa(cfg, dom, macro_only=True)
+    force = jnp.asarray([1e-5, 0, 0], jnp.float32)
+    # advance a couple of real steps so the odd-parity state is genuine
+    step = make_step(cfg, dom)
+    f = rand_f(dom, cfg, seed=29)
+    for parity in (0, 1, 0, 1):
+        rho1, u1, _ = ref_ustar(f, force=force, parity=parity)
+        rho2, u2 = macro(f, 0.0, force=force, parity=parity)
+        assert float(jnp.abs(rho1 - rho2).max()) < 1e-6, parity
+        assert float(jnp.abs(u1 - u2).max()) < 1e-6, parity
+        f, _, _ = step(f, 0.02, force=force, parity=parity)
