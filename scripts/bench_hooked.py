@@ -63,11 +63,14 @@ def main():
 
     for streaming in args.patterns.split(","):
         parities = (0, 1) if streaming == "AA" else (0,)
-        for label, fh in (("pure", None), ("hooked-NN", hook)):
+        for label, fh, kw in (("pure", None, {}),
+                              ("hooked-NN-single", hook, {}),
+                              ("hooked-NN-pipeline", hook,
+                               {"single_kernel": False})):
             cfgh = dataclasses.replace(cfg, streaming=streaming,
                                        forcing_hook=fh)
             if fh is not None:
-                step = make_hooked_fused_step(cfgh, dom)
+                step = make_hooked_fused_step(cfgh, dom, **kw)
             elif streaming == "AA":
                 step = make_fused_step_aa(cfgh, dom)
             else:

@@ -98,7 +98,12 @@ def _nn_parity_case(model, hook_periodic, dom_map, dom_periodic, Z, seed):
     u = jnp.asarray(0.03 * rng.standard_normal((3,) + dom.shape), jnp.float32)
     f0 = cfg.eq(cfg.lat, rho, u).astype(cfg.compute_dtype)
     force = jnp.asarray([1e-5, 0, 0], jnp.float32)
-    s_pal = make_hooked_fused_step(cfg, dom, tile=(8, 8))
+    # single_kernel=False pins the three-phase pipeline (macro pre-pass +
+    # fused_nn forcing kernel + force-field kernel) - the default hooked
+    # step routes vector-force NN configs to the single-kernel step
+    # (kernels/fused_nn_step.py, tested in tests/test_fused_nn_step.py)
+    s_pal = make_hooked_fused_step(cfg, dom, tile=(8, 8),
+                                   single_kernel=False)
     s_xla = make_hooked_fused_step(cfg, dom, tile=(8, 8), pallas_hook=False)
     f1, f2 = f0, f0
     for _ in range(3):

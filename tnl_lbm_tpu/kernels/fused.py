@@ -208,35 +208,16 @@ def _zshift(base, oz, Z, periodic_z):
     return jnp.where(lane == Z - 1, bplane, shifted)
 
 
-def _stream_bc_collide(lat, cfg, codes, sym_codes, eq_kind, do_coll_codes,
-                       dtype, shifted, m, params_ref,
-                       out_perm=None, defer_nothing=False, force_tile=None,
-                       macro_only=False):
-    """Pull-stream + BC mask-selects + collision for one VMEM tile.
-
-    ``shifted(q, (ox, oy, oz))`` returns the [tx, ty, Z] slice of DF
-    component q at the given offsets - the only layout-dependent piece, so
-    the Q-major, site-major and A-A kernels share this body.  Mirrors the
-    XLA step in sim/step.py (and is regression-tested against it).
-
-    ``out_perm`` permutes the output components before the NOTHING restore
-    (the A-A even step writes opposite-direction, streaming_AA.h:16-45).
-    ``defer_nothing=True`` skips the NOTHING restore - the A-A odd kernel
-    applies it after its push shifts, at the destination site.
-    ``force_tile`` is an optional per-site [3, tx, ty, Z] force (the TPU
-    analog of the reference's macro force channels e_fx..e_fz consumed by
-    MACRO::computeForcing, kernels.h:92); it overrides the homogeneous
-    force scalars from params.
-    """
+def _pull_transform(lat, codes, sym_codes, shifted, masks):
+    """Streaming-stage reads + pull-side BC transforms: the pull of the 27
+    components, the outflow pull modifications, the WALL bounce-back swap
+    and the symmetry mirrors - everything of ``_stream_bc_collide`` that
+    happens BEFORE the moments.  Split out (round 3) so the single-kernel
+    non-Newtonian step (kernels/fused_nn_step.py) can evaluate it on an
+    extended in-register region and feed the result back via
+    ``precomputed``."""
     Q = lat.Q
     opp = np.asarray(lat.opp)
-    nu = params_ref[0]
-    u_in = [params_ref[1], params_ref[2], params_ref[3]]
-    if force_tile is not None:
-        force = force_tile  # [3, tx, ty, Z] array; force[a] broadcasts
-    else:
-        force = [params_ref[4], params_ref[5], params_ref[6]]
-    masks = {c: (m == int(c)) for c in codes}
 
     rows = []
     for q in range(Q):
@@ -280,9 +261,48 @@ def _stream_bc_collide(lat, cfg, codes, sym_codes, eq_kind, do_coll_codes,
             else:
                 rows_m.append(f_in[q])
         f_in = jnp.stack(rows_m)
+    return f_in
 
-    rho, u = _moments_local(lat, f_in, force, cfg.well,
-                            high_precision=cfg.high_precision_rho)
+
+def _stream_bc_collide(lat, cfg, codes, sym_codes, eq_kind, do_coll_codes,
+                       dtype, shifted, m, params_ref,
+                       out_perm=None, defer_nothing=False, force_tile=None,
+                       macro_only=False, precomputed=None):
+    """Pull-stream + BC mask-selects + collision for one VMEM tile.
+
+    ``shifted(q, (ox, oy, oz))`` returns the [tx, ty, Z] slice of DF
+    component q at the given offsets - the only layout-dependent piece, so
+    the Q-major, site-major and A-A kernels share this body.  Mirrors the
+    XLA step in sim/step.py (and is regression-tested against it).
+
+    ``out_perm`` permutes the output components before the NOTHING restore
+    (the A-A even step writes opposite-direction, streaming_AA.h:16-45).
+    ``defer_nothing=True`` skips the NOTHING restore - the A-A odd kernel
+    applies it after its push shifts, at the destination site.
+    ``force_tile`` is an optional per-site [3, tx, ty, Z] force (the TPU
+    analog of the reference's macro force channels e_fx..e_fz consumed by
+    MACRO::computeForcing, kernels.h:92); it overrides the homogeneous
+    force scalars from params.
+    ``precomputed`` is an optional (f_in, rho, u) triple that skips the
+    pull/transform/moments stages - the single-kernel non-Newtonian step
+    evaluates them on an extended region and passes center slices here
+    (``shifted`` is then only consulted for the NOTHING restore).
+    """
+    Q = lat.Q
+    nu = params_ref[0]
+    u_in = [params_ref[1], params_ref[2], params_ref[3]]
+    if force_tile is not None:
+        force = force_tile  # [3, tx, ty, Z] array; force[a] broadcasts
+    else:
+        force = [params_ref[4], params_ref[5], params_ref[6]]
+    masks = {c: (m == int(c)) for c in codes}
+
+    if precomputed is not None:
+        f_in, rho, u = precomputed
+    else:
+        f_in = _pull_transform(lat, codes, sym_codes, shifted, masks)
+        rho, u = _moments_local(lat, f_in, force, cfg.well,
+                                high_precision=cfg.high_precision_rho)
     if macro_only:
         # u* pre-pass (reference kernels.h:178-218): the hook input is the
         # streamed + wall/symmetry-transformed moments with the homogeneous

@@ -51,7 +51,23 @@ def make_hooked_fused_step(cfg: LBMConfig, domain: Domain, **kernel_kwargs):
     dtype = cfg.compute_dtype
     hook = cfg.forcing_hook
     pallas_hook = kernel_kwargs.pop("pallas_hook", True)
+    single_kernel = kernel_kwargs.pop("single_kernel", True)
     cfg_nohook = dataclasses.replace(cfg, forcing_hook=None)
+
+    # round 3: single-kernel non-Newtonian step - u* + strain-rate +
+    # rheology + forcing + collision in ONE Pallas program per parity
+    # (kernels/fused_nn_step.py); the three-phase pipeline below stays the
+    # fallback for per-site force fields (IBM) and unsupported geometries
+    nn_single = None
+    if (single_kernel and pallas_hook and lat.D == 3
+            and getattr(hook, "nn_model", None) is not None):
+        from tnl_lbm_tpu.kernels import fused_nn_step
+
+        if fused_nn_step.supports(cfg, domain, hook.nn_periodic):
+            nn_single = fused_nn_step.make_fused_nn_step(
+                cfg, domain, hook.nn_model, hook.nn_periodic,
+                **{k: v for k, v in kernel_kwargs.items()
+                   if k in ("tile", "tiles_per_program", "with_macro")})
     # round 3: the macro pre-pass and the main kernel read the SAME haloed
     # array - build both prepadded and pad once per step (saves a full
     # read+write pass of the DF field)
@@ -127,6 +143,9 @@ def make_hooked_fused_step(cfg: LBMConfig, domain: Domain, **kernel_kwargs):
 
     def step(f, nu, u_in=None, force=None, parity: int = 0,
              hook_consts=None):
+        if nn_single is not None and (force is None or jnp.ndim(force) <= 1):
+            # homogeneous (or no) body force: the whole step is one kernel
+            return nn_single(f, nu, u_in=u_in, force=force, parity=parity)
         if share_pad:
             f_in, aux = prep(f, parity)
             rho0, u0, fluid = ustar(f_in, force=force, parity=parity, **aux)
