@@ -3,6 +3,7 @@ hooked step (sim/step.py with forcing_hook): A-B and both A-A parities."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tnl_lbm_tpu.models import D3Q27
 from tnl_lbm_tpu.kernels.fused_nn_step import make_fused_nn_step, supports
@@ -60,6 +61,7 @@ def test_nn_step_aa_duct():
           (True, False, False), _duct_map(), (True, False, False), 8, 22)
 
 
+@pytest.mark.slow
 def test_nn_step_ab_nonperiodic_obstacle():
     """No periodic axes; interior obstacle exercises the wall-aware
     stencil switches and the domain-edge S/u replication fixes."""
@@ -70,6 +72,7 @@ def test_nn_step_ab_nonperiodic_obstacle():
           None, m, (False, False, False), Z, 23)
 
 
+@pytest.mark.slow
 def test_nn_step_aa_periodic_padded_lanes():
     """Fully periodic + Casson + ragged Z: exercises the padded-lane
     (Z % LANE != 0) kernel logic under CPU interpret, both parities."""
@@ -86,6 +89,7 @@ def test_nn_step_aa_periodic_padded_lanes():
         fused_mod.FORCE_LANE_PAD, fused_mod.LANE = old_force, old_lane
 
 
+@pytest.mark.slow
 def test_nn_step_multitile():
     """K > 1 tiles per program + x-tiling: window bookkeeping across the
     grid (16x16 lattice, tile (8, 8), two y tiles per program)."""
