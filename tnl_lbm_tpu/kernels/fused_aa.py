@@ -455,7 +455,8 @@ def make_fused_step_aa(cfg: LBMConfig, domain: Domain,
         return jnp.pad(arr, pw, mode="edge")
 
     def step(f, nu, u_in=None, force=None, parity: int = 0,
-             map_arr_in=None, map_ring_in=None, bflags=None):
+             map_arr_in=None, map_ring_in=None, bflags=None,
+             force_ring_in=None):
         flags = (jnp.ones((6,), dtype) if bflags is None
                  else jnp.asarray(bflags, dtype).reshape(-1))
         flags = jnp.concatenate([flags, jnp.ones((6 - flags.shape[0],), dtype)])
@@ -480,8 +481,13 @@ def make_fused_step_aa(cfg: LBMConfig, domain: Domain,
                 fpad = _pad_aa_odd(f, periodic, extra_z=Zp - Z)
                 mr = map_ring
             if force_field:
-                fr = _pad_force_ring(force.astype(dtype), periodic,
-                                     extra_z=Zp - Z)
+                # distributed path: the caller exchanged the 1-halo force
+                # ring across shard seams (edge replication there would
+                # diverge from the single-device push at the seams)
+                fr = (_zpad(force_ring_in.astype(dtype))
+                      if force_ring_in is not None
+                      else _pad_force_ring(force.astype(dtype), periodic,
+                                           extra_z=Zp - Z))
                 f_new, rho, u = odd_call(params, fpad, mr, fr)
             else:
                 f_new, rho, u = odd_call(params, fpad, mr)

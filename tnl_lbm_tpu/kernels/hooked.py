@@ -188,26 +188,33 @@ def make_sharded_hooked_fused_step(cfg: LBMConfig, domain: Domain, plan,
     3. **force-field sharded fused kernel** (per-site [3, X, Y, Z] force
        operand, sharded like u).
 
-    A-B streaming only (the macro-only pre-pass kernel is A-B); A-A hooked
-    configs stay on the XLA sharded step.  Returns ``step(f, map_arr, nu,
-    u_in=None, force=None, parity=0)`` matching ``make_sharded_step``.
+    Both streaming patterns run the Pallas kernels: A-B via
+    ``make_sharded_fused_step`` and (round 3) A-A via
+    ``make_sharded_fused_step_aa`` - the odd-parity force ring is exchanged
+    across shard seams inside the A-A wrapper.  Returns ``step(f, map_arr,
+    nu, u_in=None, force=None, parity=0)`` matching ``make_sharded_step``.
     """
     assert cfg.forcing_hook is not None, "use make_sharded_fused_step"
-    assert cfg.streaming == "AB" and cfg.lat.D == 3, \
-        "sharded hooked fused path is A-B / 3D only"
+    assert cfg.streaming in ("AB", "AA") and cfg.lat.D == 3, \
+        "sharded hooked fused path is 3D only"
     import numpy as np
 
     from tnl_lbm_tpu.ops.boundary import GEO
-    from tnl_lbm_tpu.parallel.sharded import make_sharded_fused_step
+    from tnl_lbm_tpu.parallel.sharded import (
+        make_sharded_fused_step,
+        make_sharded_fused_step_aa,
+    )
 
     lat = cfg.lat
     dtype = cfg.compute_dtype
     hook = cfg.forcing_hook
     cfg_nohook = dataclasses.replace(cfg, forcing_hook=None)
-    base = make_sharded_fused_step(cfg_nohook, domain, plan,
-                                   force_field=True, **kernel_kwargs)
-    macro = make_sharded_fused_step(cfg_nohook, domain, plan,
-                                    macro_only=True, **kernel_kwargs)
+    builder = (make_sharded_fused_step_aa if cfg.streaming == "AA"
+               else make_sharded_fused_step)
+    base = builder(cfg_nohook, domain, plan,
+                   force_field=True, **kernel_kwargs)
+    macro = builder(cfg_nohook, domain, plan,
+                    macro_only=True, **kernel_kwargs)
     fluid_mask = plan.shard_field(
         jnp.asarray(np.asarray(domain.map) == int(GEO.FLUID)), like_f=False)
 
@@ -215,9 +222,8 @@ def make_sharded_hooked_fused_step(cfg: LBMConfig, domain: Domain, plan,
 
     def step(f, map_arr, nu, u_in=None, force=None, parity: int = 0,
              hook_consts=None):
-        del parity  # A-B
         fvec = None if (force is not None and jnp.ndim(force) > 1) else force
-        rho0, u0 = macro(f, map_arr, nu, u_in=u_in, force=fvec)
+        rho0, u0 = macro(f, map_arr, nu, u_in=u_in, force=fvec, parity=parity)
         if fvec is None and force is not None:
             # [3, X, Y, Z] homogeneous-force field: fold the half-force
             # correction in afterwards (the macro kernel takes vectors only)
@@ -233,6 +239,6 @@ def make_sharded_hooked_fused_step(cfg: LBMConfig, domain: Domain, plan,
                 fb = fb.reshape((3, 1, 1, 1))
             extra = extra + fb
         extra = jnp.broadcast_to(extra, (3,) + tuple(domain.shape))
-        return base(f, map_arr, nu, u_in=u_in, force=extra)
+        return base(f, map_arr, nu, u_in=u_in, force=extra, parity=parity)
 
     return step

@@ -588,7 +588,9 @@ def make_sharded_fused_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan,
 
 def make_sharded_fused_step_aa(cfg: LBMConfig, domain: Domain, plan: ShardPlan,
                                tile_even=(8, 16), tile_odd=(8, 16),
-                               tiles_per_program: int = 4, with_macro: bool = True):
+                               tiles_per_program: int = 4, with_macro: bool = True,
+                               force_field: bool = False,
+                               macro_only: bool = False):
     """Distributed Pallas A-A pair: ``step(f, map_arr, nu, u_in, force,
     parity)`` under shard_map.
 
@@ -625,6 +627,7 @@ def make_sharded_fused_step_aa(cfg: LBMConfig, domain: Domain, plan: ShardPlan,
         cfg, dom_k, tile_even=tile_even, tile_odd=tile_odd,
         tiles_per_program=tiles_per_program, with_macro=with_macro,
         prepadded=True, local_shape=kshape, z_halo=2 if zsh else 0,
+        force_field=force_field, macro_only=macro_only,
     )
     ax_x, ax_y = plan.spatial_axes[0], plan.spatial_axes[1]
 
@@ -672,6 +675,9 @@ def make_sharded_fused_step_aa(cfg: LBMConfig, domain: Domain, plan: ShardPlan,
     def _crop_z(out):
         if not zsh:
             return out
+        if macro_only:
+            rho, u = out
+            return rho[..., 2 : 2 + Zl], u[..., 2 : 2 + Zl]
         f_new, rho, u = out
         f_new = f_new[..., 2 : 2 + Zl]
         if with_macro:
@@ -686,6 +692,11 @@ def make_sharded_fused_step_aa(cfg: LBMConfig, domain: Domain, plan: ShardPlan,
                 f = jnp.pad(f, [(0, 0)] * 3 + [(2, 2)], mode="edge")
                 m = jnp.pad(map_loc.astype(jnp.int32),
                             [(0, 0), (0, 0), (2, 2)], mode="edge")
+                if force_field:
+                    # same-site step: halo-plane outputs are cropped below,
+                    # so edge force values suffice - no ICI for the force
+                    force = jnp.pad(force, [(0, 0)] * 3 + [(2, 2)],
+                                    mode="edge")
             else:
                 m = map_loc.astype(jnp.int32)
             return _crop_z(local_step(f, nu, u_in=u_in, force=force,
@@ -694,6 +705,7 @@ def make_sharded_fused_step_aa(cfg: LBMConfig, domain: Domain, plan: ShardPlan,
         # then x then y (sequential sweeps -> corner-correct), plus 2 junk
         # y rows each side for the kernel's y-origin-4 layout
         m = map_loc.astype(jnp.int32)[None]
+        fring = None
         if zsh:
             f = _exchange_w(f, 2, ax_z, domain.periodic[2], 2)
             m = _exchange_w(m, 2, ax_z, domain.periodic[2], 2)
@@ -704,6 +716,18 @@ def make_sharded_fused_step_aa(cfg: LBMConfig, domain: Domain, plan: ShardPlan,
         mring = _exchange_w(m, 0, ax_x, domain.periodic[0], 1)
         mring = _exchange_w(mring, 1, ax_y, domain.periodic[1], 1)
         mring = jnp.pad(mring, [(0, 0), (0, 0), (3, 3), (0, 0)], mode="edge")[0]
+        if force_field:
+            # 1-halo force ring in the same layout: halo-ring collisions
+            # feed interior pushes, so seam values must be the NEIGHBOR
+            # shard's force (edge replication would diverge from the
+            # single-device push at the seams, _pad_force_ring docstring)
+            fr = force
+            if zsh:
+                fr = _exchange_w(fr, 2, ax_z, domain.periodic[2], 2)
+            fr = _exchange_w(fr, 0, ax_x, domain.periodic[0], 1)
+            fr = _exchange_w(fr, 1, ax_y, domain.periodic[1], 1)
+            fring = jnp.pad(fr, [(0, 0), (0, 0), (3, 3), (0, 0)],
+                            mode="edge")
         zero = jnp.asarray(0.0, cfg.compute_dtype)
         bflags = jnp.stack([
             _bflag(ax_x, False), _bflag(ax_x, True),
@@ -713,19 +737,32 @@ def make_sharded_fused_step_aa(cfg: LBMConfig, domain: Domain, plan: ShardPlan,
             zero if domain.periodic[2] else _bflag(ax_z, True),
         ]).astype(cfg.compute_dtype)
         return _crop_z(local_step(fpad, nu, u_in=u_in, force=force, parity=1,
-                                  map_ring_in=mring, bflags=bflags))
+                                  map_ring_in=mring, bflags=bflags,
+                                  force_ring_in=fring))
 
     def step(f, map_arr, nu, u_in=None, force=None, parity: int = 0):
         dt = cfg.compute_dtype
         nu = jnp.asarray(nu, dt)
         u_in_v = jnp.zeros((3,), dt) if u_in is None else jnp.asarray(u_in, dt)
-        force_v = jnp.zeros((3,), dt) if force is None else jnp.asarray(force, dt)
-        out_macro = (plan.spec_site, plan.spec_f) if with_macro else (P(), P())
+        if force_field:
+            assert force is not None and force.ndim == 4, \
+                "force_field sharded A-A step expects a [3, X, Y, Z] force"
+            force_v = force.astype(dt)
+            force_spec = plan.spec_f
+        else:
+            force_v = (jnp.zeros((3,), dt) if force is None
+                       else jnp.asarray(force, dt))
+            force_spec = P()
+        if macro_only:
+            out_specs = (plan.spec_site, plan.spec_f)
+        else:
+            out_macro = (plan.spec_site, plan.spec_f) if with_macro else (P(), P())
+            out_specs = (plan.spec_f,) + out_macro
         sharded = shard_map(
             partial(local, parity),
             mesh=plan.mesh,
-            in_specs=(plan.spec_f, plan.spec_site, P(), P(), P()),
-            out_specs=(plan.spec_f,) + out_macro,
+            in_specs=(plan.spec_f, plan.spec_site, P(), P(), force_spec),
+            out_specs=out_specs,
             check_vma=False,
         )
         return sharded(f, map_arr, nu, u_in_v, force_v)
