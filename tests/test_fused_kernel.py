@@ -326,6 +326,7 @@ def test_hooked_fused_matches_xla(streaming):
     assert float(jnp.abs(u1 - u2).max()) < 1e-6
 
 
+@pytest.mark.slow
 def test_hooked_fused_nn_rheology():
     """Non-Newtonian Carreau-Yasuda forcing hook rides the fused path."""
     from tnl_lbm_tpu.kernels.hooked import make_hooked_fused_step

@@ -55,6 +55,7 @@ def test_nn_step_ab_duct():
           (True, False, False), _duct_map(), (True, False, False), 8, 21)
 
 
+@pytest.mark.slow
 def test_nn_step_aa_duct():
     """Same duct, A-A even + odd parities in sequence."""
     _case("AA", nn.CarreauYasuda(nu0=0.1, lam=1.0, a=2.0, n=0.5),

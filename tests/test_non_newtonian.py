@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tnl_lbm_tpu.models import D3Q27
 from tnl_lbm_tpu.ops import collision as col
@@ -123,6 +124,7 @@ def test_nn_pallas_kernel_matches_xla_hook_duct():
                     (True, False, False), m, (True, False, False), Z, 11)
 
 
+@pytest.mark.slow
 def test_nn_pallas_kernel_matches_xla_hook_periodic_padded_lanes():
     """Fully periodic domain + Casson + ragged Z (padded-lane kernel path
     via FORCE_LANE_PAD, like test_fused_lane_padded_z_matches_xla)."""
@@ -139,6 +141,7 @@ def test_nn_pallas_kernel_matches_xla_hook_periodic_padded_lanes():
         fused_mod.FORCE_LANE_PAD, fused_mod.LANE = old_force, old_lane
 
 
+@pytest.mark.slow
 def test_nn_pallas_kernel_edge_replicate_nonperiodic():
     """No periodic axes anywhere: the kernel's domain-edge ring fix must
     reproduce the XLA hook's edge-replicated S pad exactly (fluid sites

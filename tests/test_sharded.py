@@ -53,6 +53,7 @@ def _compare(cfg, dom, plan, n_steps, u_in=None, force=None, parities=False):
     np.testing.assert_allclose(np.asarray(uN), np.asarray(u1), atol=1e-12)
 
 
+@pytest.mark.slow
 def test_3d_channel_mesh222():
     X, Y, Z = 16, 8, 8
     units = Lattice(global_size=(X, Y, Z), phys_origin=(0, 0, 0), phys_dl=1.0, phys_dt=1.0)
@@ -90,6 +91,7 @@ def test_3d_aa_pattern_sharded():
     _compare(cfg, dom, plan, n_steps=4, parities=True)
 
 
+@pytest.mark.slow
 def test_uneven_lattice_3d_matches_single():
     """Non-divisible lattice (18x12x8 over a 4x2 mesh: 18 % 4 != 0) via the
     internal pad-and-crop decomposition == single device, bitwise at f64
@@ -553,9 +555,8 @@ def test_z_sharded_fused_aa_matches_single():
     np.testing.assert_allclose(np.asarray(rhoN), np.asarray(rho1), atol=5e-6)
 
 
-@pytest.mark.parametrize(
-    "periodic_z",
-    [pytest.param(True, marks=pytest.mark.slow), False])
+@pytest.mark.slow
+@pytest.mark.parametrize("periodic_z", [True, False])
 def test_z_sharded_pair2_matches_single(periodic_z):
     """Distributed one-kernel A-A pair on a (2,2,2) mesh: the persistent
     state carries 2 z-halo planes per side, refreshed once per pair
@@ -675,7 +676,8 @@ def test_sharded_hooked_fused_matches_single():
     np.testing.assert_allclose(np.asarray(uN), np.asarray(u1), atol=2e-6)
 
 
-@pytest.mark.parametrize("zsh", [False, True])
+@pytest.mark.parametrize(
+    "zsh", [False, pytest.param(True, marks=pytest.mark.slow)])
 def test_sharded_hooked_fused_aa_matches_single(zsh):
     """Distributed forcing-hook on the fused A-A path (round 3): sharded
     macro-only A-A kernels + GSPMD hook + force-field A-A kernels (with the
