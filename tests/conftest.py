@@ -35,6 +35,13 @@ if not TPU_MODE:
     # ~26% wall off compile-heavy tests, identical pass/fail behavior
     # (both sides of every equality test run under the same flag).
     jax.config.update("jax_disable_most_optimizations", True)
+    # Persistent compile cache: dedups identical XLA programs across tests
+    # (parametrized variants re-jit the same reference step) and across
+    # runs on the same box.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.expanduser("~"), ".cache",
+                                   "jax_tnl_tests"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 jax.config.update("jax_threefry_partitionable", True)
 
