@@ -634,6 +634,60 @@ def test_uneven_fused_ab_matches_single():
     np.testing.assert_allclose(np.asarray(rhoN), np.asarray(rho1), atol=5e-6)
 
 
+def test_uneven_hooked_matches_single():
+    """Non-divisible lattice + forcing hook: the uneven wrapper must crop
+    the hook's rho/u inputs to the TRUE extent (evaluated on the padded
+    lattice, the strain stencils read ghost-contaminated u* - measured
+    ~6e-4 boundary-ring error before the fix) and thread hook_consts."""
+    from tnl_lbm_tpu.parallel.sharded import _make_uneven_sharded_step
+    from tnl_lbm_tpu.ops.non_newtonian import CarreauYasuda, make_nn_forcing_hook
+
+    X, Y, Z = 10, 16, 9  # x not divisible by 4
+    units = Lattice(global_size=(X, Y, Z), phys_origin=(0, 0, 0),
+                    phys_dl=1.0, phys_dt=1.0)
+    m = np.zeros((X, Y, Z), np.uint8)
+    m[:, 0], m[:, -1] = GEO.WALL, GEO.WALL
+    dom = Domain(lat=D3Q27, units=units, map=m, periodic=(True, False, True))
+    cfg = LBMConfig(lat=D3Q27, collision=col3.collide_srt_well,
+                    eq=eqlib.eq_well, well=True, compute_dtype=jnp.float32,
+                    forcing_hook=make_nn_forcing_hook(
+                        CarreauYasuda(nu0=0.1, lam=1.0, a=2.0, n=0.5)))
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("x", "y"))
+    plan = ShardPlan(mesh=mesh, spatial_axes=("x", "y", None))
+
+    rng = np.random.default_rng(29)
+    rho0 = jnp.asarray(1 + 0.01 * rng.standard_normal(dom.shape), jnp.float32)
+    u0 = jnp.asarray(0.02 * rng.standard_normal((3,) + dom.shape), jnp.float32)
+    f0 = cfg.eq(cfg.lat, rho0, u0).astype(jnp.float32)
+    force = jnp.asarray([1e-5, 0, 0], jnp.float32)
+
+    step1 = make_step(cfg, dom)
+    f1 = f0
+    for _ in range(3):
+        f1, rho1, u1 = step1(f1, 0.02, force=force)
+
+    # XLA inner (make_sharded_step auto-routes non-divisible lattices)
+    stepN = _make_uneven_sharded_step(cfg, dom, plan)
+    fN = plan.shard_field(f0, like_f=True)
+    mapN = plan.shard_field(jnp.asarray(dom.map), like_f=False)
+    jN = jax.jit(lambda f: stepN(f, mapN, 0.02, force=force))
+    for _ in range(3):
+        fN, rhoN, uN = jN(fN)
+    np.testing.assert_allclose(np.asarray(fN), np.asarray(f1), atol=2e-6)
+
+    # fused hooked inner (the driver's hooked_want uneven branch)
+    from tnl_lbm_tpu.kernels.hooked import make_sharded_hooked_fused_step
+
+    stepF = _make_uneven_sharded_step(
+        cfg, dom, plan, inner_builder=make_sharded_hooked_fused_step)
+    fF = plan.shard_field(f0, like_f=True)
+    jF = jax.jit(lambda f: stepF(f, mapN, 0.02, force=force))
+    for _ in range(3):
+        fF, rhoF, uF = jF(fF)
+    np.testing.assert_allclose(np.asarray(fF), np.asarray(f1), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(uF), np.asarray(u1), atol=2e-6)
+
+
 def test_sharded_hooked_fused_matches_single():
     """Distributed forcing-hook (non-Newtonian Carreau-Yasuda) on the FUSED
     path (round-3 VERDICT item 2): sharded macro-only u* kernel + GSPMD

@@ -203,6 +203,27 @@ def _make_uneven_sharded_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan,
     Sp = plan.padded_shape(domain)
     pads = [(0, p - s) for s, p in zip(S, Sp)]
     D = cfg.lat.D
+    hook = cfg.forcing_hook
+    if hook is not None and not getattr(hook, "shard_local", False):
+        # Exactness fix: evaluated on the padded lattice, the hook's
+        # stencils would read ghost-column u*/rho that differ from the
+        # unpadded edge-pad semantics (ghost sites pull their replicated
+        # neighbors, true boundary sites pull real interiors) - measured
+        # ~6e-4 boundary-ring error.  Crop the hook inputs to the TRUE
+        # extent (where u*/rho are exact by the ghost-rebuild argument
+        # above), let the hook apply its own edge pads there, and pad the
+        # force field back out; ghost-site forces only feed ghost
+        # collisions, whose outputs are cropped.
+        crop_site = tuple(slice(0, s) for s in S)
+
+        def _uneven_hook(lat, rho0, u0, nu, fluid, **kw):
+            out = hook(lat, rho0[crop_site], u0[(slice(None),) + crop_site],
+                       nu, fluid[crop_site], **kw)
+            return jnp.pad(out, [(0, 0)] + pads, mode="edge")
+
+        if getattr(hook, "consts", None) is not None:
+            _uneven_hook.consts = hook.consts
+        cfg = dataclasses.replace(cfg, forcing_hook=_uneven_hook)
     units_p = dataclasses.replace(domain.units, global_size=Sp)
     map_p = np.pad(domain.map, pads, mode="edge")
     bz_p = (np.pad(domain.bouzidi, [(0, 0)] + pads, mode="edge")
@@ -243,13 +264,14 @@ def _make_uneven_sharded_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan,
         return _pad_state(jnp.broadcast_to(a, (D,) + S))
 
     def step(f, map_arr, nu, u_in=None, force=None, parity: int = 0,
-             bouzidi_arr=None):
+             bouzidi_arr=None, hook_consts=None):
         del map_arr, bouzidi_arr  # rebuilt padded internally
         dt = cfg.compute_dtype
+        extra = {} if hook_consts is None else {"hook_consts": hook_consts}
         f_new, rho, u = inner(
             _pad_state(f), map_p_dev, nu,
             u_in=_pad_drive(u_in, dt), force=_pad_drive(force, dt),
-            parity=parity,
+            parity=parity, **extra,
         )
         return f_new[crop_f], rho[crop_s], u[crop_f]
 

@@ -312,6 +312,16 @@ class Simulation:
                 self._step = make_sharded_hooked_fused_step(
                     self.cfg, self.domain, self.plan)
                 map_dtype = jnp.int32
+            elif hooked_want and self.cfg.streaming == "AB":
+                # non-divisible hooked lattice: pad-and-crop around the
+                # fused hooked step; the uneven wrapper crops the hook's
+                # inputs to the true extent for exactness
+                from tnl_lbm_tpu.kernels.hooked import make_sharded_hooked_fused_step
+
+                self._step = _make_uneven_sharded_step(
+                    self.cfg, self.domain, self.plan,
+                    inner_builder=make_sharded_hooked_fused_step)
+                map_dtype = jnp.int32
             elif fused_want and self.plan.divisible(self.domain):
                 if self.cfg.streaming == "AA":
                     self._step = make_sharded_fused_step_aa(self.cfg, self.domain, self.plan)
