@@ -499,12 +499,14 @@ def test_sharded_coupled_matches_single_device(tmp_path):
             x[2:6] = 1.0
             return jnp.asarray(x)
 
-    def run(plan, tag):
+    def run(plan, tag, fused=False, expect_kernel=None):
         sim = Sim(cfg, nse_dom, ade_cfg, ade_dom,
                   ade_diffusion=5e-3, transfer_coeff=0.3,
                   sim_id=f"coupshard_{tag}", results_parent=tmp_path,
-                  phys_final_time=4.0, plan=plan)
+                  phys_final_time=4.0, plan=plan, use_fused=fused)
         sim.sim_init()
+        if expect_kernel is not None:
+            assert sim.coupled_kernel == expect_kernel
         sim._advance(4)
         return (np.asarray(jax.device_get(sim.f)),
                 np.asarray(jax.device_get(sim.g)),
@@ -513,10 +515,17 @@ def test_sharded_coupled_matches_single_device(tmp_path):
     f1, g1, phi1 = run(None, "single")
     mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("x", "y"))
     plan = ShardPlan(mesh=mesh, spatial_axes=("x", "y", None))
-    fN, gN, phiN = run(plan, "mesh42")
+    fN, gN, phiN = run(plan, "mesh42", expect_kernel="sharded")
     assert float(np.abs(f1 - fN).max()) < 5e-6
     assert float(np.abs(g1 - gN).max()) < 5e-6
     assert float(np.abs(phi1 - phiN).max()) < 5e-6
+    # round 3: use_fused picks the sharded Pallas ADE kernel (and the
+    # fused NSE step) - same physics, incl. the conjugate transfer BCs
+    fF, gF, phiF = run(plan, "mesh42f", fused=True,
+                       expect_kernel="sharded-fused")
+    assert float(np.abs(f1 - fF).max()) < 5e-6
+    assert float(np.abs(g1 - gF).max()) < 5e-6
+    assert float(np.abs(phi1 - phiF).max()) < 5e-6
 
 
 @pytest.mark.slow

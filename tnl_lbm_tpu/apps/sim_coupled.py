@@ -44,7 +44,8 @@ class SimCoupled(CoupledSimulation):
 
 
 def build(resolution: int = 1, final_time: float = 1.0, results_parent=".",
-          use_fused: bool = False, streaming: str = "AB"):
+          use_fused: bool = False, streaming: str = "AB",
+          sharded: bool = False):
     import jax.numpy as jnp
 
     X = 64 * resolution
@@ -82,6 +83,12 @@ def build(resolution: int = 1, final_time: float = 1.0, results_parent=".",
     ade_cfg = LBMConfig(lat=D3Q7, collision=cade.collide_clbm_ade,
                         streaming=streaming)
 
+    plan = None
+    if sharded:
+        from tnl_lbm_tpu.parallel.sharded import choose_plan
+
+        plan = choose_plan(nse_dom)
+
     sim = SimCoupled(
         cfg, nse_dom, ade_cfg, ade_dom,
         ade_diffusion=5e-3,
@@ -90,6 +97,7 @@ def build(resolution: int = 1, final_time: float = 1.0, results_parent=".",
         results_parent=results_parent,
         phys_final_time=final_time,
         use_fused=use_fused,
+        plan=plan,
     )
     sim.lbm_inflow_vx = units.phys2lbm_velocity(phys_velocity)
     sim.cnt[PRINT].period = final_time / 50
@@ -105,9 +113,11 @@ def main(argv=None):
     p.add_argument("--results-dir", default=".")
     p.add_argument("--use-fused", action="store_true")
     p.add_argument("--streaming", choices=["AB", "AA"], default="AB")
+    p.add_argument("--sharded", action="store_true",
+                   help="shard both lattices over all available devices")
     args = p.parse_args(argv)
     sim = build(args.resolution, args.final_time, args.results_dir, args.use_fused,
-                streaming=args.streaming)
+                streaming=args.streaming, sharded=args.sharded)
     sim.run()
 
 

@@ -210,7 +210,9 @@ def _ade_tile_body(lat, codes, sym_codes, do_coll_codes, collide,
 def make_fused_ade_step(cfg: LBMConfig, domain: Domain, tile=(8, 16),
                         tiles_per_program: int = 4,
                         variable_diffusion: bool = False,
-                        transfer_coeff: float = 0.0):
+                        transfer_coeff: float = 0.0,
+                        prepadded: bool = False,
+                        local_shape=None):
     """Build ``step(g, u, nu, phi_in=0.0) -> (g_new, phi)``.
 
     ``u`` is the advecting velocity field [3, X, Y, Z]; ``nu`` the lattice
@@ -218,7 +220,13 @@ def make_fused_ade_step(cfg: LBMConfig, domain: Domain, tile=(8, 16),
     ``variable_diffusion=True``); ``phi_in`` a scalar inflow concentration.
     ``transfer_coeff`` is the conjugate-transfer coefficient (build-time
     static; used when the map contains TRANSFER_* codes).
-    """
+
+    ``prepadded=True`` (the sharded path): ``step`` takes the haloed
+    ``g`` directly ([Q, X+4, Y+8, Z], x-origin 2 / y-origin 1 like
+    ``_pad_ade``) plus runtime ``map_arr_in`` / ``tflags_in`` local
+    shards; BC codes and kernel structure come from the GLOBAL map (a
+    superset of every shard's codes), ``local_shape`` gives the per-shard
+    extents."""
     from tnl_lbm_tpu.kernels.fused_aa import _fit_tile
 
     lat = cfg.lat
@@ -228,24 +236,25 @@ def make_fused_ade_step(cfg: LBMConfig, domain: Domain, tile=(8, 16),
     codes = {ADEGEO(int(c)) for c in np.unique(domain.map)}
     if not codes <= SUPPORTED_ADE_CODES:
         raise NotImplementedError(f"unsupported ADE codes {codes - SUPPORTED_ADE_CODES}")
-    X, Y, Z = domain.shape
+    X, Y, Z = local_shape if local_shape is not None else domain.shape
     Q = lat.Q
     dtype = cfg.compute_dtype
     periodic = domain.periodic
     periodic_z = bool(periodic[2])
     opp = np.asarray(lat.opp)
     interpret = jax.default_backend() == "cpu"
-    map_arr = np.asarray(domain.map, np.int32)
+    map_arr = None if prepadded else np.asarray(domain.map, np.int32)
 
     needs_transfer = bool(
         codes & {ADEGEO.TRANSFER_FS, ADEGEO.TRANSFER_SF, ADEGEO.TRANSFER_SW})
     if needs_transfer:
-        # pack the 6 per-direction interface flags into one int32 bit-field
-        flags = transfer_direction_flags(lat, domain.map)  # [Q-1, X, Y, Z]
-        tflags = np.zeros(domain.shape, np.int32)
-        for q in range(1, Q):
-            tflags |= flags[q - 1].astype(np.int32) << (q - 1)
         tcoef = float(transfer_coeff)
+        if not prepadded:
+            # pack the 6 per-direction interface flags into one int32 bit-field
+            flags = transfer_direction_flags(lat, domain.map)  # [Q-1, X, Y, Z]
+            tflags = np.zeros(domain.shape, np.int32)
+            for q in range(1, Q):
+                tflags |= flags[q - 1].astype(np.int32) << (q - 1)
 
     collide = cfg.collision
     use_local_eq = collide is cade.collide_srt_ade
@@ -344,9 +353,10 @@ def make_fused_ade_step(cfg: LBMConfig, domain: Domain, tile=(8, 16),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )
 
-    def step(g, u, nu, phi_in=0.0):
-        gpad = _pad_ade(g, periodic)
-        operands = [map_arr, jnp.asarray(u, dtype)]
+    def step(g, u, nu, phi_in=0.0, map_arr_in=None, tflags_in=None):
+        gpad = g if prepadded else _pad_ade(g, periodic)
+        mp = map_arr if map_arr_in is None else map_arr_in
+        operands = [mp, jnp.asarray(u, dtype)]
         if variable_diffusion:
             nu_field = jnp.broadcast_to(jnp.asarray(nu, dtype), (X, Y, Z))
             params = jnp.asarray([0.0, phi_in, 0.0, 0.0], dtype)
@@ -354,7 +364,7 @@ def make_fused_ade_step(cfg: LBMConfig, domain: Domain, tile=(8, 16),
         else:
             params = jnp.asarray([nu, phi_in, 0.0, 0.0], dtype)
         if needs_transfer:
-            operands.append(tflags)
+            operands.append(tflags if tflags_in is None else tflags_in)
         return call(params, *operands, gpad)
 
     return step

@@ -482,6 +482,114 @@ def make_sharded_ade_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan):
     return step
 
 
+def make_sharded_fused_ade_step(cfg: LBMConfig, domain: Domain,
+                                plan: ShardPlan, tile=(8, 16),
+                                tiles_per_program: int = 4,
+                                variable_diffusion: bool = False,
+                                transfer_coeff: float = 0.0):
+    """Distributed fused (Pallas) D3Q7 ADE step: ppermute halo exchange +
+    the single-chip ADE kernel per shard - the fused counterpart of
+    ``make_sharded_ade_step`` (the ADE half of the reference's multi-GPU
+    coupled run, state_NSE_ADE.h; the reference syncs 1 of 7 DFs per face,
+    here the 2/1-wide x/y slabs carry the pull ring).
+
+    Returns ``step(g, u, map_arr, nu, phi_in=0.0) -> (g_new, phi)`` on
+    plan-sharded arrays; ``u`` is the NSE step's sharded velocity.
+    Transfer BCs and variable diffusion are build-time static like the
+    single-chip kernel.
+    """
+    from jax import lax
+
+    from tnl_lbm_tpu.kernels.fused_ade import (
+        ADEGEO,
+        make_fused_ade_step,
+        transfer_direction_flags,
+    )
+
+    plan.check(domain)
+    ax_x, ax_y, ax_z = plan.spatial_axes
+    if ax_z is not None and plan.mesh.shape[ax_z] > 1:
+        raise NotImplementedError(
+            "sharded fused ADE requires an unsharded z axis")
+    Xl, Yl, Zl = plan.local_shape(domain)
+    local_step = make_fused_ade_step(
+        cfg, domain, tile=tile, tiles_per_program=tiles_per_program,
+        variable_diffusion=variable_diffusion, transfer_coeff=transfer_coeff,
+        prepadded=True, local_shape=(Xl, Yl, Zl))
+    Q = cfg.lat.Q
+    codes = {ADEGEO(int(c)) for c in np.unique(domain.map)}
+    needs_transfer = bool(
+        codes & {ADEGEO.TRANSFER_FS, ADEGEO.TRANSFER_SF, ADEGEO.TRANSFER_SW})
+    if needs_transfer:
+        flags = transfer_direction_flags(cfg.lat, domain.map)
+        tfl = np.zeros(domain.shape, np.int32)
+        for q in range(1, Q):
+            tfl |= flags[q - 1].astype(np.int32) << (q - 1)
+        tflags_g = plan.shard_field(jnp.asarray(tfl), like_f=False)
+
+    def _exchange_w(f, axis, name, per, w):
+        n = plan.mesh.shape[name] if name is not None else 1
+        adim = axis + 1
+        if n == 1:
+            pad_width = [(0, 0)] * f.ndim
+            pad_width[adim] = (w, w)
+            return jnp.pad(f, pad_width, mode="wrap" if per else "edge")
+        sl_lo = [slice(None)] * f.ndim
+        sl_hi = [slice(None)] * f.ndim
+        sl_lo[adim] = slice(0, w)
+        sl_hi[adim] = slice(f.shape[adim] - w, f.shape[adim])
+        first = f[tuple(sl_lo)]
+        last = f[tuple(sl_hi)]
+        fwd = [(r, (r + 1) % n) for r in range(n)]
+        bwd = [(r, (r - 1) % n) for r in range(n)]
+        from_left = lax.ppermute(last, name, fwd)
+        from_right = lax.ppermute(first, name, bwd)
+        if not per:
+            sl_edge_lo = [slice(None)] * f.ndim
+            sl_edge_hi = [slice(None)] * f.ndim
+            sl_edge_lo[adim] = slice(0, 1)
+            sl_edge_hi[adim] = slice(f.shape[adim] - 1, f.shape[adim])
+            rep = [1] * f.ndim
+            rep[adim] = w
+            edge_lo = jnp.tile(f[tuple(sl_edge_lo)], rep)
+            edge_hi = jnp.tile(f[tuple(sl_edge_hi)], rep)
+            idx = lax.axis_index(name)
+            from_left = jnp.where(idx == 0, edge_lo, from_left)
+            from_right = jnp.where(idx == n - 1, edge_hi, from_right)
+        return jnp.concatenate([from_left, f, from_right], axis=adim)
+
+    def local(g, mp, u, nu, phi_in, *maybe_tfl):
+        # x 2-wide (OUTFLOW_PE pulls x-2), y 1-wide + 6 alignment rows -
+        # the _pad_ade layout, with real neighbor slabs at shard seams
+        gpad = _exchange_w(g, 0, ax_x, domain.periodic[0], 2)
+        gpad = _exchange_w(gpad, 1, ax_y, domain.periodic[1], 1)
+        gpad = jnp.pad(gpad, [(0, 0), (0, 0), (0, 6), (0, 0)], mode="edge")
+        return local_step(gpad, u, nu, phi_in=phi_in,
+                          map_arr_in=mp.astype(jnp.int32),
+                          tflags_in=maybe_tfl[0] if maybe_tfl else None)
+
+    def step(g, u, map_arr, nu, phi_in=0.0):
+        dt = cfg.compute_dtype
+        nu_v = jnp.asarray(nu, dt)
+        phi_v = jnp.asarray(0.0 if phi_in is None else phi_in, dt)
+        nu_spec = plan.spec_site if variable_diffusion else P()
+        ins = [plan.spec_f, plan.spec_site, plan.spec_f, nu_spec, P()]
+        operands = [g, map_arr, u, nu_v, phi_v]
+        if needs_transfer:
+            ins.append(plan.spec_site)
+            operands.append(tflags_g)
+        sharded = shard_map(
+            local,
+            mesh=plan.mesh,
+            in_specs=tuple(ins),
+            out_specs=(plan.spec_f, plan.spec_site),
+            check_vma=False,
+        )
+        return sharded(*operands)
+
+    return step
+
+
 def make_sharded_fused_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan,
                             tile=None, tiles_per_program: int = 2,
                             with_macro: bool = True,

@@ -77,15 +77,48 @@ class CoupledSimulation(Simulation):
             # State_NSE_ADE): both lattices shard over the same mesh; the
             # sharded NSE step (self._step) feeds its sharded velocity
             # straight into the sharded ADE step
-            from tnl_lbm_tpu.parallel.sharded import make_sharded_ade_step
+            from tnl_lbm_tpu.kernels.fused_ade import supports_ade
+            from tnl_lbm_tpu.parallel.sharded import (
+                make_sharded_ade_step,
+                make_sharded_fused_ade_step,
+            )
 
-            sharded_ade = make_sharded_ade_step(
-                self.ade_cfg, self.ade_domain, self.plan)
             self._map_ade_sharded = self.plan.shard_field(
                 jnp.asarray(self.ade_domain.map), like_f=False)
             self._transfer_dirs = self.plan.shard_field(
                 self._transfer_dirs, like_f=True)
             self.g = self.plan.shard_field(self.g, like_f=True)
+
+            z_ok = (jax.default_backend() == "cpu"
+                    or self.ade_domain.shape[-1] % 128 == 0)
+            ax_z = self.plan.spatial_axes[2]
+            z_unsharded = ax_z is None or self.plan.mesh.shape[ax_z] == 1
+            if (self.use_fused and supports_ade(self.ade_domain)
+                    and self.ade_cfg.streaming == "AB" and z_ok
+                    and z_unsharded
+                    and self.plan.divisible(self.ade_domain)):
+                # round 3: the ADE half runs the Pallas kernel per shard
+                # (2/1-wide x/y halo slabs, _pad_ade layout at the seams)
+                sharded_ade_fused = make_sharded_fused_ade_step(
+                    self.ade_cfg, self.ade_domain, self.plan,
+                    variable_diffusion=not np.isscalar(self.ade_diffusion),
+                    transfer_coeff=float(self.transfer_coeff),
+                )
+
+                def ade_step(g, u, nu_ade, phi_in=None, transfer_dirs=None,
+                             transfer_coeff=0.0, parity=0):
+                    del transfer_dirs, transfer_coeff, parity  # build-time
+                    return sharded_ade_fused(
+                        g, u, self._map_ade_sharded, nu_ade,
+                        phi_in=phi_in if phi_in is not None else 0.0)
+
+                self._ade_step = ade_step
+                self._ade_fused = True
+                self.coupled_kernel = "sharded-fused"
+                return
+
+            sharded_ade = make_sharded_ade_step(
+                self.ade_cfg, self.ade_domain, self.plan)
 
             def ade_step(g, u, nu_ade, phi_in=None, transfer_dirs=None,
                          transfer_coeff=0.0, parity=0):
