@@ -475,6 +475,38 @@ def test_2d_bouzidi_sharded_matches_single():
     assert float(jnp.abs(u1 - uN).max()) < 1e-12
 
 
+def test_2d_fused_sharded_matches_single():
+    """Distributed D2Q9 FUSED kernel (round 3): 1-wide ppermute ring +
+    whole-shard-in-VMEM Pallas kernel per shard, incl. Bouzidi thetas and
+    a per-site inflow profile == single-device XLA."""
+    from tests.test_fused_2d import channel_domain
+    from tnl_lbm_tpu.parallel.sharded import make_sharded_fused_step_2d
+
+    dom = channel_domain(X=32, Y=16, bouzidi=True, seed=13)
+    cfg = LBMConfig(lat=D2Q9, collision=col2.collide_clbm_2d,
+                    compute_dtype=jnp.float64)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("x", "y"))
+    plan = ShardPlan(mesh=mesh, spatial_axes=("x", "y"))
+
+    step1 = make_step(cfg, dom)
+    stepN = make_sharded_fused_step_2d(cfg, dom, plan)
+    rng = np.random.default_rng(3)
+    rho0 = jnp.asarray(1 + 0.01 * rng.standard_normal(dom.shape))
+    u0 = jnp.asarray(0.02 * rng.standard_normal((2,) + dom.shape))
+    f1 = eqlib.eq_quadratic(cfg.lat, rho0, u0).astype(jnp.float64)
+    fN = plan.shard_field(f1, like_f=True)
+    mapN = plan.shard_field(jnp.asarray(dom.map), like_f=False)
+    prof = np.zeros((2, 1, 16)); prof[0, 0, 2:-2] = 0.03
+    prof = jnp.asarray(prof)
+    jstep1 = jax.jit(lambda f: step1(f, 0.05, u_in=prof))
+    jstepN = jax.jit(lambda f: stepN(f, mapN, 0.05, u_in=prof))
+    for _ in range(3):
+        f1, rho1, u1 = jstep1(f1)
+        fN, rhoN, uN = jstepN(fN)
+    assert float(jnp.abs(f1 - fN).max()) < 1e-12
+    assert float(jnp.abs(u1 - uN).max()) < 1e-12
+
+
 def _zsh_domain(X=8, Y=16, Z=12, periodic=(True, False, False)):
     units = Lattice(global_size=(X, Y, Z), phys_origin=(0, 0, 0),
                     phys_dl=1.0, phys_dt=1.0)

@@ -72,7 +72,8 @@ def _shift_axis(a, o, axis, n, periodic):
 
 
 def make_fused_step_2d(cfg: LBMConfig, domain: Domain,
-                       force_field: bool = False):
+                       force_field: bool = False,
+                       local_shape=None):
     """D2Q9 fused step: ``step(f, nu, u_in, force) -> (f_new, rho, u)``.
 
     ``u_in`` may be None, a [2] vector or a broadcastable [2, ...] profile
@@ -80,13 +81,26 @@ def make_fused_step_2d(cfg: LBMConfig, domain: Domain,
     with ``force_field=True`` - a per-site [2, X, Y] field (the carrier
     for 2D forcing hooks, kernels/hooked.py; analog of the reference's
     macro force channels, kernels.h:92).
+
+    ``local_shape`` (the sharded path): the kernel operates on
+    ``local_shape``-sized arrays (a shard's block + 1-halo ring supplied
+    by the caller's exchange), with CLAMP boundary semantics - the
+    outermost ring's outputs are junk and the caller crops them.  BC
+    codes come from the GLOBAL map; the per-shard map/bouzidi/u_in
+    arrive at runtime (``map_arr_in``/``bouzidi_arr``/profile ``u_in``).
     """
     lat = cfg.lat
     assert lat.D == 2 and cfg.streaming == "AB"
     Q = lat.Q
-    X, Y = domain.shape
+    prepadded = local_shape is not None
+    X, Y = local_shape if prepadded else domain.shape
     dtype = cfg.compute_dtype
-    per_x, per_y = bool(domain.periodic[0]), bool(domain.periodic[1])
+    if prepadded:
+        # halos carry the true neighbor/wrap/edge data; in-kernel clamp
+        # only shapes the junk ring outputs
+        per_x, per_y = False, False
+    else:
+        per_x, per_y = bool(domain.periodic[0]), bool(domain.periodic[1])
     codes = domain.codes_present()
     if not codes <= SUPPORTED_CODES_2D:
         raise NotImplementedError(
@@ -241,9 +255,9 @@ def make_fused_step_2d(cfg: LBMConfig, domain: Domain,
             vmem_limit_bytes=_VMEM_BUDGET_BYTES),
     )
 
-    map_arr = np.asarray(domain.map, np.int32)
+    map_arr = None if prepadded else np.asarray(domain.map, np.int32)
     bz_arr = (np.asarray(domain.bouzidi, np.float32)
-              if has_bouzidi else None)
+              if has_bouzidi and not prepadded else None)
 
     def step(f, nu, u_in=None, force=None, parity: int = 0,
              map_arr_in=None, bouzidi_arr=None):

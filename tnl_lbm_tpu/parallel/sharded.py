@@ -482,6 +482,115 @@ def make_sharded_ade_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan):
     return step
 
 
+def make_sharded_fused_step_2d(cfg: LBMConfig, domain: Domain,
+                               plan: ShardPlan):
+    """Distributed D2Q9 fused (Pallas) step: 1-wide ppermute halo ring +
+    the whole-shard-in-VMEM 2D kernel per shard (round 3).
+
+    The D2Q9 pull (incl. Bouzidi's one-link-off-the-wall read and the
+    OUTFLOW_RIGHT x-1 shift) is 1-deep and reads RAW neighbor DFs, so a
+    single exchanged f ring suffices - map/bouzidi/u_in rings only shape
+    the junk ring outputs, which are cropped.  Also lifts the single-chip
+    kernel's whole-DOMAIN VMEM bound to whole-SHARD.  Returns
+    ``step(f, map_arr, nu, u_in, force, parity, bouzidi_arr)`` matching
+    ``make_sharded_step``.
+    """
+    from jax import lax
+
+    from tnl_lbm_tpu.kernels.fused_2d import make_fused_step_2d
+
+    plan.check(domain)
+    ax_x, ax_y = plan.spatial_axes[0], plan.spatial_axes[1]
+    Xl, Yl = plan.local_shape(domain)
+    local_step = make_fused_step_2d(cfg, domain,
+                                    local_shape=(Xl + 2, Yl + 2))
+    has_bouzidi = domain.bouzidi is not None
+    bz_sharded = (plan.shard_field(
+        jnp.asarray(domain.bouzidi, cfg.compute_dtype), like_f=True)
+        if has_bouzidi else None)
+
+    def _exchange1(f, axis, name, per):
+        n = plan.mesh.shape[name] if name is not None else 1
+        adim = axis + 1
+        if n == 1:
+            pad_width = [(0, 0)] * f.ndim
+            pad_width[adim] = (1, 1)
+            return jnp.pad(f, pad_width, mode="wrap" if per else "edge")
+        sl_lo = [slice(None)] * f.ndim
+        sl_hi = [slice(None)] * f.ndim
+        sl_lo[adim] = slice(0, 1)
+        sl_hi[adim] = slice(f.shape[adim] - 1, f.shape[adim])
+        first = f[tuple(sl_lo)]
+        last = f[tuple(sl_hi)]
+        fwd = [(r, (r + 1) % n) for r in range(n)]
+        bwd = [(r, (r - 1) % n) for r in range(n)]
+        from_left = lax.ppermute(last, name, fwd)
+        from_right = lax.ppermute(first, name, bwd)
+        if not per:
+            idx = lax.axis_index(name)
+            from_left = jnp.where(idx == 0, first, from_left)
+            from_right = jnp.where(idx == n - 1, last, from_right)
+        return jnp.concatenate([from_left, f, from_right], axis=adim)
+
+    def local(f, mp, nu, uin, force, bz):
+        fpad = _exchange1(f, 0, ax_x, domain.periodic[0])
+        fpad = _exchange1(fpad, 1, ax_y, domain.periodic[1])
+        mpad = jnp.pad(mp.astype(jnp.int32), 1, mode="edge")
+        if uin.ndim > 1:
+            uin_pad = jnp.pad(uin, [(0, 0), (1, 1), (1, 1)], mode="edge")
+        else:
+            uin_pad = None if uin.shape[0] == 0 else uin
+        force_pad = None if force.shape[0] == 0 else force
+        bz_pad = (jnp.pad(bz, [(0, 0), (1, 1), (1, 1)], mode="edge")
+                  if has_bouzidi else None)
+        f_new, rho, u = local_step(fpad, nu, u_in=uin_pad, force=force_pad,
+                                   map_arr_in=mpad, bouzidi_arr=bz_pad)
+        c = slice(1, -1)
+        return f_new[:, c, c], rho[c, c], u[:, c, c]
+
+    def step(f, map_arr, nu, u_in=None, force=None, parity: int = 0,
+             bouzidi_arr=None):
+        del parity  # AB only
+        dt = cfg.compute_dtype
+        nu = jnp.asarray(nu, dt)
+        empty = jnp.zeros((0,), dt)
+        if u_in is None:
+            uin_v, uin_spec = empty, P()
+        else:
+            uin_v = jnp.asarray(u_in, dt)
+            if uin_v.ndim > 1:
+                uin_v = jnp.broadcast_to(uin_v, (2,) + tuple(domain.shape))
+                uin_spec = plan.spec_f
+            else:
+                uin_spec = P()
+        if force is None:
+            force_v, force_spec = empty, P()
+        else:
+            force_v = jnp.asarray(force, dt)
+            assert force_v.ndim <= 1, \
+                "per-site force fields (2D hooks) run on the XLA sharded step"
+            force_spec = P()
+        bz_v = bz_sharded if bouzidi_arr is None else bouzidi_arr
+        ins = [plan.spec_f, plan.spec_site, P(), uin_spec, force_spec]
+        operands = [f, map_arr, nu, uin_v, force_v]
+        if has_bouzidi:
+            ins.append(plan.spec_f)
+            operands.append(bz_v)
+        else:
+            ins.append(P())
+            operands.append(empty)
+        sharded = shard_map(
+            local,
+            mesh=plan.mesh,
+            in_specs=tuple(ins),
+            out_specs=(plan.spec_f, plan.spec_site, plan.spec_f),
+            check_vma=False,
+        )
+        return sharded(*operands)
+
+    return step
+
+
 def make_sharded_fused_ade_step(cfg: LBMConfig, domain: Domain,
                                 plan: ShardPlan, tile=(8, 16),
                                 tiles_per_program: int = 4,

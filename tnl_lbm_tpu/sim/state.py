@@ -336,6 +336,17 @@ class Simulation:
                     self.cfg, self.domain, self.plan,
                     inner_builder=make_sharded_fused_step)
                 map_dtype = jnp.int32
+            elif (self.use_fused and self._fused_ok()
+                  and self.cfg.lat.D == 2
+                  and self.cfg.forcing_hook is None
+                  and self.plan.divisible(self.domain)):
+                # distributed 2D fused kernel (round 3): 1-wide ring +
+                # whole-shard-in-VMEM kernel per shard, incl. Bouzidi
+                from tnl_lbm_tpu.parallel.sharded import make_sharded_fused_step_2d
+
+                self._step = make_sharded_fused_step_2d(
+                    self.cfg, self.domain, self.plan)
+                map_dtype = jnp.int32
             else:
                 self._step = make_sharded_step(self.cfg, self.domain, self.plan)
                 map_dtype = None
