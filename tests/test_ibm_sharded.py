@@ -75,6 +75,38 @@ def test_ibm_coupled_step_1_vs_8(mesh_shape, method):
     assert float(jnp.abs(u1).max()) > 0
 
 
+def test_driver_sharded_ibm_use_fused_stays_shard_local():
+    """Simulation(plan=..., use_fused=True) with IBM's shard_local hook
+    must NOT route through the GSPMD hooked fused path (the hook's
+    lax.axis_index/psum only work inside shard_map) - it stays on
+    make_sharded_step and still matches use_fused=False."""
+    import tempfile
+
+    from tnl_lbm_tpu.sim.state import Simulation
+
+    dom, ibm = _setup("modified")
+    dom = Domain(lat=D3Q27, units=dom.units, map=np.asarray(dom.map),
+                 periodic=dom.periodic)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2, 1), ("x", "y", "z"))
+    plan = ShardPlan(mesh=mesh, spatial_axes=("x", "y", "z"))
+    cfg = LBMConfig(lat=D3Q27, collision=col.collide_cum,
+                    forcing_hook=ibm.sharded_hook(plan, dom.shape))
+
+    class S(Simulation):
+        def body_force(self, t):
+            return np.array([1e-5, 0.0, 0.0])
+
+    res = []
+    with tempfile.TemporaryDirectory() as td:
+        for sid, fused in (("ibmx", False), ("ibmf", True)):
+            s = S(cfg, dom, sim_id=sid, results_parent=td, plan=plan,
+                  use_fused=fused, phys_final_time=2.0)
+            s.sim_init()
+            s._advance(2)
+            res.append(np.asarray(jax.device_get(s.f)))
+    np.testing.assert_allclose(res[0], res[1], atol=1e-6)
+
+
 def test_ibm_sharded_operators_match():
     """interpolate/spread: sharded (ownership-partitioned + psum) vs global."""
     from functools import partial
