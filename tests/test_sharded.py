@@ -587,8 +587,9 @@ def test_z_sharded_fused_aa_matches_single():
     np.testing.assert_allclose(np.asarray(rhoN), np.asarray(rho1), atol=5e-6)
 
 
-@pytest.mark.slow
-@pytest.mark.parametrize("periodic_z", [True, False])
+@pytest.mark.parametrize(
+    "periodic_z",
+    [pytest.param(True, marks=pytest.mark.slow), False])
 def test_z_sharded_pair2_matches_single(periodic_z):
     """Distributed one-kernel A-A pair on a (2,2,2) mesh: the persistent
     state carries 2 z-halo planes per side, refreshed once per pair
@@ -814,6 +815,46 @@ def test_sharded_hooked_fused_aa_matches_single(zsh):
         fN, rhoN, uN = jN[it % 2](fN)
     np.testing.assert_allclose(np.asarray(fN), np.asarray(f1), atol=2e-6)
     np.testing.assert_allclose(np.asarray(uN), np.asarray(u1), atol=2e-6)
+
+
+def test_driver_fused_profile_inflow_falls_back_to_xla(tmp_path):
+    """A per-site inflow PROFILE with a fused 3D step: the fused kernels
+    take vector u_in only, so the driver must reroute profile steps to the
+    XLA path instead of crashing (regression: the round-3 hooked A-A
+    sharded routing broke profile configs the XLA fallback handled)."""
+    from tnl_lbm_tpu.sim.state import Simulation
+    from tnl_lbm_tpu.ops.non_newtonian import CarreauYasuda, make_nn_forcing_hook
+
+    X, Y, Z = 8, 16, 8
+    units = Lattice(global_size=(X, Y, Z), phys_origin=(0, 0, 0),
+                    phys_dl=0.01, phys_dt=0.001, phys_viscosity=1e-3)
+    m = np.zeros((X, Y, Z), np.uint8)
+    m[:, 0], m[:, -1] = GEO.WALL, GEO.WALL
+    m[0, 1:-1] = GEO.INFLOW
+    m[-1, 1:-1] = GEO.OUTFLOW_EQ
+    dom = Domain(lat=D3Q27, units=units, map=m, periodic=(False, False, True))
+    cfg = LBMConfig(lat=D3Q27, collision=col3.collide_srt_well,
+                    eq=eqlib.eq_well, well=True, streaming="AA",
+                    compute_dtype=jnp.float32,
+                    forcing_hook=make_nn_forcing_hook(
+                        CarreauYasuda(nu0=0.05, lam=1.0, a=2.0, n=0.5)))
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("x", "y"))
+    plan = ShardPlan(mesh=mesh, spatial_axes=("x", "y", None))
+
+    prof = np.zeros((3, 1, Y, 1), np.float32)
+    prof[0, 0, 2:-2] = 0.02
+
+    class S(Simulation):
+        def update_inflow(self, t):
+            return jnp.asarray(np.broadcast_to(prof, (3, 1, Y, Z)))
+
+    res = []
+    for sid, fused in (("profx", False), ("proff", True)):
+        s = S(cfg, dom, sim_id=sid, results_parent=tmp_path, plan=plan,
+              use_fused=fused, phys_final_time=0.002)
+        assert s.run()
+        res.append(np.asarray(jax.device_get(s.f)))
+    np.testing.assert_allclose(res[0], res[1], atol=1e-6)
 
 
 def test_sharded_xla_hooked_aa_matches_single():

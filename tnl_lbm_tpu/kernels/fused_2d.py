@@ -38,7 +38,10 @@ SUPPORTED_CODES_2D = {
 _VMEM_BUDGET_BYTES = 100 * 1024 * 1024
 
 
-def supports_2d(cfg: LBMConfig, domain: Domain) -> bool:
+def supports_2d(cfg: LBMConfig, domain: Domain, shape=None) -> bool:
+    """``shape`` overrides the VMEM-fit extent check - pass the PER-SHARD
+    shape for a sharded run (the distributed kernel holds one shard in
+    VMEM, not the whole domain)."""
     from tnl_lbm_tpu.ops import equilibrium as eqlib
 
     if cfg.lat.D != 2 or cfg.streaming != "AB" or cfg.well:
@@ -47,7 +50,7 @@ def supports_2d(cfg: LBMConfig, domain: Domain) -> bool:
         return False
     if not domain.codes_present() <= SUPPORTED_CODES_2D:
         return False
-    X, Y = domain.shape
+    X, Y = shape if shape is not None else domain.shape
     # f in/out (2x9), map, bouzidi (8), u_in (2), rho+u (3), slack 2x
     est = (2 * 9 + 1 + 8 + 2 + 3) * X * Y * 4 * 2
     return est <= _VMEM_BUDGET_BYTES

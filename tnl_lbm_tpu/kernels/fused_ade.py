@@ -73,6 +73,18 @@ def _eq_local_ade(lat, phi, u):
     return jnp.stack(rows)
 
 
+def pack_transfer_flags(lat, map_arr):
+    """Pack the Q-1 per-direction conjugate-transfer interface flags into
+    one int32 bit-field per site (bit q-1 = direction q crosses the
+    interface) - the layout the fused kernel and the sharded wrapper
+    share."""
+    flags = transfer_direction_flags(lat, map_arr)  # [Q-1, *shape]
+    packed = np.zeros(np.asarray(map_arr).shape, np.int32)
+    for q in range(1, lat.Q):
+        packed |= flags[q - 1].astype(np.int32) << (q - 1)
+    return packed
+
+
 def _pad_ade(g, periodic):
     """Halo pad for the ADE kernel: x 2-wide (origin 2 - the OUTFLOW_PE
     pull reads x-2), y 1-wide + alignment rows (origin 1)."""
@@ -250,11 +262,7 @@ def make_fused_ade_step(cfg: LBMConfig, domain: Domain, tile=(8, 16),
     if needs_transfer:
         tcoef = float(transfer_coeff)
         if not prepadded:
-            # pack the 6 per-direction interface flags into one int32 bit-field
-            flags = transfer_direction_flags(lat, domain.map)  # [Q-1, X, Y, Z]
-            tflags = np.zeros(domain.shape, np.int32)
-            for q in range(1, Q):
-                tflags |= flags[q - 1].astype(np.int32) << (q - 1)
+            tflags = pack_transfer_flags(lat, domain.map)
 
     collide = cfg.collision
     use_local_eq = collide is cade.collide_srt_ade
@@ -354,6 +362,11 @@ def make_fused_ade_step(cfg: LBMConfig, domain: Domain, tile=(8, 16),
     )
 
     def step(g, u, nu, phi_in=0.0, map_arr_in=None, tflags_in=None):
+        if prepadded:
+            assert map_arr_in is not None, \
+                "prepadded ADE step requires a runtime map_arr_in"
+            assert not needs_transfer or tflags_in is not None, \
+                "prepadded ADE step with transfer codes requires tflags_in"
         gpad = g if prepadded else _pad_ade(g, periodic)
         mp = map_arr if map_arr_in is None else map_arr_in
         operands = [mp, jnp.asarray(u, dtype)]

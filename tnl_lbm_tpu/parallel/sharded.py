@@ -172,6 +172,48 @@ def choose_plan(domain: Domain, devices=None, axis_weights=None,
     return ShardPlan(mesh=mesh, spatial_axes=names)
 
 
+def _halo_exchange(mesh, f, adim: int, name, per: bool, w: int):
+    """w-wide halo pad of array dim ``adim`` via ppermute along mesh axis
+    ``name`` (or a local wrap/edge pad when the axis is trivial).  Runs
+    INSIDE shard_map.  At non-periodic global boundaries the out-of-domain
+    layers are edge-replicated (matching ``jnp.pad(mode='edge')`` on a
+    single device); periodic axes wrap through the mesh ring.  The single
+    shared implementation for every sharded step builder below."""
+    from jax import lax
+
+    n = mesh.shape[name] if name is not None else 1
+    if n == 1:
+        pad_width = [(0, 0)] * f.ndim
+        pad_width[adim] = (w, w)
+        return jnp.pad(f, pad_width, mode="wrap" if per else "edge")
+    sl_lo = [slice(None)] * f.ndim
+    sl_hi = [slice(None)] * f.ndim
+    sl_lo[adim] = slice(0, w)
+    sl_hi[adim] = slice(f.shape[adim] - w, f.shape[adim])
+    first = f[tuple(sl_lo)]
+    last = f[tuple(sl_hi)]
+    fwd = [(r, (r + 1) % n) for r in range(n)]
+    bwd = [(r, (r - 1) % n) for r in range(n)]
+    from_left = lax.ppermute(last, name, fwd)
+    from_right = lax.ppermute(first, name, bwd)
+    if not per:
+        if w == 1:
+            edge_lo, edge_hi = first, last
+        else:
+            sl_edge_lo = [slice(None)] * f.ndim
+            sl_edge_hi = [slice(None)] * f.ndim
+            sl_edge_lo[adim] = slice(0, 1)
+            sl_edge_hi[adim] = slice(f.shape[adim] - 1, f.shape[adim])
+            rep = [1] * f.ndim
+            rep[adim] = w
+            edge_lo = jnp.tile(f[tuple(sl_edge_lo)], rep)
+            edge_hi = jnp.tile(f[tuple(sl_edge_hi)], rep)
+        idx = lax.axis_index(name)
+        from_left = jnp.where(idx == 0, edge_lo, from_left)
+        from_right = jnp.where(idx == n - 1, edge_hi, from_right)
+    return jnp.concatenate([from_left, f, from_right], axis=adim)
+
+
 def _make_uneven_sharded_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan,
                               inner_builder=None):
     """Sharded step for a lattice NOT divisible by the mesh (the analog of
@@ -509,32 +551,9 @@ def make_sharded_fused_step_2d(cfg: LBMConfig, domain: Domain,
         jnp.asarray(domain.bouzidi, cfg.compute_dtype), like_f=True)
         if has_bouzidi else None)
 
-    def _exchange1(f, axis, name, per):
-        n = plan.mesh.shape[name] if name is not None else 1
-        adim = axis + 1
-        if n == 1:
-            pad_width = [(0, 0)] * f.ndim
-            pad_width[adim] = (1, 1)
-            return jnp.pad(f, pad_width, mode="wrap" if per else "edge")
-        sl_lo = [slice(None)] * f.ndim
-        sl_hi = [slice(None)] * f.ndim
-        sl_lo[adim] = slice(0, 1)
-        sl_hi[adim] = slice(f.shape[adim] - 1, f.shape[adim])
-        first = f[tuple(sl_lo)]
-        last = f[tuple(sl_hi)]
-        fwd = [(r, (r + 1) % n) for r in range(n)]
-        bwd = [(r, (r - 1) % n) for r in range(n)]
-        from_left = lax.ppermute(last, name, fwd)
-        from_right = lax.ppermute(first, name, bwd)
-        if not per:
-            idx = lax.axis_index(name)
-            from_left = jnp.where(idx == 0, first, from_left)
-            from_right = jnp.where(idx == n - 1, last, from_right)
-        return jnp.concatenate([from_left, f, from_right], axis=adim)
-
     def local(f, mp, nu, uin, force, bz):
-        fpad = _exchange1(f, 0, ax_x, domain.periodic[0])
-        fpad = _exchange1(fpad, 1, ax_y, domain.periodic[1])
+        fpad = _halo_exchange(plan.mesh, f, 1, ax_x, domain.periodic[0], 1)
+        fpad = _halo_exchange(plan.mesh, fpad, 2, ax_y, domain.periodic[1], 1)
         mpad = jnp.pad(mp.astype(jnp.int32), 1, mode="edge")
         if uin.ndim > 1:
             uin_pad = jnp.pad(uin, [(0, 0), (1, 1), (1, 1)], mode="edge")
@@ -612,7 +631,7 @@ def make_sharded_fused_ade_step(cfg: LBMConfig, domain: Domain,
     from tnl_lbm_tpu.kernels.fused_ade import (
         ADEGEO,
         make_fused_ade_step,
-        transfer_direction_flags,
+        pack_transfer_flags,
     )
 
     plan.check(domain)
@@ -625,53 +644,19 @@ def make_sharded_fused_ade_step(cfg: LBMConfig, domain: Domain,
         cfg, domain, tile=tile, tiles_per_program=tiles_per_program,
         variable_diffusion=variable_diffusion, transfer_coeff=transfer_coeff,
         prepadded=True, local_shape=(Xl, Yl, Zl))
-    Q = cfg.lat.Q
     codes = {ADEGEO(int(c)) for c in np.unique(domain.map)}
     needs_transfer = bool(
         codes & {ADEGEO.TRANSFER_FS, ADEGEO.TRANSFER_SF, ADEGEO.TRANSFER_SW})
     if needs_transfer:
-        flags = transfer_direction_flags(cfg.lat, domain.map)
-        tfl = np.zeros(domain.shape, np.int32)
-        for q in range(1, Q):
-            tfl |= flags[q - 1].astype(np.int32) << (q - 1)
-        tflags_g = plan.shard_field(jnp.asarray(tfl), like_f=False)
-
-    def _exchange_w(f, axis, name, per, w):
-        n = plan.mesh.shape[name] if name is not None else 1
-        adim = axis + 1
-        if n == 1:
-            pad_width = [(0, 0)] * f.ndim
-            pad_width[adim] = (w, w)
-            return jnp.pad(f, pad_width, mode="wrap" if per else "edge")
-        sl_lo = [slice(None)] * f.ndim
-        sl_hi = [slice(None)] * f.ndim
-        sl_lo[adim] = slice(0, w)
-        sl_hi[adim] = slice(f.shape[adim] - w, f.shape[adim])
-        first = f[tuple(sl_lo)]
-        last = f[tuple(sl_hi)]
-        fwd = [(r, (r + 1) % n) for r in range(n)]
-        bwd = [(r, (r - 1) % n) for r in range(n)]
-        from_left = lax.ppermute(last, name, fwd)
-        from_right = lax.ppermute(first, name, bwd)
-        if not per:
-            sl_edge_lo = [slice(None)] * f.ndim
-            sl_edge_hi = [slice(None)] * f.ndim
-            sl_edge_lo[adim] = slice(0, 1)
-            sl_edge_hi[adim] = slice(f.shape[adim] - 1, f.shape[adim])
-            rep = [1] * f.ndim
-            rep[adim] = w
-            edge_lo = jnp.tile(f[tuple(sl_edge_lo)], rep)
-            edge_hi = jnp.tile(f[tuple(sl_edge_hi)], rep)
-            idx = lax.axis_index(name)
-            from_left = jnp.where(idx == 0, edge_lo, from_left)
-            from_right = jnp.where(idx == n - 1, edge_hi, from_right)
-        return jnp.concatenate([from_left, f, from_right], axis=adim)
+        tflags_g = plan.shard_field(
+            jnp.asarray(pack_transfer_flags(cfg.lat, domain.map)),
+            like_f=False)
 
     def local(g, mp, u, nu, phi_in, *maybe_tfl):
         # x 2-wide (OUTFLOW_PE pulls x-2), y 1-wide + 6 alignment rows -
         # the _pad_ade layout, with real neighbor slabs at shard seams
-        gpad = _exchange_w(g, 0, ax_x, domain.periodic[0], 2)
-        gpad = _exchange_w(gpad, 1, ax_y, domain.periodic[1], 1)
+        gpad = _halo_exchange(plan.mesh, g, 1, ax_x, domain.periodic[0], 2)
+        gpad = _halo_exchange(plan.mesh, gpad, 2, ax_y, domain.periodic[1], 1)
         gpad = jnp.pad(gpad, [(0, 0), (0, 0), (0, 6), (0, 0)], mode="edge")
         return local_step(gpad, u, nu, phi_in=phi_in,
                           map_arr_in=mp.astype(jnp.int32),
@@ -744,26 +729,7 @@ def make_sharded_fused_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan,
 
     def _exchange(f, adim, name, per):
         """1-wide halo pad along array dim ``adim`` via ppermute (or local pad)."""
-        n = plan.mesh.shape[name] if name is not None else 1
-        if n == 1:
-            pad_width = [(0, 0)] * f.ndim
-            pad_width[adim] = (1, 1)
-            return jnp.pad(f, pad_width, mode="wrap" if per else "edge")
-        sl_lo = [slice(None)] * f.ndim
-        sl_hi = [slice(None)] * f.ndim
-        sl_lo[adim] = slice(0, 1)
-        sl_hi[adim] = slice(f.shape[adim] - 1, f.shape[adim])
-        first = f[tuple(sl_lo)]
-        last = f[tuple(sl_hi)]
-        fwd = [(i, (i + 1) % n) for i in range(n)]
-        bwd = [(i, (i - 1) % n) for i in range(n)]
-        from_left = lax.ppermute(last, name, fwd)
-        from_right = lax.ppermute(first, name, bwd)
-        if not per:
-            idx = lax.axis_index(name)
-            from_left = jnp.where(idx == 0, first, from_left)
-            from_right = jnp.where(idx == n - 1, last, from_right)
-        return jnp.concatenate([from_left, f, from_right], axis=adim)
+        return _halo_exchange(plan.mesh, f, adim, name, per, 1)
 
     def local(f, map_arr, nu, u_in, force):
         map_arr = map_arr.astype(jnp.int32)
@@ -872,36 +838,7 @@ def make_sharded_fused_step_aa(cfg: LBMConfig, domain: Domain, plan: ShardPlan,
 
     def _exchange_w(f, axis, name, per, w):
         """w-wide halo pad along `axis` via ppermute (or local pad)."""
-        n = plan.mesh.shape[name] if name is not None else 1
-        adim = axis + 1
-        if n == 1:
-            pad_width = [(0, 0)] * f.ndim
-            pad_width[adim] = (w, w)
-            return jnp.pad(f, pad_width, mode="wrap" if per else "edge")
-        sl_lo = [slice(None)] * f.ndim
-        sl_hi = [slice(None)] * f.ndim
-        sl_lo[adim] = slice(0, w)
-        sl_hi[adim] = slice(f.shape[adim] - w, f.shape[adim])
-        first = f[tuple(sl_lo)]
-        last = f[tuple(sl_hi)]
-        fwd = [(r, (r + 1) % n) for r in range(n)]
-        bwd = [(r, (r - 1) % n) for r in range(n)]
-        from_left = lax.ppermute(last, name, fwd)
-        from_right = lax.ppermute(first, name, bwd)
-        if not per:
-            # edge-replicate the global boundary rows (matches jnp.pad edge)
-            sl_edge_lo = [slice(None)] * f.ndim
-            sl_edge_hi = [slice(None)] * f.ndim
-            sl_edge_lo[adim] = slice(0, 1)
-            sl_edge_hi[adim] = slice(f.shape[adim] - 1, f.shape[adim])
-            rep = [1] * f.ndim
-            rep[adim] = w
-            edge_lo = jnp.tile(f[tuple(sl_edge_lo)], rep)
-            edge_hi = jnp.tile(f[tuple(sl_edge_hi)], rep)
-            idx = lax.axis_index(name)
-            from_left = jnp.where(idx == 0, edge_lo, from_left)
-            from_right = jnp.where(idx == n - 1, edge_hi, from_right)
-        return jnp.concatenate([from_left, f, from_right], axis=adim)
+        return _halo_exchange(plan.mesh, f, axis + 1, name, per, w)
 
     def _bflag(name, last):
         if name is None or plan.mesh.shape[name] == 1:

@@ -117,6 +117,18 @@ class CoupledSimulation(Simulation):
                 self.coupled_kernel = "sharded-fused"
                 return
 
+            if self.use_fused:
+                # mirror the single-chip branch's degradation warning:
+                # use_fused was requested but the sharded Pallas ADE gate
+                # failed - name why, so benchmark runs aren't silently XLA
+                self.log.warning(
+                    "use_fused requested but the sharded fused ADE gate "
+                    "failed (supported codes: %s, AB streaming: %s, "
+                    "Z%%128: %s, z unsharded: %s, divisible: %s); the ADE "
+                    "half runs on the XLA sharded step",
+                    supports_ade(self.ade_domain),
+                    self.ade_cfg.streaming == "AB", z_ok, z_unsharded,
+                    self.plan.divisible(self.ade_domain))
             sharded_ade = make_sharded_ade_step(
                 self.ade_cfg, self.ade_domain, self.plan)
 

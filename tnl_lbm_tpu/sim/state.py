@@ -266,7 +266,21 @@ class Simulation:
             return supports_2d(self.cfg, self.domain)
         return self.cfg.lat.D == 3 and supports(self.domain, self.cfg.streaming)
 
+    def _supports_2d_sharded(self) -> bool:
+        """2D fused-kernel support with the PER-SHARD VMEM estimate: the
+        distributed kernel holds one shard (+1-halo) in VMEM, so domains
+        far beyond the single-chip whole-domain bound still qualify."""
+        from tnl_lbm_tpu.kernels.fused_2d import supports_2d
+
+        return supports_2d(self.cfg, self.domain,
+                           shape=self.plan.local_shape(self.domain))
+
     def _build_step(self):
+        #: set on the 3D fused branches below - their kernels take u_in as
+        #: a [3] vector only; per-site inflow PROFILES reroute through
+        #: _uin_fallback_step (the XLA paths broadcast profile fields)
+        self._vector_uin_only = False
+        self._uin_fallback = None
         if self.plan is None:
             if self.use_fused and self._fused_ok():
                 if self.cfg.forcing_hook is not None:
@@ -276,6 +290,7 @@ class Simulation:
                     from tnl_lbm_tpu.kernels.hooked import make_hooked_fused_step
 
                     self._step = make_hooked_fused_step(self.cfg, self.domain)
+                    self._vector_uin_only = self.cfg.lat.D == 3
                 elif self.cfg.lat.D == 2:
                     from tnl_lbm_tpu.kernels.fused_2d import make_fused_step_2d
 
@@ -284,10 +299,12 @@ class Simulation:
                     from tnl_lbm_tpu.kernels.fused_aa import make_fused_step_aa
 
                     self._step = make_fused_step_aa(self.cfg, self.domain)
+                    self._vector_uin_only = True
                 else:
                     from tnl_lbm_tpu.kernels.fused import make_fused_step
 
                     self._step = make_fused_step(self.cfg, self.domain)
+                    self._vector_uin_only = True
             else:
                 self._step = make_step(self.cfg, self.domain)
         else:
@@ -317,6 +334,7 @@ class Simulation:
 
                 self._step = make_sharded_hooked_fused_step(
                     self.cfg, self.domain, self.plan)
+                self._vector_uin_only = True
                 map_dtype = jnp.int32
             elif hooked_want and self.cfg.streaming == "AB":
                 # non-divisible hooked lattice: pad-and-crop around the
@@ -327,12 +345,14 @@ class Simulation:
                 self._step = _make_uneven_sharded_step(
                     self.cfg, self.domain, self.plan,
                     inner_builder=make_sharded_hooked_fused_step)
+                self._vector_uin_only = True
                 map_dtype = jnp.int32
             elif fused_want and self.plan.divisible(self.domain):
                 if self.cfg.streaming == "AA":
                     self._step = make_sharded_fused_step_aa(self.cfg, self.domain, self.plan)
                 else:
                     self._step = make_sharded_fused_step(self.cfg, self.domain, self.plan)
+                self._vector_uin_only = True
                 map_dtype = jnp.int32
             elif fused_want and self.cfg.streaming == "AB":
                 # non-divisible lattice: pad-and-crop around the fused
@@ -341,11 +361,12 @@ class Simulation:
                 self._step = _make_uneven_sharded_step(
                     self.cfg, self.domain, self.plan,
                     inner_builder=make_sharded_fused_step)
+                self._vector_uin_only = True
                 map_dtype = jnp.int32
-            elif (self.use_fused and self._fused_ok()
-                  and self.cfg.lat.D == 2
+            elif (self.use_fused and self.cfg.lat.D == 2
                   and self.cfg.forcing_hook is None
-                  and self.plan.divisible(self.domain)):
+                  and self.plan.divisible(self.domain)
+                  and self._supports_2d_sharded()):
                 # distributed 2D fused kernel (round 3): 1-wide ring +
                 # whole-shard-in-VMEM kernel per shard, incl. Bouzidi
                 from tnl_lbm_tpu.parallel.sharded import make_sharded_fused_step_2d
@@ -360,11 +381,34 @@ class Simulation:
                 jnp.asarray(self.domain.map, dtype=map_dtype), like_f=False
             )
 
-    def _jit_step(self, parity, have_uin, have_force):
-        key = (parity, have_uin, have_force)
+    def _uin_fallback_step(self):
+        """Lazily built XLA step for per-site inflow PROFILES: the 3D fused
+        kernels take u_in as a [3] vector only (fused.py _params_vec), while
+        the XLA paths broadcast profile fields.  Profile-inflow calls route
+        here so a config that worked on the XLA paths never starts crashing
+        because the driver picked a fused kernel."""
+        if getattr(self, "_uin_fallback", None) is None:
+            self.log.warning(
+                "per-site inflow profile with a fused 3D kernel: profile "
+                "steps run on the XLA %s path (the fused kernels take "
+                "vector u_in only)", "sharded" if self.plan else "single")
+            if self.plan is None:
+                self._uin_fallback = make_step(self.cfg, self.domain)
+            else:
+                from tnl_lbm_tpu.parallel.sharded import make_sharded_step
+
+                self._uin_fallback = make_sharded_step(
+                    self.cfg, self.domain, self.plan)
+        return self._uin_fallback
+
+    def _jit_step(self, parity, have_uin, have_force, uin_profile=False):
+        key = (parity, have_uin, have_force, uin_profile)
         if key in self._jit_steps:
             return self._jit_steps[key]
 
+        step = (self._uin_fallback_step()
+                if uin_profile and getattr(self, "_vector_uin_only", False)
+                else self._step)
         # hooks with a consts pytree (IBM's A/weights/nodes): thread the
         # arrays through jit as ARGUMENTS - closed over, they would inline
         # into the lowered HLO as dense constants and blow up the (remote)
@@ -375,7 +419,7 @@ class Simulation:
         if self.plan is None:
             def fn(f, nu, u_in, force, hook_consts=None):
                 kw = {} if hc is None else {"hook_consts": hook_consts}
-                return self._step(
+                return step(
                     f, nu,
                     u_in=u_in if have_uin else None,
                     force=force if have_force else None,
@@ -384,7 +428,7 @@ class Simulation:
         else:
             def fn(f, nu, u_in, force, hook_consts=None):
                 kw = {} if hc is None else {"hook_consts": hook_consts}
-                return self._step(
+                return step(
                     f, self._map_sharded, nu,
                     u_in=u_in if have_uin else None,
                     force=force if have_force else None,
@@ -610,7 +654,11 @@ class Simulation:
         advancing - used at init)."""
         nu = jnp.asarray(self.domain.units.lbm_viscosity(), self.cfg.compute_dtype)
         t0 = time.perf_counter()
-        if n_steps >= 2 and self.iterations % 2 == 0 and self._pair_dispatch_ok():
+        if (n_steps >= 2 and self.iterations % 2 == 0
+                and self._pair_dispatch_ok()
+                # pair2's kernel takes vector u_in only; profile inflows
+                # stay on the per-step loop (which reroutes them to XLA)
+                and jnp.ndim(self.update_inflow(self.phys_time())) <= 1):
             n_pairs, n_steps = divmod(n_steps, 2)
             self._advance_pairs(n_pairs, nu)
             if n_steps == 0:
@@ -621,7 +669,9 @@ class Simulation:
             u_in = self.update_inflow(self.phys_time())
             force = self.body_force(self.phys_time())
             parity = (self.iterations % 2) if self.cfg.streaming == "AA" else 0
-            jfn = self._jit_step(parity, u_in is not None, force is not None)
+            jfn = self._jit_step(parity, u_in is not None, force is not None,
+                                 uin_profile=jnp.ndim(u_in) > 1
+                                 if u_in is not None else False)
             dt = self.cfg.compute_dtype
             zero = jnp.zeros((self.cfg.lat.D,), dt)
             self.compute_before_step()
