@@ -317,3 +317,40 @@ def test_pair_dispatch_matches_per_step(tmp_path):
     sim.sim_init()
     assert sim.pair_dispatch is False
     sim._lock.release()
+
+
+def test_fused_profile_inflow_reroute_mechanism(tmp_path):
+    """The fused 3D kernels take vector u_in only; a per-site inflow
+    PROFILE must reroute through the lazily-built XLA fallback step (full
+    physics parity is in test_sharded.py's slow-tier test - this guards
+    the mechanism cheaply)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tnl_lbm_tpu.models import D3Q27
+    from tnl_lbm_tpu.ops import collision as col3
+    from tnl_lbm_tpu.ops import equilibrium as eqlib
+
+    X, Y, Z = 8, 16, 8
+    m = np.zeros((X, Y, Z), np.uint8)
+    m[:, 0] = m[:, -1] = GEO.WALL
+    m[0, 1:-1] = GEO.INFLOW
+    units = Lattice((X, Y, Z), (0, 0, 0), 1.0, 1.0)
+    dom = Domain(lat=D3Q27, units=units, map=m, periodic=(False, False, True))
+    cfg = LBMConfig(lat=D3Q27, collision=col3.collide_srt_well,
+                    eq=eqlib.eq_well, well=True)
+
+    prof = np.zeros((3, 1, Y, Z), np.float32)
+    prof[0, 0, 2:-2] = 0.02
+
+    class S(Simulation):
+        def update_inflow(self, t):
+            return jnp.asarray(prof)
+
+    s = S(cfg, dom, sim_id="profmech", results_parent=tmp_path,
+          use_fused=True, phys_final_time=2.0)
+    s.sim_init()
+    assert s._vector_uin_only
+    s._advance(1)  # would crash in _params_vec without the reroute
+    assert s._uin_fallback is not None
+    assert np.isfinite(np.asarray(jax.device_get(s.f))).all()

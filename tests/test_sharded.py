@@ -667,7 +667,9 @@ def test_uneven_fused_ab_matches_single():
     np.testing.assert_allclose(np.asarray(rhoN), np.asarray(rho1), atol=5e-6)
 
 
-def test_uneven_hooked_matches_single():
+@pytest.mark.parametrize(
+    "inner", ["xla", pytest.param("fused", marks=pytest.mark.slow)])
+def test_uneven_hooked_matches_single(inner):
     """Non-divisible lattice + forcing hook: the uneven wrapper must crop
     the hook's rho/u inputs to the TRUE extent (evaluated on the padded
     lattice, the strain stencils read ghost-contaminated u* - measured
@@ -699,26 +701,22 @@ def test_uneven_hooked_matches_single():
     for _ in range(3):
         f1, rho1, u1 = step1(f1, 0.02, force=force)
 
-    # XLA inner (make_sharded_step auto-routes non-divisible lattices)
-    stepN = _make_uneven_sharded_step(cfg, dom, plan)
+    if inner == "xla":
+        # make_sharded_step auto-routes non-divisible lattices
+        stepN = _make_uneven_sharded_step(cfg, dom, plan)
+    else:
+        # fused hooked inner (the driver's hooked_want uneven branch)
+        from tnl_lbm_tpu.kernels.hooked import make_sharded_hooked_fused_step
+
+        stepN = _make_uneven_sharded_step(
+            cfg, dom, plan, inner_builder=make_sharded_hooked_fused_step)
     fN = plan.shard_field(f0, like_f=True)
     mapN = plan.shard_field(jnp.asarray(dom.map), like_f=False)
     jN = jax.jit(lambda f: stepN(f, mapN, 0.02, force=force))
     for _ in range(3):
         fN, rhoN, uN = jN(fN)
     np.testing.assert_allclose(np.asarray(fN), np.asarray(f1), atol=2e-6)
-
-    # fused hooked inner (the driver's hooked_want uneven branch)
-    from tnl_lbm_tpu.kernels.hooked import make_sharded_hooked_fused_step
-
-    stepF = _make_uneven_sharded_step(
-        cfg, dom, plan, inner_builder=make_sharded_hooked_fused_step)
-    fF = plan.shard_field(f0, like_f=True)
-    jF = jax.jit(lambda f: stepF(f, mapN, 0.02, force=force))
-    for _ in range(3):
-        fF, rhoF, uF = jF(fF)
-    np.testing.assert_allclose(np.asarray(fF), np.asarray(f1), atol=2e-6)
-    np.testing.assert_allclose(np.asarray(uF), np.asarray(u1), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(uN), np.asarray(u1), atol=2e-6)
 
 
 def test_sharded_hooked_fused_matches_single():
@@ -817,6 +815,7 @@ def test_sharded_hooked_fused_aa_matches_single(zsh):
     np.testing.assert_allclose(np.asarray(uN), np.asarray(u1), atol=2e-6)
 
 
+@pytest.mark.slow
 def test_driver_fused_profile_inflow_falls_back_to_xla(tmp_path):
     """A per-site inflow PROFILE with a fused 3D step: the fused kernels
     take vector u_in only, so the driver must reroute profile steps to the
