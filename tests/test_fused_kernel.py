@@ -29,14 +29,28 @@ def rand_f(dom, cfg, seed=0):
     return cfg.eq(cfg.lat, rho, u).astype(cfg.compute_dtype)
 
 
+def _collide_kbc_n1(lat, f, rho, u, nu, force=None):
+    from tnl_lbm_tpu.ops.collision_kbc import collide_kbc
+
+    return collide_kbc(lat, f, rho, u, nu, force=force, variant="N1")
+
+
 @pytest.mark.parametrize(
     "collision,eq,well",
     [
         (col.collide_cum_well, eqlib.eq_well, True),
         pytest.param(col.collide_cum, eqlib.eq_quadratic, False,
                      marks=pytest.mark.slow),
+        # every other operator family dispatches through the same
+        # cfg.collision call inside the kernel - one representative each
+        pytest.param(_collide_kbc_n1, eqlib.eq_quadratic, False,
+                     marks=pytest.mark.slow),
+        pytest.param(col.collide_mrt_les, eqlib.eq_quadratic, False,
+                     marks=pytest.mark.slow),
+        pytest.param(col.collide_clbm_well, eqlib.eq_well, True,
+                     marks=pytest.mark.slow),
     ],
-    ids=["CUM_WELL", "CUM"],
+    ids=["CUM_WELL", "CUM", "KBC_N1", "MRT_LES", "CLBM_WELL"],
 )
 def test_fused_matches_xla_step_duct(collision, eq, well):
     dom = duct_domain()

@@ -637,19 +637,27 @@ def collide_mrt_les(lat, f, rho, u, nu, force=None, smagorinsky_c: float = 0.034
         P[key] = P[key] - omega * Pn[key]
 
     trP = P[(0, 0)] + P[(1, 1)] + P[(2, 2)]
-    cu = lattice_dot(c, u)  # [Q, *S]
-    w = jnp.asarray(lat.w, f.dtype).reshape((lat.Q,) + (1,) * (f.ndim - 1))
-    csq = jnp.asarray((c * c).sum(axis=1), f.dtype).reshape((lat.Q,) + (1,) * (f.ndim - 1))
 
-    # c^T P c per direction
-    cPc = 0.0
-    for a in range(3):
-        for b in range(3):
-            key = (min(a, b), max(a, b))
-            coef = jnp.asarray(c[:, a] * c[:, b], f.dtype).reshape((lat.Q,) + (1,) * (f.ndim - 1))
-            cPc = cPc + coef * P[key]
-
-    return w * (rho * (2.5 - 1.5 * csq + 3 * cu) + 4.5 * cPc - 1.5 * trP)
+    # per-q reconstruction with Python-scalar coefficients (kernel-safe:
+    # Pallas rejects [Q]-array constants; see collide_srt_well)
+    rows = []
+    for q in range(lat.Q):
+        cq = c[q]
+        csq_q = float((cq * cq).sum())
+        cu_q = 0.0
+        for a in range(3):
+            if cq[a] != 0:
+                cu_q = cu_q + float(cq[a]) * u[a]
+        cPc_q = 0.0
+        for a in range(3):
+            for b in range(3):
+                coef = float(cq[a] * cq[b])
+                if coef != 0:
+                    cPc_q = cPc_q + coef * P[(min(a, b), max(a, b))]
+        rows.append(float(lat.w[q])
+                    * (rho * (2.5 - 1.5 * csq_q + 3 * cu_q)
+                       + 4.5 * cPc_q - 1.5 * trP))
+    return jnp.stack(rows)
 
 
 def collide_srt_well(lat, f, rho, u, nu, force=None):
