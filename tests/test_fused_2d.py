@@ -48,13 +48,15 @@ def parabolic_profile(Y, umax=0.05):
 
 
 @pytest.mark.parametrize("bouzidi", [False, True], ids=["plain", "bouzidi"])
-def test_fused_2d_matches_xla(bouzidi):
+@pytest.mark.parametrize("uin_kind", ["profile", "vector"])
+def test_fused_2d_matches_xla(bouzidi, uin_kind):
     dom = channel_domain(bouzidi=bouzidi)
     cfg = LBMConfig(lat=D2Q9, collision=col2.collide_clbm_2d)
     assert supports_2d(cfg, dom)
     step_ref = make_step(cfg, dom)
     step_2d = make_fused_step_2d(cfg, dom)
-    prof = parabolic_profile(dom.shape[1])
+    prof = (parabolic_profile(dom.shape[1]) if uin_kind == "profile"
+            else jnp.asarray([0.03, 0.0], jnp.float32))
     f1 = f2 = rand_f(dom, cfg, seed=41)
     for it in range(4):
         f1, rho1, u1 = step_ref(f1, 0.02, u_in=prof)

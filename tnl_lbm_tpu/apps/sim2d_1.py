@@ -29,7 +29,8 @@ class Sim2D1(Simulation):
         return np.array([self.lbm_inflow_vx, 0.0])
 
 
-def build(resolution: int = 1, final_time: float = 0.5, results_parent="."):
+def build(resolution: int = 1, final_time: float = 0.5, results_parent=".",
+          use_fused: bool = False, sharded: bool = False):
     X = 128 * resolution
     Y = 32 * resolution
     lbm_viscosity = 1e-5  # reference sim2d_1.cu:123
@@ -63,6 +64,8 @@ def build(resolution: int = 1, final_time: float = 0.5, results_parent="."):
         sim_id=f"sim2d_1_res{resolution:02d}",
         results_parent=results_parent,
         phys_final_time=final_time,
+        use_fused=use_fused,
+        plan=_plan(sharded, dom),
     )
     sim.lbm_inflow_vx = units.phys2lbm_velocity(phys_velocity)
     sim.cnt[PRINT].period = 0.01
@@ -73,13 +76,25 @@ def build(resolution: int = 1, final_time: float = 0.5, results_parent="."):
     return sim
 
 
+def _plan(sharded: bool, dom):
+    if not sharded:
+        return None
+    from tnl_lbm_tpu.parallel.sharded import choose_plan
+
+    return choose_plan(dom)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("sim2d_1", description="2D channel with wall-with-hole (D2Q9 CLBM)")
     p.add_argument("resolution", type=int, nargs="?", default=1)
     p.add_argument("--final-time", type=float, default=0.5)
     p.add_argument("--results-dir", default=".")
+    p.add_argument("--use-fused", action="store_true")
+    p.add_argument("--sharded", action="store_true",
+                   help="shard the lattice over all available devices")
     args = p.parse_args(argv)
-    sim = build(args.resolution, args.final_time, args.results_dir)
+    sim = build(args.resolution, args.final_time, args.results_dir,
+                use_fused=args.use_fused, sharded=args.sharded)
     sim.run()
 
 

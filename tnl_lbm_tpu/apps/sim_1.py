@@ -33,7 +33,7 @@ class Sim1(Simulation):
 
 def build(resolution: int = 1, final_time: float = 1.0, results_parent=".",
           streaming="AB", use_fused: bool = True,
-          pair_dispatch="auto"):
+          pair_dispatch="auto", sharded: bool = False):
     X = 128 * resolution
     Y = 32 * resolution
     Z = Y
@@ -88,6 +88,7 @@ def build(resolution: int = 1, final_time: float = 1.0, results_parent=".",
         # (kernels/fused.py); A-A configs with it fall back to XLA
         use_fused=use_fused,
         pair_dispatch=pair_dispatch,
+        plan=_plan(sharded, dom),
     )
     sim.lbm_inflow_vx = units.phys2lbm_velocity(phys_velocity)
     sim.cnt[PRINT].period = 0.001
@@ -105,6 +106,14 @@ def build(resolution: int = 1, final_time: float = 1.0, results_parent=".",
     return sim
 
 
+def _plan(sharded: bool, dom):
+    if not sharded:
+        return None
+    from tnl_lbm_tpu.parallel.sharded import choose_plan
+
+    return choose_plan(dom)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("sim_1", description="3D channel with wall-with-hole (D3Q27 cumulant)")
     p.add_argument("resolution", type=int, nargs="?", default=1)
@@ -112,6 +121,8 @@ def main(argv=None):
     p.add_argument("--results-dir", default=".")
     p.add_argument("--streaming", choices=["AB", "AA"], default="AB")
     p.add_argument("--no-fused", action="store_true")
+    p.add_argument("--sharded", action="store_true",
+                   help="shard the lattice over all available devices")
     p.add_argument("--pair-dispatch", choices=["auto", "on", "off"],
                    default="auto",
                    help="A-A only: two steps per dispatch via the one-kernel "
@@ -121,7 +132,8 @@ def main(argv=None):
         p.error("resolution must be at least 1")
     sim = build(args.resolution, args.final_time, args.results_dir, args.streaming,
                 use_fused=not args.no_fused,
-                pair_dispatch={"auto": "auto", "on": True, "off": False}[args.pair_dispatch])
+                pair_dispatch={"auto": "auto", "on": True, "off": False}[args.pair_dispatch],
+                sharded=args.sharded)
     sim.run()
 
 

@@ -29,7 +29,8 @@ class Sim3(Simulation):
 
 
 def build(resolution: int = 1, re: float = 100.0, final_time: float = 1.0,
-          results_parent=".", use_fused: bool = True):
+          results_parent=".", use_fused: bool = True,
+          sharded: bool = False):
     X = 128 * resolution
     Y = Z = 32 * resolution
     lbm_viscosity = 1e-2
@@ -65,6 +66,7 @@ def build(resolution: int = 1, re: float = 100.0, final_time: float = 1.0,
         results_parent=results_parent,
         phys_final_time=final_time,
         use_fused=use_fused,
+        plan=_plan(sharded, dom),
     )
     sim.lbm_inflow_vx = units.phys2lbm_velocity(phys_velocity)
     sim.cnt[PRINT].period = final_time / 100
@@ -73,16 +75,26 @@ def build(resolution: int = 1, re: float = 100.0, final_time: float = 1.0,
     return sim
 
 
+def _plan(sharded: bool, dom):
+    if not sharded:
+        return None
+    from tnl_lbm_tpu.parallel.sharded import choose_plan
+
+    return choose_plan(dom)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("sim_3", description="3D flow past a sphere (D3Q27 cumulant)")
     p.add_argument("resolution", type=int, nargs="?", default=1)
     p.add_argument("--re", type=float, default=100.0)
+    p.add_argument("--sharded", action="store_true",
+                   help="shard the lattice over all available devices")
     p.add_argument("--final-time", type=float, default=1.0)
     p.add_argument("--results-dir", default=".")
     p.add_argument("--no-fused", action="store_true")
     args = p.parse_args(argv)
     sim = build(args.resolution, args.re, args.final_time, args.results_dir,
-                use_fused=not args.no_fused)
+                use_fused=not args.no_fused, sharded=args.sharded)
     sim.run()
 
 

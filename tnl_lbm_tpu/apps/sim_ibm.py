@@ -64,7 +64,8 @@ class SimIBM(Simulation):
 
 
 def build(resolution: int = 1, dirac: str = "phi2", method: str = "modified",
-          final_time: float = 0.5, results_parent=".", use_fused: bool = True):
+          final_time: float = 0.5, results_parent=".", use_fused: bool = True,
+          sharded: bool = False):
     from tnl_lbm_tpu.utils import Lattice
 
     X = 96 * resolution
@@ -104,7 +105,17 @@ def build(resolution: int = 1, dirac: str = "phi2", method: str = "modified",
         ibm.m, lo, hi,
     )
 
-    cfg = LBMConfig(lat=D3Q27, collision=col.collide_cum, forcing_hook=ibm.forcing_hook())
+    plan = None
+    if sharded:
+        from tnl_lbm_tpu.parallel.sharded import choose_plan
+
+        # shard-aware IBM: ownership-partitioned interpolate/spread + psum
+        # inside shard_map (ibm/lagrange.py sharded_hook)
+        plan = choose_plan(dom)
+        hook = ibm.sharded_hook(plan, dom.shape)
+    else:
+        hook = ibm.forcing_hook()
+    cfg = LBMConfig(lat=D3Q27, collision=col.collide_cum, forcing_hook=hook)
     sim = SimIBM(
         cfg, dom,
         sim_id=f"sim_ibm_res{resolution:02d}_{dirac}_{method}",
@@ -113,6 +124,7 @@ def build(resolution: int = 1, dirac: str = "phi2", method: str = "modified",
         # IBM rides the fused Pallas path: u* pass + hook + force-field
         # kernel (kernels/hooked.py); falls back to XLA when unsupported
         use_fused=use_fused,
+        plan=plan,
     )
     sim.ibm = ibm
     sim.lbm_inflow_vx = units.phys2lbm_velocity(phys_velocity)
@@ -128,13 +140,16 @@ def main(argv=None):
     p.add_argument("resolution", type=int, nargs="?", default=1)
     p.add_argument("--dirac", default="phi2", choices=["phi1", "phi2", "phi3", "phi4"])
     p.add_argument("--method", default="modified", choices=["modified", "original"])
+    p.add_argument("--sharded", action="store_true",
+                   help="shard the lattice over all available devices")
     p.add_argument("--final-time", type=float, default=0.5)
     p.add_argument("--results-dir", default=".")
     p.add_argument("--no-fused", action="store_true",
                    help="force the XLA step (skip the Pallas kernels)")
     args = p.parse_args(argv)
     sim = build(args.resolution, args.dirac, args.method, args.final_time,
-                args.results_dir, use_fused=not args.no_fused)
+                args.results_dir, use_fused=not args.no_fused,
+                sharded=args.sharded)
     sim.run()
 
 

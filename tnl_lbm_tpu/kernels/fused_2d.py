@@ -276,7 +276,10 @@ def make_fused_step_2d(cfg: LBMConfig, domain: Domain,
         if u_in is None:
             uin = jnp.zeros((2, X, Y), dtype)
         else:
-            uin = jnp.broadcast_to(jnp.asarray(u_in, dtype), (2, X, Y)).astype(dtype)
+            uin = jnp.asarray(u_in, dtype)
+            if uin.ndim == 1:  # [2] vector: broadcast over the lattice
+                uin = uin.reshape(2, 1, 1)
+            uin = jnp.broadcast_to(uin, (2, X, Y)).astype(dtype)
         bz = bz_arr if bouzidi_arr is None else bouzidi_arr
         ops = [params, mp, uin]
         if force_field:
