@@ -507,6 +507,39 @@ def test_2d_fused_sharded_matches_single():
     assert float(jnp.abs(u1 - uN).max()) < 1e-12
 
 
+def test_2d_uneven_fused_sharded_matches_single():
+    """Non-divisible 2D lattice (the common geometry-file case) on the
+    FUSED sharded path: pad-and-crop around make_sharded_fused_step_2d,
+    Bouzidi thetas riding along == single-device XLA."""
+    from tests.test_fused_2d import channel_domain
+    from tnl_lbm_tpu.parallel.sharded import (
+        _make_uneven_sharded_step,
+        make_sharded_fused_step_2d,
+    )
+
+    dom = channel_domain(X=30, Y=14, bouzidi=True, seed=13)  # 30%4, 14%2 != 0
+    cfg = LBMConfig(lat=D2Q9, collision=col2.collide_clbm_2d,
+                    compute_dtype=jnp.float64)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("x", "y"))
+    plan = ShardPlan(mesh=mesh, spatial_axes=("x", "y"))
+
+    step1 = make_step(cfg, dom)
+    stepN = _make_uneven_sharded_step(
+        cfg, dom, plan, inner_builder=make_sharded_fused_step_2d)
+    rng = np.random.default_rng(5)
+    rho0 = jnp.asarray(1 + 0.01 * rng.standard_normal(dom.shape))
+    u0 = jnp.asarray(0.02 * rng.standard_normal((2,) + dom.shape))
+    f1 = eqlib.eq_quadratic(cfg.lat, rho0, u0).astype(jnp.float64)
+    fN = plan.shard_field(f1, like_f=True)
+    jstep1 = jax.jit(lambda f: step1(f, 0.05, u_in=jnp.asarray([0.03, 0.0])))
+    jstepN = jax.jit(lambda f: stepN(f, None, 0.05, u_in=jnp.asarray([0.03, 0.0])))
+    for _ in range(3):
+        f1, rho1, u1 = jstep1(f1)
+        fN, rhoN, uN = jstepN(fN)
+    assert float(jnp.abs(f1 - fN).max()) < 1e-12
+    assert float(jnp.abs(u1 - uN).max()) < 1e-12
+
+
 def _zsh_domain(X=8, Y=16, Z=12, periodic=(True, False, False)):
     units = Lattice(global_size=(X, Y, Z), phys_origin=(0, 0, 0),
                     phys_dl=1.0, phys_dt=1.0)

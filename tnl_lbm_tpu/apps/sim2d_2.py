@@ -381,6 +381,7 @@ def build(
     results_parent=".",
     value_path: str | None = None,
     use_fused: bool = True,
+    sharded: bool = False,
 ):
     X = 128 * resolution
     Y = 32 * resolution
@@ -417,6 +418,7 @@ def build(
         phys_final_time=final_time,
         steps_per_dispatch=10,
         use_fused=use_fused,
+        plan=_plan(sharded, dom),
     )
     sim.u_max_lbm = units.phys2lbm_velocity(1.5 * phys_velocity)
     sim.stats_start_time = stat_start
@@ -427,11 +429,21 @@ def build(
     return sim
 
 
+def _plan(sharded: bool, dom):
+    if not sharded:
+        return None
+    from tnl_lbm_tpu.parallel.sharded import choose_plan
+
+    return choose_plan(dom)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("sim2d_2", description="2D geometry channel with turbulence statistics")
     p.add_argument("resolution", type=int, nargs="?", default=1)
     p.add_argument("object_file", nargs="?", default=None)
     p.add_argument("--no-bouzidi", action="store_true")
+    p.add_argument("--sharded", action="store_true",
+                   help="shard the lattice over all available devices")
     p.add_argument("--final-time", type=float, default=8.0)
     p.add_argument("--stat-start", type=float, default=2.0)
     p.add_argument("--stat-end", type=float, default=None)
@@ -441,7 +453,7 @@ def main(argv=None):
     sim = build(
         args.resolution, args.object_file, not args.no_bouzidi,
         args.final_time, args.stat_start, args.stat_end, args.results_dir,
-        args.value_file,
+        args.value_file, sharded=args.sharded,
     )
     sim.run()
     print(f"final KE(ROI)={sim.integrate_ke_roi():e} TKE(ROI)={sim.integrate_tke_roi():e}")

@@ -73,6 +73,7 @@ def build(
     results_parent=".",
     values_dir="values",
     use_fused: bool = True,
+    sharded: bool = False,
 ):
     X = 128 * resolution
     Y = 32 * resolution
@@ -114,10 +115,19 @@ def build(
         # Bouzidi + the full BC set ride the fused D2Q9 Pallas kernel
         # (kernels/fused_2d.py); unsupported configs fall back to XLA
         use_fused=use_fused,
+        plan=_plan(sharded, dom),
     )
     sim.u_max_lbm = units.phys2lbm_velocity(1.5 * phys_velocity)
     sim.value_path = Path(values_dir) / f"value_{obj_name}"
     return sim
+
+
+def _plan(sharded: bool, dom):
+    if not sharded:
+        return None
+    from tnl_lbm_tpu.parallel.sharded import choose_plan
+
+    return choose_plan(dom)
 
 
 def main(argv=None):
@@ -125,6 +135,8 @@ def main(argv=None):
     p.add_argument("resolution", type=int, nargs="?", default=1)
     p.add_argument("object_file", nargs="?", default=None)
     p.add_argument("--no-bouzidi", action="store_true")
+    p.add_argument("--sharded", action="store_true",
+                   help="shard the lattice over all available devices")
     p.add_argument("--final-time", type=float, default=4.0)
     p.add_argument("--results-dir", default=".")
     p.add_argument("--values-dir", default="values")
@@ -132,6 +144,7 @@ def main(argv=None):
     sim = build(
         args.resolution, args.object_file, not args.no_bouzidi,
         args.final_time, args.results_dir, args.values_dir,
+        sharded=args.sharded,
     )
     sim.run()
 

@@ -365,14 +365,20 @@ class Simulation:
                 map_dtype = jnp.int32
             elif (self.use_fused and self.cfg.lat.D == 2
                   and self.cfg.forcing_hook is None
-                  and self.plan.divisible(self.domain)
                   and self._supports_2d_sharded()):
                 # distributed 2D fused kernel (round 3): 1-wide ring +
-                # whole-shard-in-VMEM kernel per shard, incl. Bouzidi
+                # whole-shard-in-VMEM kernel per shard, incl. Bouzidi;
+                # non-divisible geometry-file lattices (the common sim2d_2
+                # case) pad-and-crop around it
                 from tnl_lbm_tpu.parallel.sharded import make_sharded_fused_step_2d
 
-                self._step = make_sharded_fused_step_2d(
-                    self.cfg, self.domain, self.plan)
+                if self.plan.divisible(self.domain):
+                    self._step = make_sharded_fused_step_2d(
+                        self.cfg, self.domain, self.plan)
+                else:
+                    self._step = _make_uneven_sharded_step(
+                        self.cfg, self.domain, self.plan,
+                        inner_builder=make_sharded_fused_step_2d)
                 map_dtype = jnp.int32
             else:
                 self._step = make_sharded_step(self.cfg, self.domain, self.plan)
