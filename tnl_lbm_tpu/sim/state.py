@@ -660,11 +660,14 @@ class Simulation:
         advancing - used at init)."""
         nu = jnp.asarray(self.domain.units.lbm_viscosity(), self.cfg.compute_dtype)
         t0 = time.perf_counter()
+        def _uin_is_vector():
+            # pair2's kernel takes vector u_in only; profile inflows
+            # stay on the per-step loop (which reroutes them to XLA)
+            uin = self.update_inflow(self.phys_time())
+            return uin is None or jnp.ndim(uin) <= 1
+
         if (n_steps >= 2 and self.iterations % 2 == 0
-                and self._pair_dispatch_ok()
-                # pair2's kernel takes vector u_in only; profile inflows
-                # stay on the per-step loop (which reroutes them to XLA)
-                and jnp.ndim(self.update_inflow(self.phys_time())) <= 1):
+                and self._pair_dispatch_ok() and _uin_is_vector()):
             n_pairs, n_steps = divmod(n_steps, 2)
             self._advance_pairs(n_pairs, nu)
             if n_steps == 0:
