@@ -889,6 +889,68 @@ def test_driver_fused_profile_inflow_falls_back_to_xla(tmp_path):
     np.testing.assert_allclose(res[0], res[1], atol=1e-6)
 
 
+@pytest.mark.parametrize(
+    "streaming", ["AB", pytest.param("AA", marks=pytest.mark.slow)])
+def test_sharded_single_kernel_nn_matches_single(streaming):
+    """Distributed SINGLE-KERNEL non-Newtonian step (round 3): master halo
+    exchange + seam-gated edge fixes, one Pallas program per shard per
+    step == single-device XLA hooked step.  The hook's stencil periodic
+    must match the domain (fused_nn_step.supports), so the hooked builder
+    dispatches the single-kernel path here."""
+    from tnl_lbm_tpu.kernels.hooked import make_sharded_hooked_fused_step
+    from tnl_lbm_tpu.parallel.sharded import make_sharded_fused_nn_step
+    from tnl_lbm_tpu.ops.non_newtonian import CarreauYasuda, make_nn_forcing_hook
+
+    X, Y, Z = 16, 16, 8
+    units = Lattice(global_size=(X, Y, Z), phys_origin=(0, 0, 0),
+                    phys_dl=1.0, phys_dt=1.0)
+    m = np.zeros((X, Y, Z), np.uint8)
+    m[:, 0], m[:, -1] = GEO.WALL, GEO.WALL
+    dom = Domain(lat=D3Q27, units=units, map=m, periodic=(True, False, False))
+    model = CarreauYasuda(nu0=0.1, lam=1.0, a=2.0, n=0.5)
+    cfg = LBMConfig(lat=D3Q27, collision=col3.collide_srt_well,
+                    eq=eqlib.eq_well, well=True, streaming=streaming,
+                    compute_dtype=jnp.float32,
+                    forcing_hook=make_nn_forcing_hook(
+                        model, periodic=(True, False, False)))
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("x", "y"))
+    plan = ShardPlan(mesh=mesh, spatial_axes=("x", "y", None))
+
+    rng = np.random.default_rng(31)
+    rho0 = jnp.asarray(1 + 0.01 * rng.standard_normal(dom.shape), jnp.float32)
+    u0 = jnp.asarray(0.02 * rng.standard_normal((3,) + dom.shape), jnp.float32)
+    f0 = cfg.eq(cfg.lat, rho0, u0).astype(jnp.float32)
+    force = jnp.asarray([1e-5, 0, 0], jnp.float32)
+
+    step1 = make_step(cfg, dom)
+    f1 = f0
+    for it in range(4):
+        f1, rho1, u1 = step1(f1, 0.02, force=force, parity=it % 2)
+
+    # direct builder
+    stepN = make_sharded_fused_nn_step(cfg, dom, plan, model,
+                                       (True, False, False), tile=(4, 8),
+                                       tiles_per_program=1)
+    fN = plan.shard_field(f0, like_f=True)
+    mapN = plan.shard_field(jnp.asarray(dom.map), like_f=False)
+    jN = {p: jax.jit(lambda f, p=p: stepN(f, mapN, 0.02, force=force, parity=p))
+          for p in (0, 1)}
+    for it in range(4):
+        fN, rhoN, uN = jN[it % 2](fN)
+    np.testing.assert_allclose(np.asarray(fN), np.asarray(f1), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(uN), np.asarray(u1), atol=2e-6)
+
+    # ... and the hooked builder dispatches it for this config
+    stepH = make_sharded_hooked_fused_step(cfg, dom, plan, tile=(4, 8),
+                                           tiles_per_program=1)
+    fH = plan.shard_field(f0, like_f=True)
+    jH = {p: jax.jit(lambda f, p=p: stepH(f, mapN, 0.02, force=force, parity=p))
+          for p in (0, 1)}
+    for it in range(2):
+        fH, rhoH, uH = jH[it % 2](fH)
+    assert np.isfinite(np.asarray(fH)).all()
+
+
 def test_sharded_xla_hooked_aa_matches_single():
     """The XLA sharded fallback (used by A-A / uneven hooked configs)
     evaluates forcing hooks GLOBALLY under GSPMD: the strain-rate stencils

@@ -141,13 +141,23 @@ def _rep_lo_hi(v, axis, lo_bad, hi_bad):
 
 def make_fused_nn_step(cfg: LBMConfig, domain: Domain, model, nn_periodic,
                        tile=None, tiles_per_program: int = 2,
-                       with_macro: bool = True):
+                       with_macro: bool = True,
+                       prepadded: bool = False, local_shape=None):
     """Single-kernel non-Newtonian step.
 
     ``step(f, nu, u_in=None, force=None, parity=0) -> (f_new, rho, u)``
     matching ``sim.step.make_step`` with
     ``forcing_hook=make_nn_forcing_hook(model, periodic=nn_periodic)`` to
     fp tolerance.  ``force`` must be a homogeneous [3] vector (or None).
+
+    ``prepadded=True`` (the sharded path, round 3): ``step`` takes a
+    MASTER-haloed input ([Q, X+8, Y+16, Z]: 4-wide x / 8-wide y, the
+    maximum over the three modes) plus matching runtime map/fluid-mask
+    pads and per-shard boundary-owner ``bflags``; each mode slices its
+    own window layout from the master pad.  The in-kernel edge fixes
+    (u*/S replication at non-periodic boundaries) gate on the bflags, so
+    seam halos carrying real neighbor data are left untouched.
+    ``local_shape`` gives the per-shard interior extents.
     """
     assert cfg.forcing_hook is None or getattr(
         cfg.forcing_hook, "nn_model", None) is not None
@@ -157,7 +167,7 @@ def make_fused_nn_step(cfg: LBMConfig, domain: Domain, model, nn_periodic,
         raise NotImplementedError("OUTFLOW_RIGHT_INTERP requires A-B")
     Q = lat.Q
     opp = np.asarray(lat.opp)
-    X, Y, Z = domain.shape
+    X, Y, Z = local_shape if local_shape is not None else domain.shape
     dtype = cfg.compute_dtype
     periodic = tuple(bool(p) for p in domain.periodic)
     per = (tuple(bool(p) for p in nn_periodic) if nn_periodic is not None
@@ -229,12 +239,13 @@ def make_fused_nn_step(cfg: LBMConfig, domain: Domain, model, nn_periodic,
         tyK = ty * K
         dummy = (8, 8, 128)
 
-        # static pads (domain-BC semantics for the map; the fluid mask pad
-        # shares the same wrap since per[:2] == periodic[:2])
-        map_pad = _pad_xy_np(map_np, periodic, x_org, x_org,
-                             y_org, fy - ty - y_org, extra_z=Zp - Z)
-        mask_pad = _pad_xy_np(fluid_np, periodic, x_org, x_org,
-                              y_org, fy - ty - y_org, extra_z=Zp - Z)
+        if not prepadded:
+            # static pads (domain-BC semantics for the map; the fluid mask
+            # pad shares the same wrap since per[:2] == periodic[:2])
+            map_pad = _pad_xy_np(map_np, periodic, x_org, x_org,
+                                 y_org, fy - ty - y_org, extra_z=Zp - Z)
+            mask_pad = _pad_xy_np(fluid_np, periodic, x_org, x_org,
+                                  y_org, fy - ty - y_org, extra_z=Zp - Z)
 
         def kernel(params_ref, fpad_hbm, mp_hbm, msk_hbm, fout_ref,
                    rho_ref, u_ref, *rest):
@@ -310,15 +321,23 @@ def make_fused_nn_step(cfg: LBMConfig, domain: Domain, model, nn_periodic,
                 # non-periodic axes: out-of-domain u layers must equal the
                 # boundary layer (the hook pads u with edge replication) -
                 # fix the first out-of-domain layer; deeper layers only feed
-                # S values that are themselves overwritten below
+                # S values that are themselves overwritten below.  The
+                # boundary-owner flags (params[8:12]) keep the fix off
+                # shard seams, whose halos carry REAL neighbor data.
+                oxlo = params_ref[8] > 0
+                oxhi = params_ref[9] > 0
+                oylo = params_ref[10] > 0
+                oyhi = params_ref[11] > 0
                 gx_u, gy_u = giota(nux, nuy, ux0 - x_org, uy0 - y_org)
                 u_fix = []
                 for b in range(3):
                     v = u_u[b]
                     if not per[0]:
-                        v = _rep_lo_hi(v, 0, gx_u < 0, gx_u > X - 1)
+                        v = _rep_lo_hi(v, 0, (gx_u < 0) & oxlo,
+                                       (gx_u > X - 1) & oxhi)
                     if not per[1]:
-                        v = _rep_lo_hi(v, 1, gy_u < 0, gy_u > Y - 1)
+                        v = _rep_lo_hi(v, 1, (gy_u < 0) & oylo,
+                                       (gy_u > Y - 1) & oyhi)
                     u_fix.append(v)
 
                 # ---- stage 2: strain rate on the +1 ring (nsx, nsy) ----
@@ -377,9 +396,11 @@ def make_fused_nn_step(cfg: LBMConfig, domain: Domain, model, nn_periodic,
                 for key in S:
                     s = S[key]
                     if not per[0]:
-                        s = _rep_lo_hi(s, 0, gx_s < 0, gx_s > X - 1)
+                        s = _rep_lo_hi(s, 0, (gx_s < 0) & oxlo,
+                                       (gx_s > X - 1) & oxhi)
                     if not per[1]:
-                        s = _rep_lo_hi(s, 1, gy_s < 0, gy_s > Y - 1)
+                        s = _rep_lo_hi(s, 1, (gy_s < 0) & oylo,
+                                       (gy_s > Y - 1) & oyhi)
                     S[key] = s
 
                 # ---- stage 3: rheology + divergence on (ncx, ncy) ----
@@ -536,6 +557,18 @@ def make_fused_nn_step(cfg: LBMConfig, domain: Domain, model, nn_periodic,
                 vmem_limit_bytes=112 * 1024 * 1024),
         )
 
+        if prepadded:
+            # operands arrive master-padded ([.., X+8, Y+16, Zp], 4-wide x
+            # / 8-wide y halos); slice this mode's window layout out
+            xs = slice(4 - x_org, 4 - x_org + X + 2 * x_org)
+            ys = slice(8 - y_org, 8 - y_org + Y + fy - ty)
+
+            def run(fmaster, params, mp_master, mk_master):
+                return call(params, fmaster[:, xs, ys, :],
+                            mp_master[xs, ys, :], mk_master[xs, ys, :])
+
+            return run
+
         mp_j = jnp.asarray(map_pad)
         mk_j = jnp.asarray(mask_pad)
 
@@ -553,15 +586,20 @@ def make_fused_nn_step(cfg: LBMConfig, domain: Domain, model, nn_periodic,
         runs[0] = build_call("even")
         runs[1] = build_call("odd")
 
-    def step(f, nu, u_in=None, force=None, parity: int = 0):
+    def step(f, nu, u_in=None, force=None, parity: int = 0,
+             map_master=None, mask_master=None, bflags=None):
         assert force is None or jnp.ndim(force) <= 1, \
             "single-kernel NN step takes a homogeneous [3] force"
-        params = jnp.concatenate([
-            _params_vec(dtype, nu, u_in, force),
-            jnp.ones((6,), dtype),  # boundary-owner flags (single chip)
-        ])
-        f_new, rho, u = runs[parity if cfg.streaming == "AA" else 0](
-            f, params)
+        flags = (jnp.ones((6,), dtype) if bflags is None
+                 else jnp.asarray(bflags, dtype).reshape(-1))
+        params = jnp.concatenate([_params_vec(dtype, nu, u_in, force), flags])
+        run = runs[parity if cfg.streaming == "AA" else 0]
+        if prepadded:
+            assert map_master is not None and mask_master is not None, \
+                "prepadded NN step requires runtime map/mask master pads"
+            f_new, rho, u = run(f, params, map_master, mask_master)
+        else:
+            f_new, rho, u = run(f, params)
         if not with_macro:
             return f_new, None, None
         return f_new, rho, u

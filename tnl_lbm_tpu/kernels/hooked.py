@@ -208,6 +208,31 @@ def make_sharded_hooked_fused_step(cfg: LBMConfig, domain: Domain, plan,
     lat = cfg.lat
     dtype = cfg.compute_dtype
     hook = cfg.forcing_hook
+
+    # round 3: non-Newtonian configs collapse the whole sharded step into
+    # ONE kernel per shard (master halo exchange + seam-aware edge fixes)
+    # instead of the three-phase macro/hook/force pipeline below
+    if (kernel_kwargs.pop("single_kernel", True)
+            and getattr(hook, "nn_model", None) is not None):
+        from tnl_lbm_tpu.kernels import fused_nn_step
+        from tnl_lbm_tpu.parallel.sharded import make_sharded_fused_nn_step
+
+        ax_z = plan.spatial_axes[2]
+        z_unsharded = ax_z is None or plan.mesh.shape[ax_z] == 1
+        if fused_nn_step.supports(cfg, domain, hook.nn_periodic) and z_unsharded:
+            nn_sharded = make_sharded_fused_nn_step(
+                cfg, domain, plan, hook.nn_model, hook.nn_periodic,
+                **{k: v for k, v in kernel_kwargs.items()
+                   if k in ("tile", "tiles_per_program", "with_macro")})
+
+            def step(f, map_arr, nu, u_in=None, force=None, parity: int = 0,
+                     hook_consts=None):
+                del hook_consts  # NN hooks carry no consts pytree
+                return nn_sharded(f, map_arr, nu, u_in=u_in, force=force,
+                                  parity=parity)
+
+            return step
+
     cfg_nohook = dataclasses.replace(cfg, forcing_hook=None)
     builder = (make_sharded_fused_step_aa if cfg.streaming == "AA"
                else make_sharded_fused_step)

@@ -610,6 +610,96 @@ def make_sharded_fused_step_2d(cfg: LBMConfig, domain: Domain,
     return step
 
 
+def make_sharded_fused_nn_step(cfg: LBMConfig, domain: Domain,
+                               plan: ShardPlan, model, nn_periodic,
+                               tile=None, tiles_per_program: int = 2,
+                               with_macro: bool = True):
+    """Distributed SINGLE-KERNEL non-Newtonian step (round 3): the whole
+    u* + strain-rate + rheology + forcing + collision program runs per
+    shard, fed by one master halo exchange (4-wide x / 8-wide y - the
+    maximum window depth over the A-B/even/odd modes).  The in-kernel
+    boundary edge fixes gate on per-shard owner flags, so seam halos
+    carry real neighbor data.  Replaces the three-phase sharded hooked
+    pipeline (macro kernel + GSPMD hook + force-field kernel) with ONE
+    kernel per step - the reference needs three MPI-synced CUDA kernels
+    for the same step (nonNewtonian.h:216-391, kernels.h:178-218).
+
+    Returns ``step(f, map_arr, nu, u_in=None, force=None, parity=0)``
+    matching ``make_sharded_step`` (homogeneous [3] force only).
+    """
+    from jax import lax
+
+    from tnl_lbm_tpu.kernels.fused import _lane_pad
+    from tnl_lbm_tpu.kernels.fused_nn_step import make_fused_nn_step
+    from tnl_lbm_tpu.ops.boundary import GEO
+
+    assert with_macro, "the sharded NN wrapper returns macro fields"
+    plan.check(domain)
+    ax_x, ax_y, ax_z = plan.spatial_axes
+    if ax_z is not None and plan.mesh.shape[ax_z] > 1:
+        raise NotImplementedError(
+            "sharded single-kernel NN step requires an unsharded z axis")
+    Xl, Yl, Zl = plan.local_shape(domain)
+    local_step = make_fused_nn_step(
+        cfg, domain, model, nn_periodic, tile=tile,
+        tiles_per_program=tiles_per_program, with_macro=with_macro,
+        prepadded=True, local_shape=(Xl, Yl, Zl))
+    interpret = jax.default_backend() == "cpu"
+    Zp = _lane_pad(Zl, interpret)
+    dtype = cfg.compute_dtype
+    mask_g = plan.shard_field(
+        jnp.asarray(np.asarray(domain.map) == int(GEO.FLUID), dtype),
+        like_f=False)
+
+    def _master(v, adim):
+        """4-wide x / 8-wide y exchange + junk z lanes up to Zp."""
+        v = _halo_exchange(plan.mesh, v, adim, ax_x, domain.periodic[0], 4)
+        v = _halo_exchange(plan.mesh, v, adim + 1, ax_y, domain.periodic[1], 8)
+        if Zp != Zl:
+            pw = [(0, 0)] * (v.ndim - 1) + [(0, Zp - Zl)]
+            v = jnp.pad(v, pw, mode="edge")
+        return v
+
+    def _bflag(name, last):
+        if name is None or plan.mesh.shape[name] == 1:
+            return jnp.asarray(1.0, dtype)
+        idx = lax.axis_index(name)
+        n = plan.mesh.shape[name]
+        return ((idx == n - 1) if last else (idx == 0)).astype(dtype)
+
+    def local(parity, f, mp, msk, nu, u_in, force):
+        fpad = _master(f, 1)
+        mpad = _master(mp.astype(jnp.int32), 0)
+        kpad = _master(msk, 0)
+        one = jnp.asarray(1.0, dtype)
+        bflags = jnp.stack([
+            _bflag(ax_x, False), _bflag(ax_x, True),
+            _bflag(ax_y, False), _bflag(ax_y, True),
+            one, one,  # z is unsharded: this shard owns both z boundaries
+        ])
+        return local_step(fpad, nu, u_in=u_in, force=force, parity=parity,
+                          map_master=mpad, mask_master=kpad, bflags=bflags)
+
+    def step(f, map_arr, nu, u_in=None, force=None, parity: int = 0):
+        dt = cfg.compute_dtype
+        nu_v = jnp.asarray(nu, dt)
+        u_in_v = jnp.zeros((3,), dt) if u_in is None else jnp.asarray(u_in, dt)
+        force_v = (jnp.zeros((3,), dt) if force is None
+                   else jnp.asarray(force, dt))
+        out_macro = (plan.spec_site, plan.spec_f) if with_macro else (P(), P())
+        sharded = shard_map(
+            partial(local, parity),
+            mesh=plan.mesh,
+            in_specs=(plan.spec_f, plan.spec_site, plan.spec_site,
+                      P(), P(), P()),
+            out_specs=(plan.spec_f,) + out_macro,
+            check_vma=False,
+        )
+        return sharded(f, map_arr, mask_g, nu_v, u_in_v, force_v)
+
+    return step
+
+
 def make_sharded_fused_ade_step(cfg: LBMConfig, domain: Domain,
                                 plan: ShardPlan, tile=(8, 16),
                                 tiles_per_program: int = 4,
