@@ -75,11 +75,11 @@ def test_ibm_coupled_step_1_vs_8(mesh_shape, method):
     assert float(jnp.abs(u1).max()) > 0
 
 
-def test_driver_sharded_ibm_use_fused_stays_shard_local():
-    """Simulation(plan=..., use_fused=True) with IBM's shard_local hook
-    must NOT route through the GSPMD hooked fused path (the hook's
-    lax.axis_index/psum only work inside shard_map) - it stays on
-    make_sharded_step and still matches use_fused=False."""
+def test_driver_sharded_ibm_use_fused_matches_xla():
+    """Simulation(plan=..., use_fused=True) with IBM's shard_local hook:
+    the hooked fused pipeline evaluates the hook inside its OWN shard_map
+    (lax.axis_index/psum need the mesh axes - evaluating it at the GSPMD
+    level crashed) and must match the XLA sharded driver."""
     import tempfile
 
     from tnl_lbm_tpu.sim.state import Simulation

@@ -244,6 +244,35 @@ def make_sharded_hooked_fused_step(cfg: LBMConfig, domain: Domain, plan,
         jnp.asarray(np.asarray(domain.map) == int(GEO.FLUID)), like_f=False)
 
     has_consts = getattr(hook, "consts", None) is not None
+    shard_local = getattr(hook, "shard_local", False)
+
+    def _eval_hook(rho0, u0, nu, hook_consts):
+        """Hook dispatch: global GSPMD for stencil hooks (XLA partitions
+        them), or inside its OWN shard_map for ownership-partitioned hooks
+        (IBM's sharded_hook: lax.axis_index/psum over the mesh axes) -
+        round 3: distributed IBM now rides the fused pipeline too."""
+        if not shard_local:
+            if has_consts:
+                return hook(lat, rho0, u0, nu, fluid_mask,
+                            consts=hook_consts).astype(dtype)
+            return hook(lat, rho0, u0, nu, fluid_mask).astype(dtype)
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def body(rho_l, u_l, fl_l, nu_r, *maybe_hc):
+            hc = maybe_hc[0] if maybe_hc else None
+            kw = {"consts": hc} if has_consts else {}
+            return hook(lat, rho_l, u_l, nu_r, fl_l, **kw)
+
+        in_specs = [plan.spec_site, plan.spec_f, plan.spec_site, P()]
+        operands = [rho0, u0, fluid_mask, jnp.asarray(nu, dtype)]
+        if has_consts:
+            in_specs.append(P())  # replicated consts pytree
+            operands.append(hook_consts)
+        return shard_map(
+            body, mesh=plan.mesh, in_specs=tuple(in_specs),
+            out_specs=plan.spec_f, check_vma=False,
+        )(*operands).astype(dtype)
 
     def step(f, map_arr, nu, u_in=None, force=None, parity: int = 0,
              hook_consts=None):
@@ -253,11 +282,9 @@ def make_sharded_hooked_fused_step(cfg: LBMConfig, domain: Domain, plan,
             # [3, X, Y, Z] homogeneous-force field: fold the half-force
             # correction in afterwards (the macro kernel takes vectors only)
             u0 = u0 + force.astype(dtype) / (2 * jnp.maximum(rho0, 1e-12))
-        if has_consts:
-            extra = hook(lat, rho0, u0, nu, fluid_mask,
-                         consts=hook_consts).astype(dtype)
-        else:
-            extra = hook(lat, rho0, u0, nu, fluid_mask).astype(dtype)
+        if shard_local and has_consts and hook_consts is None:
+            hook_consts = hook.consts
+        extra = _eval_hook(rho0, u0, nu, hook_consts)
         if force is not None:
             fb = jnp.asarray(force, dtype)
             if fb.ndim == 1:

@@ -320,13 +320,7 @@ class Simulation:
                           and self.cfg.forcing_hook is None)
             hooked_want = (self.use_fused and self._fused_ok()
                            and self.cfg.lat.D == 3
-                           and self.cfg.forcing_hook is not None
-                           # shard-local hooks (IBM's ownership-partitioned
-                           # sharded_hook: lax.axis_index/psum inside
-                           # shard_map) must stay on make_sharded_step,
-                           # which runs them in the mapped body
-                           and not getattr(self.cfg.forcing_hook,
-                                           "shard_local", False))
+                           and self.cfg.forcing_hook is not None)
             if hooked_want and self.plan.divisible(self.domain):
                 # distributed IBM / non-Newtonian at fused-kernel speed
                 # (reference state.hpp:995-1015 multi-GPU hooked kernels)
