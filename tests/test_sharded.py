@@ -507,6 +507,46 @@ def test_2d_fused_sharded_matches_single():
     assert float(jnp.abs(u1 - uN).max()) < 1e-12
 
 
+def test_2d_hooked_fused_sharded_matches_single():
+    """2D forcing hook on the FUSED sharded path (round 3): GSPMD XLA u* +
+    hook feed the force-field sharded 2D kernel == single-device XLA."""
+    from tnl_lbm_tpu.kernels.hooked import make_sharded_hooked_fused_step
+    from tnl_lbm_tpu.ops.non_newtonian import CarreauYasuda, make_nn_forcing_hook
+
+    X, Y = 16, 16
+    m = np.zeros((X, Y), np.uint8)
+    m[:, 0] = m[:, -1] = GEO.WALL
+    units = Lattice(global_size=(X, Y), phys_origin=(0, 0),
+                    phys_dl=1.0, phys_dt=1.0)
+    dom = Domain(lat=D2Q9, units=units, map=m, periodic=(True, False))
+    model = CarreauYasuda(nu0=0.1, lam=1.0, a=2.0, n=0.5)
+    cfg = LBMConfig(lat=D2Q9, collision=col2.collide_srt_2d,
+                    compute_dtype=jnp.float32,
+                    forcing_hook=make_nn_forcing_hook(model))
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("x", "y"))
+    plan = ShardPlan(mesh=mesh, spatial_axes=("x", "y"))
+
+    rng = np.random.default_rng(37)
+    rho0 = jnp.asarray(1 + 0.01 * rng.standard_normal(dom.shape), jnp.float32)
+    u0 = jnp.asarray(0.02 * rng.standard_normal((2,) + dom.shape), jnp.float32)
+    f0 = cfg.eq(cfg.lat, rho0, u0).astype(jnp.float32)
+    force = jnp.asarray([1e-5, 0], jnp.float32)
+
+    step1 = make_step(cfg, dom)
+    f1 = f0
+    for _ in range(3):
+        f1, rho1, u1 = step1(f1, 0.02, force=force)
+
+    stepN = make_sharded_hooked_fused_step(cfg, dom, plan)
+    fN = plan.shard_field(f0, like_f=True)
+    mapN = plan.shard_field(jnp.asarray(dom.map), like_f=False)
+    jN = jax.jit(lambda f: stepN(f, mapN, 0.02, force=force))
+    for _ in range(3):
+        fN, rhoN, uN = jN(fN)
+    np.testing.assert_allclose(np.asarray(fN), np.asarray(f1), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(uN), np.asarray(u1), atol=2e-6)
+
+
 def test_2d_uneven_fused_sharded_matches_single():
     """Non-divisible 2D lattice (the common geometry-file case) on the
     FUSED sharded path: pad-and-crop around make_sharded_fused_step_2d,

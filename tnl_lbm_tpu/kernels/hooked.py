@@ -195,8 +195,7 @@ def make_sharded_hooked_fused_step(cfg: LBMConfig, domain: Domain, plan,
     nu, u_in=None, force=None, parity=0)`` matching ``make_sharded_step``.
     """
     assert cfg.forcing_hook is not None, "use make_sharded_fused_step"
-    assert cfg.streaming in ("AB", "AA") and cfg.lat.D == 3, \
-        "sharded hooked fused path is 3D only"
+    assert cfg.streaming in ("AB", "AA"), "unknown streaming pattern"
     import numpy as np
 
     from tnl_lbm_tpu.ops.boundary import GEO
@@ -208,6 +207,38 @@ def make_sharded_hooked_fused_step(cfg: LBMConfig, domain: Domain, plan,
     lat = cfg.lat
     dtype = cfg.compute_dtype
     hook = cfg.forcing_hook
+
+    if lat.D == 2:
+        # 2D hooked sharded (round 3): GSPMD XLA u* + hook feed the
+        # force-field sharded 2D Pallas kernel (the 2D apps accept the
+        # same plugin set as 3D, like the reference's)
+        from tnl_lbm_tpu.parallel.sharded import make_sharded_fused_step_2d
+        from tnl_lbm_tpu.sim.step import make_step as _mk2
+
+        cfg_nohook2 = dataclasses.replace(cfg, forcing_hook=None)
+        base2 = make_sharded_fused_step_2d(cfg_nohook2, domain, plan,
+                                           force_field=True)
+        ustar2 = _mk2(cfg_nohook2, domain).ustar
+        has_consts2 = getattr(hook, "consts", None) is not None
+
+        def step2(f, map_arr, nu, u_in=None, force=None, parity: int = 0,
+                  hook_consts=None, bouzidi_arr=None):
+            del parity
+            fvec = (None if (force is not None and jnp.ndim(force) > 1)
+                    else force)
+            rho0, u0, fluid = ustar2(f, force=fvec)
+            kw = {"consts": hook_consts} if has_consts2 else {}
+            extra = hook(lat, rho0, u0, nu, fluid, **kw).astype(dtype)
+            if force is not None:
+                fb = jnp.asarray(force, dtype)
+                if fb.ndim == 1:
+                    fb = fb.reshape((2, 1, 1))
+                extra = extra + fb
+            extra = jnp.broadcast_to(extra, (2,) + tuple(domain.shape))
+            return base2(f, map_arr, nu, u_in=u_in, force=extra,
+                         bouzidi_arr=bouzidi_arr)
+
+        return step2
 
     # round 3: non-Newtonian configs collapse the whole sharded step into
     # ONE kernel per shard (master halo exchange + seam-aware edge fixes)

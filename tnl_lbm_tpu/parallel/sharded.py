@@ -525,7 +525,8 @@ def make_sharded_ade_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan):
 
 
 def make_sharded_fused_step_2d(cfg: LBMConfig, domain: Domain,
-                               plan: ShardPlan):
+                               plan: ShardPlan,
+                               force_field: bool = False):
     """Distributed D2Q9 fused (Pallas) step: 1-wide ppermute halo ring +
     the whole-shard-in-VMEM 2D kernel per shard (round 3).
 
@@ -535,7 +536,10 @@ def make_sharded_fused_step_2d(cfg: LBMConfig, domain: Domain,
     the junk ring outputs, which are cropped.  Also lifts the single-chip
     kernel's whole-DOMAIN VMEM bound to whole-SHARD.  Returns
     ``step(f, map_arr, nu, u_in, force, parity, bouzidi_arr)`` matching
-    ``make_sharded_step``.
+    ``make_sharded_step``.  ``force_field=True`` takes a per-site
+    [2, X, Y] force sharded like ``f`` (the 2D hook carrier); force only
+    enters a site's own collision under pull streaming, so the ring pad
+    is inert.
     """
     from jax import lax
 
@@ -545,7 +549,8 @@ def make_sharded_fused_step_2d(cfg: LBMConfig, domain: Domain,
     ax_x, ax_y = plan.spatial_axes[0], plan.spatial_axes[1]
     Xl, Yl = plan.local_shape(domain)
     local_step = make_fused_step_2d(cfg, domain,
-                                    local_shape=(Xl + 2, Yl + 2))
+                                    local_shape=(Xl + 2, Yl + 2),
+                                    force_field=force_field)
     has_bouzidi = domain.bouzidi is not None
     bz_sharded = (plan.shard_field(
         jnp.asarray(domain.bouzidi, cfg.compute_dtype), like_f=True)
@@ -559,7 +564,11 @@ def make_sharded_fused_step_2d(cfg: LBMConfig, domain: Domain,
             uin_pad = jnp.pad(uin, [(0, 0), (1, 1), (1, 1)], mode="edge")
         else:
             uin_pad = None if uin.shape[0] == 0 else uin
-        force_pad = None if force.shape[0] == 0 else force
+        if force_field:
+            # ring force only feeds cropped ring outputs (pull streaming)
+            force_pad = jnp.pad(force, [(0, 0), (1, 1), (1, 1)], mode="edge")
+        else:
+            force_pad = None if force.shape[0] == 0 else force
         bz_pad = (jnp.pad(bz, [(0, 0), (1, 1), (1, 1)], mode="edge")
                   if has_bouzidi else None)
         f_new, rho, u = local_step(fpad, nu, u_in=uin_pad, force=force_pad,
@@ -582,12 +591,16 @@ def make_sharded_fused_step_2d(cfg: LBMConfig, domain: Domain,
                 uin_spec = plan.spec_f
             else:
                 uin_spec = P()
-        if force is None:
+        if force_field:
+            assert force is not None and force.ndim == 3, \
+                "force_field sharded 2D step expects a [2, X, Y] force"
+            force_v, force_spec = force.astype(dt), plan.spec_f
+        elif force is None:
             force_v, force_spec = empty, P()
         else:
             force_v = jnp.asarray(force, dt)
             assert force_v.ndim <= 1, \
-                "per-site force fields (2D hooks) run on the XLA sharded step"
+                "per-site force fields need force_field=True (2D hooks)"
             force_spec = P()
         bz_v = bz_sharded if bouzidi_arr is None else bouzidi_arr
         ins = [plan.spec_f, plan.spec_site, P(), uin_spec, force_spec]

@@ -318,9 +318,11 @@ class Simulation:
             fused_want = (self.use_fused and self._fused_ok()
                           and self.cfg.lat.D == 3
                           and self.cfg.forcing_hook is None)
-            hooked_want = (self.use_fused and self._fused_ok()
-                           and self.cfg.lat.D == 3
-                           and self.cfg.forcing_hook is not None)
+            hooked_want = (self.use_fused
+                           and self.cfg.forcing_hook is not None
+                           and ((self.cfg.lat.D == 3 and self._fused_ok())
+                                or (self.cfg.lat.D == 2
+                                    and self._supports_2d_sharded())))
             if hooked_want and self.plan.divisible(self.domain):
                 # distributed IBM / non-Newtonian at fused-kernel speed
                 # (reference state.hpp:995-1015 multi-GPU hooked kernels)
