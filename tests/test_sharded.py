@@ -547,17 +547,21 @@ def test_2d_hooked_fused_sharded_matches_single():
     np.testing.assert_allclose(np.asarray(uN), np.asarray(u1), atol=2e-6)
 
 
-def test_2d_uneven_fused_sharded_matches_single():
+@pytest.mark.parametrize("shape", [(30, 14), (30, 15)], ids=["x-pad", "xy-pad"])
+def test_2d_uneven_fused_sharded_matches_single(shape):
     """Non-divisible 2D lattice (the common geometry-file case) on the
     FUSED sharded path: pad-and-crop around make_sharded_fused_step_2d,
-    Bouzidi thetas riding along == single-device XLA."""
+    Bouzidi thetas riding along == single-device XLA.  The xy-pad case
+    regression-guards the SPMD wrap-pad miscompilation (every x seam was
+    wrong when BOTH axes padded; _pad_state now builds periodic ghosts by
+    concatenation)."""
     from tests.test_fused_2d import channel_domain
     from tnl_lbm_tpu.parallel.sharded import (
         _make_uneven_sharded_step,
         make_sharded_fused_step_2d,
     )
 
-    dom = channel_domain(X=30, Y=14, bouzidi=True, seed=13)  # 30%4, 14%2 != 0
+    dom = channel_domain(X=shape[0], Y=shape[1], bouzidi=True, seed=13)
     cfg = LBMConfig(lat=D2Q9, collision=col2.collide_clbm_2d,
                     compute_dtype=jnp.float64)
     mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("x", "y"))

@@ -283,16 +283,25 @@ def _make_uneven_sharded_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan,
             if p == 0:
                 continue
             adim = f.ndim - D + a
-            pw = [(0, 0)] * fp.ndim
-            pw[adim] = (0, p)
-            fp = jnp.pad(fp, pw,
-                         mode="wrap" if domain.periodic[a] else "edge")
             if domain.periodic[a]:
-                idx = [slice(None)] * fp.ndim
-                idx[adim] = Sp[a] - 1
-                src = [slice(None)] * fp.ndim
-                src[adim] = S[a] - 1
-                fp = fp.at[tuple(idx)].set(fp[tuple(src)])
+                # ghost layers [S..Sp-1]: wrap fill, except the LAST ghost
+                # layer, which carries the true last layer (the mesh-level
+                # wrap delivers it to shard 0).  Built by CONCATENATION:
+                # jnp.pad(mode="wrap") + .at[].set miscompiles under the
+                # SPMD partitioner when the result feeds shard_map in the
+                # same jit (measured: wrong values at every x seam, 2D
+                # both-axes-padded case; the concat form is exact).
+                idx_wrap = [slice(None)] * fp.ndim
+                idx_wrap[adim] = slice(0, p - 1)
+                idx_last = [slice(None)] * fp.ndim
+                idx_last[adim] = slice(S[a] - 1, S[a])
+                fp = jnp.concatenate(
+                    [fp, fp[tuple(idx_wrap)], fp[tuple(idx_last)]],
+                    axis=adim)
+            else:
+                pw = [(0, 0)] * fp.ndim
+                pw[adim] = (0, p)
+                fp = jnp.pad(fp, pw, mode="edge")
         return fp
 
     def _pad_drive(arr, dt):
