@@ -278,6 +278,41 @@ def test_driver_sharded_fused_aa(tmp_path):
     np.testing.assert_allclose(res[0], res[1], atol=1e-6)
 
 
+def test_driver_sharded_pair_dispatch_matches_per_step(tmp_path):
+    """Sharded pair dispatch (round 3): Simulation(plan=..., use_fused=True,
+    pair_dispatch=True) advances TWO steps per dispatch through
+    make_sharded_fused_pair2_aa (halos once per pair) == the per-step
+    sharded fused driver."""
+    from tnl_lbm_tpu.sim.state import Simulation
+
+    X, Y, Z = 16, 16, 8
+    units = Lattice(global_size=(X, Y, Z), phys_origin=(0, 0, 0),
+                    phys_dl=1.0, phys_dt=1.0, phys_viscosity=0.02)
+    m = np.zeros((X, Y, Z), np.uint8)
+    m[:, 0], m[:, -1] = GEO.WALL, GEO.WALL
+    dom = Domain(lat=D3Q27, units=units, map=m, periodic=(True, False, True))
+    cfg = LBMConfig(lat=D3Q27, collision=col3.collide_srt_well,
+                    eq=eqlib.eq_well, well=True, streaming="AA",
+                    compute_dtype=jnp.float32)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("x", "y"))
+    plan = ShardPlan(mesh=mesh, spatial_axes=("x", "y", None))
+
+    class S(Simulation):
+        def body_force(self, t):
+            return np.array([2e-5, 0.0, 0.0])
+
+    res = []
+    for sid, pair in (("spd_step", False), ("spd_pair", True)):
+        s = S(cfg, dom, sim_id=sid, results_parent=tmp_path, plan=plan,
+              use_fused=True, pair_dispatch=pair)
+        s.sim_init()
+        assert s._pair_dispatch_ok() == pair
+        s._advance(4)
+        assert s.iterations == 4
+        res.append(np.asarray(jax.device_get(s.f)))
+    np.testing.assert_allclose(res[0], res[1], atol=1e-6)
+
+
 @pytest.mark.slow
 def test_3d_fused_distributed_matches_single():
     """Distributed Pallas path (ppermute halos + fused kernel) vs the

@@ -514,9 +514,11 @@ class Simulation:
         self.rho, self.u = macro(self.f)
 
     def _pair_dispatch_capable(self) -> bool:
-        """Static eligibility for the one-kernel A-A pair path."""
+        """Static eligibility for the one-kernel A-A pair path (round 3:
+        sharded runs qualify too - make_sharded_fused_pair2_aa exchanges
+        halos once per TWO steps, half the per-step sync traffic)."""
         return (
-            self.plan is None
+            (self.plan is None or self.plan.divisible(self.domain))
             and self.use_fused
             and self.cfg.streaming == "AA"
             and self.cfg.forcing_hook is None
@@ -588,32 +590,55 @@ class Simulation:
 
     def _ensure_pair2_jits(self):
         """Build (once) the jitted one-kernel A-A pair + pad/unpad helpers
-        (kernels/fused_aa.py make_fused_pair2_aa)."""
-        from tnl_lbm_tpu.kernels.fused_aa import (
-            from_padded_aa,
-            make_fused_pair2_aa,
-            to_padded_aa,
-        )
-
+        (kernels/fused_aa.py make_fused_pair2_aa; sharded:
+        parallel/sharded.py make_sharded_fused_pair2_aa - halos move ONCE
+        per TWO steps, half the per-step sync traffic)."""
         if "pair2" in self._jit_steps:
             return
-        pair = make_fused_pair2_aa(self.cfg, self.domain)
+        if self.plan is None:
+            from tnl_lbm_tpu.kernels.fused_aa import (
+                from_padded_aa,
+                make_fused_pair2_aa,
+                to_padded_aa,
+            )
+
+            pair = make_fused_pair2_aa(self.cfg, self.domain)
+
+            def pair_call(fpad, nu, u_in, force):
+                return pair(fpad, nu, u_in=u_in, force=force)
+
+            pad_fn = lambda f: to_padded_aa(f, self.domain.periodic)  # noqa: E731
+            unpad_fn = lambda fp: from_padded_aa(fp, self.domain.shape[-1])  # noqa: E731
+        else:
+            from tnl_lbm_tpu.parallel.sharded import (
+                from_padded_aa_sharded,
+                make_sharded_fused_pair2_aa,
+                to_padded_aa_sharded,
+            )
+
+            spair = make_sharded_fused_pair2_aa(self.cfg, self.domain,
+                                                self.plan)
+
+            def pair_call(fpad, nu, u_in, force):
+                return spair(fpad, self._map_sharded, nu,
+                             u_in=u_in, force=force)
+
+            pad_fn = lambda f: to_padded_aa_sharded(f, self.plan, self.domain)  # noqa: E731
+            unpad_fn = lambda fp: from_padded_aa_sharded(fp, self.plan, self.domain)  # noqa: E731
         self._jit_steps["pair2"] = {
             key: jax.jit(
-                lambda fpad, nu, u_in, force, key=key: pair(
+                lambda fpad, nu, u_in, force, key=key: pair_call(
                     fpad, nu,
-                    u_in=u_in if key[0] else None,
-                    force=force if key[1] else None,
+                    u_in if key[0] else None,
+                    force if key[1] else None,
                 )
             )
             for key in ((False, False), (True, False), (False, True), (True, True))
         }
         # eager pad/unpad would issue one RPC per op on tunneled TPU
         # backends (~30 ms each) - jit them
-        self._jit_steps["pair2_pad"] = jax.jit(
-            lambda f: to_padded_aa(f, self.domain.periodic))
-        self._jit_steps["pair2_unpad"] = jax.jit(
-            lambda fp: from_padded_aa(fp, self.domain.shape[-1]))
+        self._jit_steps["pair2_pad"] = jax.jit(pad_fn)
+        self._jit_steps["pair2_unpad"] = jax.jit(unpad_fn)
 
     def _advance_pairs(self, n_pairs: int, nu):
         """Advance 2*n_pairs steps through the one-kernel A-A pair
