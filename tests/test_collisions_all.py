@@ -116,3 +116,30 @@ def test_mrt_les_smagorinsky_increases_dissipation():
     d_les = float(jnp.abs(f_les - feq).sum())
     d_noles = float(jnp.abs(f_noles - feq).sum())
     assert d_les <= d_noles * 1.0001
+
+
+def test_cumulant_cascade_op_budget():
+    """Round-3's trace-time zero folding + per-axis factorization cut the
+    cumulant collision to 727 (CUM_WELL) / 644 (CUM) post-DCE traced ops
+    (docs/PERFORMANCE.md table; the headline kernel is VPU-bound, so op
+    count is the throughput proxy).  Guard against silent regrowth."""
+    import jax
+    import jax.numpy as jnp
+    from jax.interpreters import partial_eval as pe
+
+    from tnl_lbm_tpu.models import D3Q27
+    from tnl_lbm_tpu.ops import collision as col
+
+    def count_ops(collide):
+        shape = (4, 8, 16)
+        f = jnp.ones((27,) + shape, jnp.float32) * 0.03
+        rho = jnp.ones(shape, jnp.float32)
+        u = jnp.ones((3,) + shape, jnp.float32) * 0.01
+        jaxpr = jax.make_jaxpr(
+            lambda f, rho, u: collide(D3Q27, f, rho, u, 0.02))(f, rho, u)
+        dced, _ = pe.dce_jaxpr(jaxpr.jaxpr,
+                               [True] * len(jaxpr.jaxpr.outvars))
+        return len(dced.eqns)
+
+    assert count_ops(col.collide_cum_well) <= 750
+    assert count_ops(col.collide_cum) <= 670
