@@ -110,6 +110,24 @@ def test_uneven_lattice_3d_matches_single():
     _compare(cfg, dom, plan, n_steps=4, force=jnp.array([1e-5, 0.0, 0.0]))
 
 
+def test_uneven_lattice_pad1_periodic_matches_single():
+    """Periodic sharded axis whose round-up pad is exactly ONE layer
+    (19 over a 4-mesh -> 20): the single ghost layer cannot be both the
+    wrap layer (f[0]) and the ring carrier (f[S-1]) - the wrapper must pad
+    an extra mesh multiple (ADVICE r3 high: the 18->20 pad-2 test happened
+    to avoid this; 19->20 diverged ~1.6e-2 at the seam planes)."""
+    X, Y, Z = 19, 12, 8
+    units = Lattice(global_size=(X, Y, Z), phys_origin=(0, 0, 0), phys_dl=1.0, phys_dt=1.0)
+    m = np.zeros((X, Y, Z), np.uint8)
+    m[:, 0], m[:, -1] = GEO.WALL, GEO.WALL
+    dom = Domain(lat=D3Q27, units=units, map=m, periodic=(True, False, True))
+    cfg = LBMConfig(lat=D3Q27, collision=col3.collide_srt, compute_dtype=jnp.float64)
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("x", "y"))
+    plan = ShardPlan(mesh=mesh, spatial_axes=("x", "y", None))
+    assert not plan.divisible(dom) and plan.padded_shape(dom) == (20, 12, 8)
+    _compare(cfg, dom, plan, n_steps=3, force=jnp.array([1e-5, 0.0, 0.0]))
+
+
 def test_uneven_lattice_2d_bouzidi_matches_single():
     """Uneven decomposition composes with the Bouzidi curved-wall pipeline
     (thetas pad with the state) - 30x14 over a 4x2 mesh."""

@@ -242,7 +242,17 @@ def _make_uneven_sharded_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan,
     if inner_builder is None:
         inner_builder = make_sharded_step
     S = domain.shape
-    Sp = plan.padded_shape(domain)
+    Sp = list(plan.padded_shape(domain))
+    for a, name in enumerate(plan.spatial_axes):
+        if name is not None and domain.periodic[a] and Sp[a] - S[a] == 1:
+            # Pad-1 periodic axis: the single ghost layer would have to be
+            # both the wrap layer (f[0], read by the true last site's +dir
+            # pull) and the ring carrier (f[S-1], which the mesh wrap
+            # delivers to shard 0's left ghost).  Pad one extra mesh
+            # multiple so the two roles land on distinct layers; the extra
+            # ghost sites' outputs are cropped like any others.
+            Sp[a] += plan.mesh.shape[name]
+    Sp = tuple(Sp)
     pads = [(0, p - s) for s, p in zip(S, Sp)]
     D = cfg.lat.D
     hook = cfg.forcing_hook
