@@ -206,8 +206,17 @@ def test_per_shard_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(arrays["f"], big)
     np.testing.assert_array_equal(arrays["s"], small)
 
+    # a foreign epoch's shard file (a concurrent writer's in-flight save,
+    # ADVICE r3) must survive the GC; only the superseded epoch's files go
+    foreign = tmp_path / "checkpoint_shard000_999.npz"
+    np.savez(foreign, x=np.zeros(1))
+    legacy = tmp_path / "checkpoint_shard001.npz"
+    np.savez(legacy, x=np.zeros(1))
+
     # a second save garbage-collects the previous epoch's shard files
     ckpt.save_checkpoint(tmp_path, {"f": sharded, "s": small}, {"iterations": 43})
+    assert foreign.exists() and not legacy.exists()
+    foreign.unlink()
     assert len(list(tmp_path.glob("checkpoint_shard*.npz"))) == 8
     _, meta2 = ckpt.load_checkpoint(tmp_path)
     assert meta2["iterations"] == 43

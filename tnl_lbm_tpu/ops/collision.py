@@ -125,7 +125,12 @@ def _tensor_as_f(lat, T):
         for q in range(lat.Q)
     ]
     # trace-time zero folding can leave Python floats; materialize them
-    ref = next(v for v in vals if not isinstance(v, (int, float)))
+    ref = next((v for v in vals if not isinstance(v, (int, float))), None)
+    if ref is None:
+        raise ValueError(
+            "_tensor_as_f: every lattice direction folded to a Python "
+            "scalar at trace time - no traced array to take shape/dtype "
+            "from (pass at least one traced component)")
     vals = [jnp.full(ref.shape, v, ref.dtype) if isinstance(v, (int, float))
             else v for v in vals]
     return jnp.stack(vals)

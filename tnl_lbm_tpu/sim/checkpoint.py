@@ -101,6 +101,21 @@ def save_checkpoint(directory, arrays: dict, meta: dict,
 
         native.flush()
 
+    # the epoch this save supersedes: whatever the currently-published
+    # checkpoint references.  GC below is scoped to THAT epoch (plus the
+    # legacy unsuffixed layout) so a second writer sharing the directory
+    # never has its in-flight shard files collected out from under it
+    # (ADVICE r3).
+    prev_epoch = None
+    if shard_payloads and final.exists():
+        try:
+            with np.load(final) as old:
+                if "__meta__" in old.files:
+                    prev_epoch = json.loads(
+                        bytes(old["__meta__"]).decode()).get("__epoch__")
+        except Exception:
+            prev_epoch = None
+
     meta = dict(meta)
     if shard_meta:
         meta["__shards__"] = shard_meta
@@ -114,14 +129,17 @@ def save_checkpoint(directory, arrays: dict, meta: dict,
 
             native.flush()
         # only now is the new checkpoint fully committed: garbage-collect
-        # shard files from previous epochs (and legacy unsuffixed ones)
-        keep = {f"checkpoint_shard{i:03d}_{epoch}.npz" for i in shard_payloads}
-        for p in directory.glob("checkpoint_shard*.npz"):
-            if p.name not in keep:
-                try:
-                    p.unlink()
-                except OSError:
-                    pass
+        # the shard files THIS save superseded - the previous published
+        # epoch and the legacy unsuffixed layout, never other epochs that
+        # may belong to a concurrent writer
+        doomed = list(directory.glob("checkpoint_shard???.npz"))
+        if prev_epoch is not None and prev_epoch != epoch:
+            doomed += directory.glob(f"checkpoint_shard*_{prev_epoch}.npz")
+        for p in doomed:
+            try:
+                p.unlink()
+            except OSError:
+                pass
     return final
 
 

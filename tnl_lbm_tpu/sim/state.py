@@ -42,6 +42,9 @@ from tnl_lbm_tpu.sim.step import make_step
 from tnl_lbm_tpu.utils.fileutils import FileLock, Flags, mkdir_p
 from tnl_lbm_tpu.utils.logging_utils import get_logger, init_logging
 
+# sentinel distinguishing "no precomputed inflow" from a None inflow
+_UNSET = object()
+
 # counter names (reference state.h:73-87)
 STAT_RESET = "stat_reset"
 STAT2_RESET = "stat2_reset"
@@ -640,7 +643,7 @@ class Simulation:
         self._jit_steps["pair2_pad"] = jax.jit(pad_fn)
         self._jit_steps["pair2_unpad"] = jax.jit(unpad_fn)
 
-    def _advance_pairs(self, n_pairs: int, nu):
+    def _advance_pairs(self, n_pairs: int, nu, uin0=_UNSET):
         """Advance 2*n_pairs steps through the one-kernel A-A pair
         (kernels/fused_aa.py make_fused_pair2_aa).
 
@@ -656,8 +659,9 @@ class Simulation:
         dt = self.cfg.compute_dtype
         zero = jnp.zeros((self.cfg.lat.D,), dt)
         fpad = self._jit_steps["pair2_pad"](self.f)
-        for _ in range(n_pairs):
-            u_in = self.update_inflow(self.phys_time())
+        for i in range(n_pairs):
+            u_in = (uin0 if i == 0 and uin0 is not _UNSET
+                    else self.update_inflow(self.phys_time()))
             force = self.body_force(self.phys_time())
             self.compute_before_step()
             jfn = self._jit_steps["pair2"][(u_in is not None, force is not None)]
@@ -681,22 +685,25 @@ class Simulation:
         advancing - used at init)."""
         nu = jnp.asarray(self.domain.units.lbm_viscosity(), self.cfg.compute_dtype)
         t0 = time.perf_counter()
-        def _uin_is_vector():
-            # pair2's kernel takes vector u_in only; profile inflows
-            # stay on the per-step loop (which reroutes them to XLA)
-            uin = self.update_inflow(self.phys_time())
-            return uin is None or jnp.ndim(uin) <= 1
-
+        # update_inflow is a user-overridable (possibly stateful/expensive)
+        # hook: evaluate it ONCE here and reuse it for both the
+        # pair-dispatch vector check and the first step (ADVICE r3)
+        uin0 = self.update_inflow(self.phys_time())
+        # pair2's kernel takes vector u_in only; profile inflows stay on
+        # the per-step loop (which reroutes them to XLA)
         if (n_steps >= 2 and self.iterations % 2 == 0
-                and self._pair_dispatch_ok() and _uin_is_vector()):
+                and self._pair_dispatch_ok()
+                and (uin0 is None or jnp.ndim(uin0) <= 1)):
             n_pairs, n_steps = divmod(n_steps, 2)
-            self._advance_pairs(n_pairs, nu)
+            self._advance_pairs(n_pairs, nu, uin0=uin0)
+            uin0 = _UNSET  # phys_time moved on; leftover step re-evaluates
             if n_steps == 0:
                 jax.block_until_ready(self.f)
                 self._compute_time += time.perf_counter() - t0
                 return
         for _ in range(n_steps):
-            u_in = self.update_inflow(self.phys_time())
+            u_in = uin0 if uin0 is not _UNSET else self.update_inflow(self.phys_time())
+            uin0 = _UNSET
             force = self.body_force(self.phys_time())
             parity = (self.iterations % 2) if self.cfg.streaming == "AA" else 0
             jfn = self._jit_step(parity, u_in is not None, force is not None,
