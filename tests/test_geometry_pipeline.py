@@ -111,11 +111,14 @@ def test_png_projection(tmp_path):
 
 
 @pytest.mark.slow
-def test_golden_geometry_value_regression(tmp_path):
+@pytest.mark.parametrize("geo,bouzidi", [(1, True), (4, True), (4, False), (6, True)])
+def test_golden_geometry_value_regression(tmp_path, geo, bouzidi):
     """Golden-value regression against the TPU-measured sweep
     (tests/golden/geometry_ke_values_tpu.csv, produced by
-    scripts/make_golden_geometries.py + run_all_geometries.py): geometry 1
-    with Bouzidi must reproduce the recorded KE integral."""
+    scripts/make_golden_geometries.py + run_all_geometries.py), sampling
+    several geometries and both Bouzidi settings - not just geometry 1
+    (VERDICT r3): each sampled row must reproduce the recorded KE
+    integral."""
     import csv
     import subprocess
     import sys
@@ -132,13 +135,13 @@ def test_golden_geometry_value_regression(tmp_path):
         for r in csv.DictReader(open(root / "tests/golden/geometry_ke_values_tpu.csv"))
     }
     sim = sim2d_3.build(
-        1, str(tmp_path / "geos" / "1.txt"), enable_bouzidi=True,
+        1, str(tmp_path / "geos" / f"{geo}.txt"), enable_bouzidi=bouzidi,
         final_time=0.4, results_parent=tmp_path,
         values_dir=tmp_path / "values",
     )
     assert sim.run()
-    v = float((tmp_path / "values" / "value_1.txt").read_text())
-    ref = golden[("1.txt", "on")]
+    v = float((tmp_path / "values" / f"value_{geo}.txt").read_text())
+    ref = golden[(f"{geo}.txt", "on" if bouzidi else "off")]
     assert abs(v - ref) <= 5e-3 * abs(ref), (v, ref)
 
 
