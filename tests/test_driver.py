@@ -328,6 +328,61 @@ def test_pair_dispatch_matches_per_step(tmp_path):
     sim._lock.release()
 
 
+def test_needs_per_step_state_hook_disables_pair_dispatch(tmp_path):
+    """A compute_after_step override marked @needs_per_step_state (it reads
+    self.f) disables pair dispatch by construction (VERDICT r3 item 8), so
+    the hook observes FRESH per-step DFs instead of the chunk-start
+    snapshot; an unmarked hook keeps the config pair-capable."""
+    import numpy as np
+
+    from tnl_lbm_tpu.models import D3Q27
+    from tnl_lbm_tpu.ops import collision as col
+    from tnl_lbm_tpu.sim import Domain, LBMConfig
+    from tnl_lbm_tpu.sim.state import Simulation, needs_per_step_state
+    from tnl_lbm_tpu.utils import Lattice
+
+    X, Y, Z = 8, 16, 8
+    m = np.zeros((X, Y, Z), np.uint8)
+    m[:, 0] = m[:, -1] = GEO.WALL
+    units = Lattice((X, Y, Z), (0, 0, 0), 1.0, 1.0)
+    dom = Domain(lat=D3Q27, units=units, map=m, periodic=(True, False, True))
+    cfg = LBMConfig(lat=D3Q27, collision=col.collide_srt, streaming="AA")
+
+    class FreshSim(Simulation):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self.f_sums = []
+
+        def body_force(self, t):
+            return np.array([1e-5, 0.0, 0.0])
+
+        @needs_per_step_state
+        def compute_after_step(self):
+            self.f_sums.append(hash(np.asarray(self.f).tobytes()))
+
+    class PlainSim(Simulation):
+        def body_force(self, t):
+            return np.array([1e-5, 0.0, 0.0])
+
+    sim = FreshSim(cfg, dom, sim_id="npss", results_parent=tmp_path,
+                   use_fused=True, pair_dispatch=True, phys_final_time=1.0)
+    sim.sim_init()
+    assert sim._hooks_need_per_step_state()
+    assert not sim._pair_dispatch_ok()  # marked hook vetoes pair dispatch
+    sim._advance(4)
+    assert len(sim.f_sums) == 4
+    # fresh DFs every step: the forced flow strictly changes the state
+    assert len(set(sim.f_sums)) == 4
+    sim._lock.release()
+
+    plain = PlainSim(cfg, dom, sim_id="npss_plain", results_parent=tmp_path,
+                     use_fused=True, pair_dispatch=True, phys_final_time=1.0)
+    plain.sim_init()
+    assert not plain._hooks_need_per_step_state()
+    assert plain._pair_dispatch_ok()
+    plain._lock.release()
+
+
 def test_fused_profile_inflow_reroute_mechanism(tmp_path):
     """The fused 3D kernels take vector u_in only; a per-site inflow
     PROFILE must reroute through the lazily-built XLA fallback step (full

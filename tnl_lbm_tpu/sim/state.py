@@ -45,6 +45,21 @@ from tnl_lbm_tpu.utils.logging_utils import get_logger, init_logging
 # sentinel distinguishing "no precomputed inflow" from a None inflow
 _UNSET = object()
 
+
+def needs_per_step_state(fn):
+    """Decorator marking a ``compute_before_step``/``compute_after_step``
+    override as reading the per-step lattice state (``self.f``).
+
+    Under pair dispatch the DFs live in a padded local buffer for the whole
+    dispatch chunk and ``self.f`` holds the chunk-start snapshot - a hook
+    reading it would silently see stale data.  Decorated hooks disable pair
+    dispatch by construction (``_pair_dispatch_capable``), so they always
+    observe fresh DFs.  Hooks that only read ``self.rho``/``self.u`` (fresh
+    under pair dispatch too) need no marker.
+    """
+    fn.needs_per_step_state = True
+    return fn
+
 # counter names (reference state.h:73-87)
 STAT_RESET = "stat_reset"
 STAT2_RESET = "stat2_reset"
@@ -526,8 +541,18 @@ class Simulation:
             and self.cfg.streaming == "AA"
             and self.cfg.forcing_hook is None
             and self.cfg.lat.D == 3
+            and not self._hooks_need_per_step_state()
             and self._fused_ok()
         )
+
+    def _hooks_need_per_step_state(self) -> bool:
+        """True if a step hook is marked @needs_per_step_state (it reads
+        self.f and must not run against a chunk-start snapshot)."""
+        if getattr(self, "needs_per_step_state", False):
+            return True
+        return any(
+            getattr(getattr(self, name), "needs_per_step_state", False)
+            for name in ("compute_before_step", "compute_after_step"))
 
     def _pair_dispatch_ok(self) -> bool:
         return self.pair_dispatch is True and self._pair_dispatch_capable()
@@ -653,8 +678,9 @@ class Simulation:
         and is only refreshed after the loop.  ``compute_before_step`` /
         ``compute_after_step`` hooks that read ``self.f`` therefore see
         stale DFs under pair dispatch; ``self.rho`` / ``self.u`` ARE fresh
-        (updated per pair).  Hooks that need per-step DF access should run
-        with ``pair_dispatch=False``."""
+        (updated per pair).  Hooks that need per-step DF access should be
+        decorated ``@needs_per_step_state`` (or set the instance attribute),
+        which disables pair dispatch by construction."""
         self._ensure_pair2_jits()
         dt = self.cfg.compute_dtype
         zero = jnp.zeros((self.cfg.lat.D,), dt)
