@@ -390,6 +390,31 @@ def test_choose_plan_optimizer():
     # allow_z widens the search space
     plan3 = choose_plan(dom, devices, allow_z=True)
     assert tuple(plan3.mesh.shape[a] for a in ("x", "y", "z")) == (8, 1, 1)
+    # multi-axis split beats any single-axis split when the weighted plane
+    # areas warrant, matching decomposeBlockOptimal's multi-axis optimum:
+    # (4,2,1) costs 3*(120*8)*1 + 1*(16*8)*8 = 3904 < 6720 for (8,1,1)
+    units4 = Lattice((16, 120, 8), (0, 0, 0), 1.0, 1.0)
+    dom4 = Domain(lat=D3Q27, units=units4, map=np.zeros((16, 120, 8), np.uint8))
+    plan4 = choose_plan(dom4, devices)
+    assert tuple(plan4.mesh.shape[a] for a in ("x", "y", "z")) == (4, 2, 1)
+    # periodicity counts interfaces like the reference objective (a
+    # periodic axis has n interfaces, not n-1): on an exact-tie 2D lattice
+    # (x-cut 1*128*1 == y-cut 1*16*8) the extra wrap interface flips the
+    # decision away from the periodic axis
+    units5 = Lattice((16, 128), (0, 0), 1.0, 1.0)
+    m5 = np.zeros((16, 128), np.uint8)
+    dom5a = Domain(lat=D2Q9, units=units5, map=m5)
+    plan5a = choose_plan(dom5a, devices[:2])
+    assert tuple(plan5a.mesh.shape[a] for a in ("x", "y")) == (2, 1)
+    dom5b = Domain(lat=D2Q9, units=units5, map=m5, periodic=(True, False))
+    plan5b = choose_plan(dom5b, devices[:2])
+    assert tuple(plan5b.mesh.shape[a] for a in ("x", "y")) == (1, 2)
+    # 2D channel app shape: x cuts move contiguous rows -> x-major split
+    # (the reference decomposeLattice_D1Q3 default, lattice_decomposition.h:16-55)
+    units6 = Lattice((128, 32), (0, 0), 1.0, 1.0)
+    dom6 = Domain(lat=D2Q9, units=units6, map=np.zeros((128, 32), np.uint8))
+    plan6 = choose_plan(dom6, devices)
+    assert tuple(plan6.mesh.shape[a] for a in ("x", "y")) == (8, 1)
 
 
 @pytest.mark.slow
