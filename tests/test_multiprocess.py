@@ -1,0 +1,99 @@
+"""Multi-process (multi-host analog) runtime: 2 spawned processes x 4
+virtual CPU devices run the SAME sharded simulation as one process, with
+coordinator-gated host I/O and per-process shard checkpointing
+(VERDICT r3 item 2; reference multi-rank driver state.hpp:677-737).
+
+The workers live in tests/mp_worker.py; this test spawns them, lets them
+rendezvous over localhost, and compares the gathered multi-process result
+against an in-process single-controller run of the identical setup.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_run_matches_single_process(tmp_path):
+    root = Path(__file__).resolve().parents[1]
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(root)
+    env.pop("JAX_PLATFORMS", None)  # worker sets platform itself
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(root / "tests" / "mp_worker.py"),
+             str(rank), "2", str(port), str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for rank in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {rank} failed:\n{out[-4000:]}"
+    assert (tmp_path / "worker_ok").exists()
+
+    # the multi-process run wrote coordinator-gated artifacts exactly once
+    results = tmp_path / "results_mp"
+    assert (results / "checkpoint.npz").exists()
+    assert (results / "flag.loadstate").exists()
+    assert list((results / "vtk3D").glob("*.vti"))
+    # per-process log files (rank-0 unsuffixed, rank-1 suffixed)
+    assert (results / "log_main").exists()
+    assert (results / "log_main_p1").exists()
+    # checkpoint shard files: one per canonical-owner device, same epoch
+    shards = list(results.glob("checkpoint_shard*_*.npz"))
+    assert len(shards) == 8
+
+    # ---- single-process reference of the identical setup ----------------
+    import jax
+    import jax.numpy as jnp
+
+    from tnl_lbm_tpu.models import D3Q27
+    from tnl_lbm_tpu.ops import collision as col
+    from tnl_lbm_tpu.ops.boundary import GEO
+    from tnl_lbm_tpu.sim import Domain, LBMConfig
+    from tnl_lbm_tpu.sim.state import Simulation
+    from tnl_lbm_tpu.utils import Lattice
+
+    X, Y, Z = 16, 8, 8
+    m = np.zeros((X, Y, Z), np.uint8)
+    m[:, 0] = m[:, -1] = GEO.WALL
+    units = Lattice((X, Y, Z), (0, 0, 0), 1.0, 1.0)
+    dom = Domain(lat=D3Q27, units=units, map=m, periodic=(True, False, True))
+    cfg = LBMConfig(lat=D3Q27, collision=col.collide_srt,
+                    compute_dtype=jnp.float64)
+
+    class Sim(Simulation):
+        def body_force(self, t):
+            return np.array([1e-5, 0.0, 0.0])
+
+    ref = Sim(cfg, dom, sim_id="mp_ref", results_parent=tmp_path,
+              phys_final_time=1e9)
+    ref.sim_init()
+    ref._advance(8)
+    ref._lock.release()
+
+    got = np.load(tmp_path / "worker_result.npz")
+    np.testing.assert_allclose(got["f8"], np.asarray(ref.f), atol=1e-12)
+    np.testing.assert_allclose(got["rho8"], np.asarray(ref.rho), atol=1e-12)
+    np.testing.assert_allclose(got["u8"], np.asarray(ref.u), atol=1e-12)
+    assert jax.process_count() == 1  # the parent stayed single-process

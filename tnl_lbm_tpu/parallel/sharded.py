@@ -85,7 +85,17 @@ class ShardPlan:
                 continue
             if arr.shape[offset + i] % self.mesh.shape[name] != 0:
                 axes[offset + i] = None
-        return jax.device_put(arr, NamedSharding(self.mesh, P(*axes)))
+        sharding = NamedSharding(self.mesh, P(*axes))
+        if jax.process_count() > 1:
+            # multi-process: every process holds the full host array (setup
+            # data: geometry, initial DFs) and materializes only the shards
+            # its local devices own - the analog of the reference ranks
+            # each building their own LBM_BLOCK from the global extents
+            # (lattice_decomposition.h:16-55)
+            host = np.asarray(arr)
+            return jax.make_array_from_callback(
+                host.shape, sharding, lambda idx: host[idx])
+        return jax.device_put(arr, sharding)
 
 
 def default_plan(domain: Domain, devices=None) -> ShardPlan:

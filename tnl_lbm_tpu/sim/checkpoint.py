@@ -6,21 +6,31 @@ arrays as flat blobs, written to a temp file and atomically published via
 rename-exchange, then the "loadstate" flag is created so a rerun resumes
 (reference state.hpp:739-770).
 
-Sharded state is written PER SHARD (reference writes per-block variables,
-checkpoint.h:58-101): each device's shard is fetched and serialized as its
-own ``checkpoint_shard{i}_{epoch}.npz`` - no multi-GB whole-state host
-gather stalls the pipeline, and with ``background=True`` the native C++
-writer pool streams the shard blobs in parallel.
+Sharded state is written PER DEVICE (reference writes per-block variables,
+checkpoint.h:58-101): each device's shard is serialized as its own
+``checkpoint_shard{i}_{epoch}.npz`` where ``i`` is the device's position in
+the id-sorted global device set - no multi-GB whole-state host gather
+stalls the pipeline, and with ``background=True`` the native C++ writer
+pool streams the shard blobs in parallel.
+
+Multi-process runs (parallel/distributed.py, the analog of the reference's
+per-rank MPI checkpointing, state.hpp:677-737): every process writes the
+shard files its local devices own, the epoch token is broadcast from the
+coordinator so all files carry the same epoch, a barrier orders the shard
+writes before the coordinator publishes the meta-bearing main file, and
+only the coordinator garbage-collects.  Loading assumes a shared
+filesystem (every process reads all shard files) - the same assumption the
+reference's per-rank ADIOS2 streams make.
 
 Crash safety: shard files are EPOCH-SUFFIXED (never overwritten in place),
 the writer pool is flushed before the meta-bearing main ``checkpoint.npz``
 is atomically published (so the commit point really commits - the shards it
-references are already on disk), and stale-epoch shard files are deleted
-only after the main file landed.  A crash at ANY point therefore leaves
-either the previous complete checkpoint or the new complete checkpoint.
-Each shard file additionally carries an ``__epoch__`` token that
-``load_checkpoint`` verifies - a torn state (e.g. hand-copied files) raises
-instead of silently resuming from mixed epochs.
+references are already on disk), and the superseded epoch's shard files are
+deleted only after the main file landed.  A crash at ANY point therefore
+leaves either the previous complete checkpoint or the new complete
+checkpoint.  Each shard file additionally carries an ``__epoch__`` token
+that ``load_checkpoint`` verifies - a torn state (e.g. hand-copied files)
+raises instead of silently resuming from mixed epochs.
 """
 
 from __future__ import annotations
@@ -51,95 +61,129 @@ def _write_npz(path: Path, payload: dict, background: bool) -> None:
     rename_exchange(tmp, path)
 
 
+def _norm_index(idx, shape):
+    """Slice tuple -> [[start, stop], ...] with Nones resolved."""
+    out = []
+    for dim, sl in enumerate(idx):
+        start = 0 if sl.start is None else int(sl.start)
+        stop = shape[dim] if sl.stop is None else int(sl.stop)
+        out.append([start, stop])
+    return out
+
+
 def save_checkpoint(directory, arrays: dict, meta: dict,
                     background: bool = False) -> Path:
     """Save ``arrays`` (name -> device/host array) + ``meta`` (JSON-able).
 
     Publishes ``<dir>/checkpoint.npz`` atomically; returns the path.
-    Arrays sharded over multiple devices are written per shard (see module
+    Arrays sharded over multiple devices are written per device (see module
     docstring).  With ``background=True`` blobs go to the native C++ writer
     pool (io/native.py) so a multi-GB checkpoint does not block the
     simulation loop; call ``io.native.flush()`` before relying on the file.
+    Collective in multi-process runs: every process must call it.
     """
+    from tnl_lbm_tpu.parallel import distributed as dist
+
     directory = Path(directory)
     mkdir_p(directory)
     final = directory / "checkpoint.npz"
-    epoch = time.time_ns()
+    epoch = dist.broadcast_int(time.time_ns())
+    coordinator = dist.is_coordinator()
 
     host = {}
-    shard_payloads = {}  # file index -> {key -> shard ndarray}
+    file_payloads = {}   # global device position -> {key -> shard ndarray}
     shard_meta = {}      # key -> {"shape", "dtype", "parts": [[i, [[s,e],..]]]}
     for k, v in arrays.items():
-        shards = getattr(v, "addressable_shards", None)
-        if shards is not None and len(shards) > 1:
+        sharding = getattr(v, "sharding", None)
+        dev_set = getattr(sharding, "device_set", None)
+        if dev_set is not None and len(dev_set) > 1:
+            gdevs = sorted(dev_set, key=lambda d: d.id)
+            gpos = {d: i for i, d in enumerate(gdevs)}
+            imap = sharding.devices_indices_map(v.shape)
+            # canonical owner per distinct region: the first device in the
+            # id-sorted global order (dedupes replicated axes so coverage
+            # in load_checkpoint tiles the array exactly once)
+            owner = {}
             parts = []
-            for s in shards:
-                idx = []
-                for dim, sl in enumerate(s.index):
-                    start = 0 if sl.start is None else int(sl.start)
-                    stop = v.shape[dim] if sl.stop is None else int(sl.stop)
-                    idx.append([start, stop])
-                i = len(parts)
-                shard_payloads.setdefault(i, {})[k] = np.asarray(
-                    jax.device_get(s.data))
-                parts.append([i, idx])
+            for d in gdevs:
+                idx = _norm_index(imap[d], v.shape)
+                key = tuple(map(tuple, idx))
+                if key in owner:
+                    continue
+                owner[key] = d
+                parts.append([gpos[d], idx])
             shard_meta[k] = {
                 "shape": list(v.shape), "dtype": str(v.dtype), "parts": parts}
-        else:
+            for s in v.addressable_shards:
+                idx = _norm_index(imap[s.device], v.shape)
+                if owner.get(tuple(map(tuple, idx))) is s.device:
+                    file_payloads.setdefault(gpos[s.device], {})[k] = (
+                        np.asarray(jax.device_get(s.data)))
+        elif coordinator:
             host[k] = np.asarray(jax.device_get(v))
 
-    for i, payload in shard_payloads.items():
+    for i, payload in file_payloads.items():
         payload = dict(payload)
         payload["__epoch__"] = np.asarray(epoch, np.int64)
         _write_npz(directory / f"checkpoint_shard{i:03d}_{epoch}.npz",
                    payload, background)
-    if shard_payloads and background:
-        # commit-point ordering: the shard blobs must be on disk before the
-        # meta file that references them is published (ADVICE r2: the
-        # 2-thread pool gives no ordering guarantee on its own)
-        from tnl_lbm_tpu.io import native
-
-        native.flush()
-
-    # the epoch this save supersedes: whatever the currently-published
-    # checkpoint references.  GC below is scoped to THAT epoch (plus the
-    # legacy unsuffixed layout) so a second writer sharing the directory
-    # never has its in-flight shard files collected out from under it
-    # (ADVICE r3).
-    prev_epoch = None
-    if shard_payloads and final.exists():
-        try:
-            with np.load(final) as old:
-                if "__meta__" in old.files:
-                    prev_epoch = json.loads(
-                        bytes(old["__meta__"]).decode()).get("__epoch__")
-        except Exception:
-            prev_epoch = None
-
-    meta = dict(meta)
     if shard_meta:
-        meta["__shards__"] = shard_meta
-        meta["__epoch__"] = epoch
-    host["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
-    # the meta-bearing main file last: its atomic swap commits the checkpoint
-    _write_npz(final, host, background)
-    if shard_payloads:
         if background:
+            # commit-point ordering: the shard blobs must be on disk before
+            # the meta file that references them is published (ADVICE r2:
+            # the 2-thread pool gives no ordering guarantee on its own)
             from tnl_lbm_tpu.io import native
 
             native.flush()
-        # only now is the new checkpoint fully committed: garbage-collect
-        # the shard files THIS save superseded - the previous published
-        # epoch and the legacy unsuffixed layout, never other epochs that
-        # may belong to a concurrent writer
-        doomed = list(directory.glob("checkpoint_shard???.npz"))
-        if prev_epoch is not None and prev_epoch != epoch:
-            doomed += directory.glob(f"checkpoint_shard*_{prev_epoch}.npz")
-        for p in doomed:
+        # ... and in multi-process runs every OTHER process's blobs too
+        dist.barrier("checkpoint-shards")
+
+    if coordinator:
+        # the epoch this save supersedes: whatever the currently-published
+        # checkpoint references.  GC below is scoped to THAT epoch (plus
+        # the legacy unsuffixed layout) so a second writer sharing the
+        # directory never has its in-flight shard files collected out from
+        # under it (ADVICE r3).
+        prev_epoch = None
+        if shard_meta and final.exists():
             try:
-                p.unlink()
-            except OSError:
-                pass
+                with np.load(final) as old:
+                    if "__meta__" in old.files:
+                        prev_epoch = json.loads(
+                            bytes(old["__meta__"]).decode()).get("__epoch__")
+            except Exception:
+                prev_epoch = None
+
+        meta = dict(meta)
+        if shard_meta:
+            meta["__shards__"] = shard_meta
+            meta["__epoch__"] = epoch
+        host["__meta__"] = np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8)
+        # the meta-bearing main file last: its atomic swap commits the
+        # checkpoint
+        _write_npz(final, host, background)
+        if shard_meta:
+            if background:
+                from tnl_lbm_tpu.io import native
+
+                native.flush()
+            # only now is the new checkpoint fully committed:
+            # garbage-collect the shard files THIS save superseded - the
+            # previous published epoch and the legacy unsuffixed layout,
+            # never other epochs that may belong to a concurrent writer
+            doomed = list(directory.glob("checkpoint_shard???.npz"))
+            if prev_epoch is not None and prev_epoch != epoch:
+                doomed += directory.glob(f"checkpoint_shard*_{prev_epoch}.npz")
+            for p in doomed:
+                try:
+                    p.unlink()
+                except OSError:
+                    pass
+    # no process returns before the checkpoint is committed (a non-
+    # coordinator racing into the next save would broadcast a fresh epoch
+    # while the coordinator still references this one)
+    dist.barrier("checkpoint-commit")
     return final
 
 
@@ -147,7 +191,10 @@ def load_checkpoint(directory):
     """Returns (arrays dict, meta dict) or None if no checkpoint exists.
 
     Sharded arrays are reassembled from their ``checkpoint_shard*.npz``
-    parts into plain host arrays (the caller re-shards via its plan).
+    parts into plain host arrays (the caller re-shards via its plan).  In
+    multi-process runs every process performs the same read (shared
+    filesystem; ``ShardPlan.shard_field`` then materializes only the local
+    shards).
     """
     directory = Path(directory)
     final = directory / "checkpoint.npz"
@@ -187,9 +234,8 @@ def load_checkpoint(directory):
                 out[sl] = files[i][k]
                 covered += int(np.prod([e - s for s, e in idx]))
             if covered != total:
-                # recorded parts do not tile the array (e.g. a multi-process
-                # save where only local shards were addressable) - zeros
-                # would silently leak into the resumed state
+                # recorded parts do not tile the array - zeros would
+                # silently leak into the resumed state
                 raise RuntimeError(
                     f"checkpoint array '{k}': shard parts cover {covered} of "
                     f"{total} elements - refusing a partial resume")

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tnl_lbm_tpu.io.vtk import write_vti
+from tnl_lbm_tpu.parallel import distributed as dist
 from tnl_lbm_tpu.sim import checkpoint as ckpt
 from tnl_lbm_tpu.sim.config import Domain, LBMConfig, initial_dfs
 from tnl_lbm_tpu.sim.step import make_step
@@ -198,6 +199,13 @@ class Simulation:
         self.nan_check_every = 100
         self._last_nan_check = 0
 
+        #: multi-process runtime facts (parallel/distributed.py): host-side
+        #: I/O - flags, lock, probes, VTK, checkpoint meta - belongs to the
+        #: coordinator, the analog of the reference's rank-0 guards
+        #: (reference state.hpp:677-737)
+        self.is_coordinator = dist.is_coordinator()
+        self._multiprocess = dist.is_multiprocess()
+
         self._lock = FileLock(self.results_dir / "lock")
         self.flags = Flags(self.results_dir)
         self._t_wall_start = time.time()
@@ -207,7 +215,10 @@ class Simulation:
         self._io_time = 0.0
 
         mkdir_p(self.results_dir)
-        init_logging(self.results_dir)
+        # per-process log files, like the reference's per-rank logs
+        init_logging(self.results_dir,
+                     suffix="" if self.is_coordinator
+                     else f"_p{dist.process_index()}")
         self.log = get_logger("main")
         self.prof = get_logger("profile")
 
@@ -239,12 +250,17 @@ class Simulation:
     def probe3(self):
         """App-defined probe (PROBE3 counter)."""
 
+    def _host(self, x) -> np.ndarray:
+        """Full host copy of a device array.  Collective in multi-process
+        runs (XLA all-gather; every process must reach it together)."""
+        return dist.replicate_to_host(x)
+
     def output_data(self):
         """name -> host array fields for VTK output.  Default: rho + velocity
-        in physical units."""
+        in physical units.  Collective in multi-process runs."""
         lat = self.domain.units
-        scalars = {"lbm_density": np.asarray(jax.device_get(self.rho))}
-        vectors = {"velocity": np.asarray(jax.device_get(self.u)) * (lat.phys_dl / lat.phys_dt if lat.phys_dt else 1.0)}
+        scalars = {"lbm_density": self._host(self.rho)}
+        vectors = {"velocity": self._host(self.u) * (lat.phys_dl / lat.phys_dt if lat.phys_dt else 1.0)}
         return scalars, vectors
 
     def probe_values(self):
@@ -261,14 +277,18 @@ class Simulation:
         return self.iterations * self.domain.units.phys_dt
 
     def can_compute(self) -> bool:
-        """Refuse double-running / finished runs (reference state.hpp:40-66)."""
-        if not self._lock.try_lock():
-            self.log.warning("results dir is locked by another process")
-            return False
-        if self.flags.exists("finished"):
-            self.log.info("simulation already finished")
-            return False
-        return True
+        """Refuse double-running / finished runs (reference state.hpp:40-66).
+        The coordinator makes the call (flock + flags); other processes
+        follow its broadcast decision so the SPMD program stays aligned."""
+        ok = True
+        if self.is_coordinator:
+            if not self._lock.try_lock():
+                self.log.warning("results dir is locked by another process")
+                ok = False
+            elif self.flags.exists("finished"):
+                self.log.info("simulation already finished")
+                ok = False
+        return dist.broadcast_flag(ok)
 
     def _fused_ok(self) -> bool:
         """The Pallas kernels need 3D (or supported 2D) and supported GEO
@@ -446,10 +466,14 @@ class Simulation:
                     parity=parity, **kw,
                 )
         else:
-            def fn(f, nu, u_in, force, hook_consts=None):
+            # the sharded geometry map enters jit as an ARGUMENT, never a
+            # closure: a closed-over jax.Array becomes an HLO constant,
+            # which multi-process runs cannot even fetch (the array spans
+            # non-addressable devices)
+            def fn(f, mp, nu, u_in, force, hook_consts=None):
                 kw = {} if hc is None else {"hook_consts": hook_consts}
                 return step(
-                    f, self._map_sharded, nu,
+                    f, mp, nu,
                     u_in=u_in if have_uin else None,
                     force=force if have_force else None,
                     parity=parity, **kw,
@@ -462,10 +486,19 @@ class Simulation:
         donate_ok = not (
             self.use_fused and self.cfg.streaming == "AA" and parity == 0
         )
-        jfn = jax.jit(fn, donate_argnums=0 if donate_ok else ())
-        if hc is not None:
-            inner = jfn
-            jfn = lambda f, nu, u_in, force: inner(f, nu, u_in, force, hc)  # noqa: E731
+        inner = jax.jit(fn, donate_argnums=0 if donate_ok else ())
+        if self.plan is None:
+            if hc is not None:
+                jfn = lambda f, nu, u_in, force: inner(f, nu, u_in, force, hc)  # noqa: E731
+            else:
+                jfn = inner
+        else:
+            if hc is not None:
+                jfn = lambda f, nu, u_in, force: inner(  # noqa: E731
+                    f, self._map_sharded, nu, u_in, force, hc)
+            else:
+                jfn = lambda f, nu, u_in, force: inner(  # noqa: E731
+                    f, self._map_sharded, nu, u_in, force)
         self._jit_steps[key] = jfn
         return jfn
 
@@ -511,6 +544,15 @@ class Simulation:
         if self.collect_stats2 and self.vm_b is None:
             self.vm_b = jnp.zeros((D,) + shape, self.cfg.compute_dtype)
             self.vm2_b = jnp.zeros((D * (D + 1) // 2,) + shape, self.cfg.compute_dtype)
+        if self.plan is not None:
+            # the statistics accumulators ride the same sharding as the
+            # velocity field; in multi-process runs mixing process-local
+            # arrays into the sharded stats jit is an error, so shard them
+            # eagerly (freshly created AND checkpoint-restored ones)
+            for name in ("vm", "vm2", "vm_b", "vm2_b"):
+                v = getattr(self, name)
+                if v is not None:
+                    setattr(self, name, self.plan.shard_field(v, like_f=True))
         # initial macro without advancing (reference computeInitialMacro,
         # lbm_block.hpp:252-277)
         self._initial_macro()
@@ -589,7 +631,7 @@ class Simulation:
     def _probe_pair_dispatch(self, repeats: int = 5):
         """Best-of-N wall time for one A-A pair via (a) the one-kernel pair
         dispatch and (b) two per-step dispatches.  Leaves self.f untouched."""
-        nu = jnp.asarray(self.domain.units.lbm_viscosity(), self.cfg.compute_dtype)
+        nu = self._dispatch_arg(self.domain.units.lbm_viscosity())
         zero = jnp.zeros((self.cfg.lat.D,), self.cfg.compute_dtype)
         self._ensure_pair2_jits()
         jpair = self._jit_steps["pair2"][(False, False)]
@@ -647,26 +689,56 @@ class Simulation:
             spair = make_sharded_fused_pair2_aa(self.cfg, self.domain,
                                                 self.plan)
 
-            def pair_call(fpad, nu, u_in, force):
-                return spair(fpad, self._map_sharded, nu,
-                             u_in=u_in, force=force)
+            # the sharded map is a jit ARGUMENT (see _jit_step: closed-over
+            # multi-process arrays cannot become HLO constants)
+            def pair_call(fpad, mp, nu, u_in, force):
+                return spair(fpad, mp, nu, u_in=u_in, force=force)
 
             pad_fn = lambda f: to_padded_aa_sharded(f, self.plan, self.domain)  # noqa: E731
             unpad_fn = lambda fp: from_padded_aa_sharded(fp, self.plan, self.domain)  # noqa: E731
-        self._jit_steps["pair2"] = {
-            key: jax.jit(
-                lambda fpad, nu, u_in, force, key=key: pair_call(
-                    fpad, nu,
-                    u_in if key[0] else None,
-                    force if key[1] else None,
+        if self.plan is None:
+            self._jit_steps["pair2"] = {
+                key: jax.jit(
+                    lambda fpad, nu, u_in, force, key=key: pair_call(
+                        fpad, nu,
+                        u_in if key[0] else None,
+                        force if key[1] else None,
+                    )
                 )
-            )
-            for key in ((False, False), (True, False), (False, True), (True, True))
-        }
+                for key in ((False, False), (True, False), (False, True), (True, True))
+            }
+        else:
+            inner = {
+                key: jax.jit(
+                    lambda fpad, mp, nu, u_in, force, key=key: pair_call(
+                        fpad, mp, nu,
+                        u_in if key[0] else None,
+                        force if key[1] else None,
+                    )
+                )
+                for key in ((False, False), (True, False), (False, True), (True, True))
+            }
+            self._jit_steps["pair2"] = {
+                key: (lambda fpad, nu, u_in, force, key=key: inner[key](
+                    fpad, self._map_sharded, nu, u_in, force))
+                for key in inner
+            }
         # eager pad/unpad would issue one RPC per op on tunneled TPU
         # backends (~30 ms each) - jit them
         self._jit_steps["pair2_pad"] = jax.jit(pad_fn)
         self._jit_steps["pair2_unpad"] = jax.jit(unpad_fn)
+
+    def _dispatch_arg(self, x):
+        """Per-dispatch scalar/vector jit argument (nu, u_in, force, zero).
+        Multi-process runs pass host numpy values (implicitly replicated
+        across the mesh); a process-local jax.Array cannot join a
+        computation over a multi-host mesh.  Single-process keeps the
+        device-resident jnp path (no extra per-dispatch RPC on tunneled
+        TPU backends)."""
+        dt = self.cfg.compute_dtype
+        if self._multiprocess:
+            return np.asarray(x, dtype=jnp.dtype(dt).name)
+        return jnp.asarray(x, dt)
 
     def _advance_pairs(self, n_pairs: int, nu, uin0=_UNSET):
         """Advance 2*n_pairs steps through the one-kernel A-A pair
@@ -683,7 +755,7 @@ class Simulation:
         which disables pair dispatch by construction."""
         self._ensure_pair2_jits()
         dt = self.cfg.compute_dtype
-        zero = jnp.zeros((self.cfg.lat.D,), dt)
+        zero = self._dispatch_arg(np.zeros(self.cfg.lat.D))
         fpad = self._jit_steps["pair2_pad"](self.f)
         for i in range(n_pairs):
             u_in = (uin0 if i == 0 and uin0 is not _UNSET
@@ -693,8 +765,8 @@ class Simulation:
             jfn = self._jit_steps["pair2"][(u_in is not None, force is not None)]
             fpad, self.rho, self.u = jfn(
                 fpad, nu,
-                jnp.asarray(u_in, dt) if u_in is not None else zero,
-                jnp.asarray(force, dt) if force is not None else zero,
+                self._dispatch_arg(u_in) if u_in is not None else zero,
+                self._dispatch_arg(force) if force is not None else zero,
             )
             if self.collect_stats:
                 self.vm, self.vm2 = self._update_stats(self.u, self.vm, self.vm2, self.stat_counter)
@@ -709,7 +781,7 @@ class Simulation:
     def _advance(self, n_steps: int):
         """Run n_steps lattice updates (n=0: one macro evaluation without
         advancing - used at init)."""
-        nu = jnp.asarray(self.domain.units.lbm_viscosity(), self.cfg.compute_dtype)
+        nu = self._dispatch_arg(self.domain.units.lbm_viscosity())
         t0 = time.perf_counter()
         # update_inflow is a user-overridable (possibly stateful/expensive)
         # hook: evaluate it ONCE here and reuse it for both the
@@ -736,13 +808,13 @@ class Simulation:
                                  uin_profile=jnp.ndim(u_in) > 1
                                  if u_in is not None else False)
             dt = self.cfg.compute_dtype
-            zero = jnp.zeros((self.cfg.lat.D,), dt)
+            zero = self._dispatch_arg(np.zeros(self.cfg.lat.D))
             self.compute_before_step()
             f_new, rho, u = jfn(
                 self.f,
                 nu,
-                jnp.asarray(u_in, dt) if u_in is not None else zero,
-                jnp.asarray(force, dt) if force is not None else zero,
+                self._dispatch_arg(u_in) if u_in is not None else zero,
+                self._dispatch_arg(force) if force is not None else zero,
             )
             self.f, self.rho, self.u = f_new, rho, u
             if self.collect_stats:
@@ -796,6 +868,8 @@ class Simulation:
 
     def _write_vtk_3d(self, suffix=""):
         scalars, vectors = self.output_data()
+        if not self.is_coordinator:
+            return
         units = self.domain.units
         cycle = self.cnt[VTK3D].count
         write_vti(
@@ -810,40 +884,46 @@ class Simulation:
         scalars, vectors = self.output_data()
         units = self.domain.units
         for p in self.probes_2d:
-            sl = [slice(None)] * self.cfg.lat.D
-            sl[p.axis] = slice(p.position, p.position + 1)
-            sc = {k: v[tuple(sl)] for k, v in scalars.items()}
-            vc = {k: v[(slice(None),) + tuple(sl)] for k, v in vectors.items()}
-            start = [0] * self.cfg.lat.D
-            start[p.axis] = p.position
-            write_vti(
-                self._results_path("vtk2D", f"{p.name}_{p.cycle:06d}.vti"),
-                scalars=sc, vectors=vc,
-                origin=units.lbm2phys_point([0] * self.cfg.lat.D),
-                spacing=units.phys_dl,
-                start=start,
-            )
+            if self.is_coordinator:
+                sl = [slice(None)] * self.cfg.lat.D
+                sl[p.axis] = slice(p.position, p.position + 1)
+                sc = {k: v[tuple(sl)] for k, v in scalars.items()}
+                vc = {k: v[(slice(None),) + tuple(sl)] for k, v in vectors.items()}
+                start = [0] * self.cfg.lat.D
+                start[p.axis] = p.position
+                write_vti(
+                    self._results_path("vtk2D", f"{p.name}_{p.cycle:06d}.vti"),
+                    scalars=sc, vectors=vc,
+                    origin=units.lbm2phys_point([0] * self.cfg.lat.D),
+                    spacing=units.phys_dl,
+                    start=start,
+                )
             p.cycle += 1
 
     def _write_vtk_3dcut(self):
         scalars, vectors = self.output_data()
         units = self.domain.units
         for p in self.probes_3d:
-            sl = tuple(
-                slice(o, o + L, p.step) for o, L in zip(p.origin, p.length)
-            )
-            sc = {k: v[sl] for k, v in scalars.items()}
-            vc = {k: v[(slice(None),) + sl] for k, v in vectors.items()}
-            write_vti(
-                self._results_path("vtk3Dcut", f"{p.name}_{p.cycle:06d}.vti"),
-                scalars=sc, vectors=vc,
-                origin=units.lbm2phys_point(list(p.origin)),
-                spacing=units.phys_dl * p.step,
-            )
+            if self.is_coordinator:
+                sl = tuple(
+                    slice(o, o + L, p.step) for o, L in zip(p.origin, p.length)
+                )
+                sc = {k: v[sl] for k, v in scalars.items()}
+                vc = {k: v[(slice(None),) + sl] for k, v in vectors.items()}
+                write_vti(
+                    self._results_path("vtk3Dcut", f"{p.name}_{p.cycle:06d}.vti"),
+                    scalars=sc, vectors=vc,
+                    origin=units.lbm2phys_point(list(p.origin)),
+                    spacing=units.phys_dl * p.step,
+                )
             p.cycle += 1
 
     def _write_probes_1d(self):
         vals = self.probe_values()
+        if not self.is_coordinator:
+            for p in self.probes_1d:
+                p.cycle += 1
+            return
         for p in self.probes_1d:
             path = self._results_path("probes", f"{p.name}.dat")
             take = []
@@ -866,6 +946,10 @@ class Simulation:
         """Sample fields along physical from->to lines with trilinear-free
         nearest sampling (reference state.hpp:174-372)."""
         vals = self.probe_values()
+        if not self.is_coordinator:
+            for p in self.probes_1d_line:
+                p.cycle += 1
+            return
         units = self.domain.units
         for p in self.probes_1d_line:
             path = self._results_path("probes", f"{p.name}.dat")
@@ -905,7 +989,7 @@ class Simulation:
             Zp = -(-Z // LANE) * LANE
             total += Q * (X + 4) * (Y + 16) * Zp * itemsize
         try:
-            stats = jax.devices()[0].memory_stats() or {}
+            stats = jax.local_devices()[0].memory_stats() or {}
             limit = stats.get("bytes_limit", 0)
         except Exception:
             limit = 0
@@ -954,7 +1038,8 @@ class Simulation:
         }
         ckpt.save_checkpoint(self.results_dir, arrays, meta,
                              background=background)
-        self.flags.create("loadstate")
+        if self.is_coordinator:
+            self.flags.create("loadstate")
         self.log.info("checkpoint saved at iteration %d%s", self.iterations,
                       " (background write)" if background else "")
 
@@ -1025,10 +1110,12 @@ class Simulation:
                 self._advance(self.steps_per_dispatch)
                 self._after_sim_update()
                 if self.terminate:
-                    self.flags.create("terminated")
+                    if self.is_coordinator:
+                        self.flags.create("terminated")
                     break
                 if self.phys_time() >= self.phys_final_time:
-                    self.flags.create("finished")
+                    if self.is_coordinator:
+                        self.flags.create("finished")
                     break
                 if (
                     self.wall_time_limit is not None

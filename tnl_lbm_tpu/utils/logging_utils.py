@@ -14,7 +14,8 @@ from pathlib import Path
 _CONFIGURED: set = set()
 
 
-def init_logging(results_dir=None, names=("main", "profile", "ibm"), level=logging.INFO):
+def init_logging(results_dir=None, names=("main", "profile", "ibm"),
+                 level=logging.INFO, suffix=""):
     for name in names:
         logger = logging.getLogger(f"tnl_lbm_tpu.{name}")
         logger.setLevel(level)
@@ -27,7 +28,9 @@ def init_logging(results_dir=None, names=("main", "profile", "ibm"), level=loggi
             logger.addHandler(console)
             _CONFIGURED.add(name)
         if results_dir is not None:
-            path = Path(results_dir) / f"log_{name}"
+            # non-empty suffix = per-process log files in multi-process runs
+            # (analog of the reference's per-rank logs, state.hpp:677-737)
+            path = Path(results_dir) / f"log_{name}{suffix}"
             path.parent.mkdir(parents=True, exist_ok=True)
             if not any(
                 isinstance(h, logging.FileHandler) and h.baseFilename == str(path.resolve())
