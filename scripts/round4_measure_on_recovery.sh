@@ -40,6 +40,12 @@ timeout 1200 python -u scripts/make_ibm_performance_tables.py \
     --n 64 --points 32768 --steps 5 --diracs phi2 --methods modified,original \
     > /tmp/r4_ibm_32k.log 2>&1
 
+# 3b. trace-measured step anatomy on the real chip (VERDICT r3 item 3):
+#     kernel/DMA/copy split of the production A-A fused step
+timeout 1500 python -u scripts/profile_anatomy.py --n 256 --steps 10 \
+    --use-fused --streaming AA --outdir /tmp/r4_anatomy \
+    > /tmp/r4_anatomy.log 2>&1
+
 # 4. full 54x2 golden sweep (VERDICT r3 item 4).  --batch 1: one TPU chip,
 #    one host core; the persistent compile cache amortizes the compiles.
 python scripts/make_golden_geometries.py /tmp/r4_golden_geos \

@@ -135,6 +135,7 @@ def build(
     streaming: str = "AB",
     use_fused: bool = False,
     pair_dispatch="auto",
+    profile_dir=None,
 ):
     import jax.numpy as jnp
 
@@ -221,6 +222,7 @@ def build(
         steps_per_dispatch=10,
         use_fused=use_fused,
         pair_dispatch=pair_dispatch,
+        profile_dir=profile_dir,
     )
     sim.cnt[PRINT].period = 10.0
     sim.cnt[PROBE1].period = 1.0
@@ -245,6 +247,9 @@ def main(argv=None):
     p.add_argument("--streaming", choices=["AB", "AA"], default="AB")
     p.add_argument("--use-fused", action="store_true",
                    help="run the Pallas fused kernels (A-B or A-A pair)")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="capture a jax.profiler trace into DIR and log the "
+                        "measured wall-time split (compute/comm/overlap)")
     args = p.parse_args(argv)
 
     import jax
@@ -264,6 +269,7 @@ def main(argv=None):
         pair_dispatch={"auto": "auto", "on": True, "off": False}[args.pair_dispatch],
         streaming=args.streaming,
         use_fused=args.use_fused,
+        profile_dir=args.profile,
     )
     ok = sim.run()
     l1, l2 = sim.last_errors

@@ -1129,7 +1129,31 @@ class Simulation:
         finally:
             if tracing:
                 jax.profiler.stop_trace()
+                self._trace_summary()
             self._lock.release()
+
+    def _trace_summary(self):
+        """Reduce the captured profiler trace to the measured wall-time
+        split (the reference's compute / comm-overlap / comm-wait battery,
+        state.hpp:1285-1300) and publish it next to the results."""
+        if not self.is_coordinator:
+            return
+        try:
+            from tnl_lbm_tpu.utils.trace_analysis import (
+                format_anatomy,
+                write_summary,
+            )
+
+            a = write_summary(self.profile_dir,
+                              self._results_path("profile_summary.json"))
+        except Exception:
+            a = None
+        if a is not None:
+            self.log.info(format_anatomy(a))
+            self.prof.info(format_anatomy(a))
+        else:
+            self.log.info("profiler trace captured in %s (no xplane parser "
+                          "in this runtime image)", self.profile_dir)
 
     def _after_sim_update(self):
         t = self.phys_time()
