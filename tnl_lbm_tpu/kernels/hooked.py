@@ -169,6 +169,73 @@ def make_hooked_fused_step(cfg: LBMConfig, domain: Domain, **kernel_kwargs):
             return base(f, nu, u_in=u_in, force=extra)
         return base(f_in, nu, u_in=u_in, force=extra, parity=parity, **aux)
 
+    def phase_times(f, nu, force=None, parity: int = 0,
+                    repeats: int = 3) -> dict:
+        """Sampled per-phase wall times of the hooked pipeline, in ms
+        (min over ``repeats``): u* pre-pass / hook / main kernel, or the
+        one-kernel time when the single-kernel NN path applies.  The
+        analog of the reference's IBM phase-timing JSON
+        (lagrange_3D.hpp:368-378,856-859).  Diagnostic only - each phase
+        is jitted and timed in isolation on the given state."""
+        import time as _time
+
+        import jax as _jax
+
+        def bench(fn, *a):
+            jfn = _jax.jit(fn)
+            _jax.block_until_ready(jfn(*a))
+            ts = []
+            for _ in range(repeats):
+                t0 = _time.perf_counter()
+                _jax.block_until_ready(jfn(*a))
+                ts.append(_time.perf_counter() - t0)
+            return min(ts) * 1e3
+
+        out = {}
+        if nn_single is not None and (force is None or jnp.ndim(force) <= 1):
+            out["single_kernel"] = bench(
+                lambda g: nn_single(g, nu, force=force, parity=parity), f)
+            return out
+        if share_pad:
+            f_in, aux = prep(f, parity)
+            out["pad"] = bench(lambda g: prep(g, parity)[0], f)
+            out["ustar"] = bench(
+                lambda g: ustar(g, force=force, parity=parity, **aux), f_in)
+            rho0, u0, fluid_c = ustar(f_in, force=force, parity=parity, **aux)
+        else:
+            f_in, aux = f, {}
+            out["ustar"] = bench(
+                lambda g: ustar(g, force=force, parity=parity), f)
+            rho0, u0, fluid_c = ustar(f, force=force, parity=parity)
+        if nn_force is not None:
+            out["hook"] = bench(lambda r, u: nn_force(r, u, nu), rho0, u0)
+            extra = nn_force(rho0, u0, nu)
+        elif has_consts:
+            out["hook"] = bench(
+                lambda r, u: hook(lat, r, u, nu, fluid_c, consts=hook.consts),
+                rho0, u0)
+            extra = hook(lat, rho0, u0, nu, fluid_c, consts=hook.consts)
+        else:
+            out["hook"] = bench(
+                lambda r, u: hook(lat, r, u, nu, fluid_c), rho0, u0)
+            extra = hook(lat, rho0, u0, nu, fluid_c)
+        extra = extra.astype(dtype)
+        if force is not None:
+            fb = jnp.asarray(force, dtype)
+            if fb.ndim == 1:
+                fb = fb.reshape((lat.D,) + (1,) * lat.D)
+            extra = extra + fb
+        if lat.D == 2:
+            extra_b = jnp.broadcast_to(extra, (2,) + tuple(domain.shape))
+            out["main_kernel"] = bench(
+                lambda g, e: base(g, nu, force=e), f, extra_b)
+        else:
+            out["main_kernel"] = bench(
+                lambda g, e: base(g, nu, force=e, parity=parity, **aux),
+                f_in, extra)
+        return out
+
+    step.phase_times = phase_times
     return step
 
 

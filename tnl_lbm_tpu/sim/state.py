@@ -1070,8 +1070,40 @@ class Simulation:
         self._glups_prev_iter = it
         self._glups_prev_time = now
 
+    def sample_phase_timers(self, repeats: int = 3) -> dict | None:
+        """Measured per-phase wall times of the hooked pipeline (u* pass /
+        hook / main kernel, or the single NN kernel) on the CURRENT state,
+        logged to the profile log - the analog of the reference's IBM
+        phase-timing JSON (lagrange_3D.hpp:368-378,856-859).  Returns the
+        dict of ms, or None when the built step has no phase probe
+        (un-hooked configs, sharded hooked runs - use --profile there)."""
+        pt = getattr(self._step, "phase_times", None)
+        if pt is None or self.f is None:
+            return None
+        nu = self._dispatch_arg(self.domain.units.lbm_viscosity())
+        force = self.body_force(self.phys_time())
+        if force is not None:
+            force = self._dispatch_arg(force)
+        parity = (self.iterations % 2) if self.cfg.streaming == "AA" else 0
+        try:
+            out = pt(self.f, nu, force=force, parity=parity, repeats=repeats)
+        except Exception as exc:  # diagnostic only - never kill the run
+            self.log.warning("phase-timer sampling failed (%s)",
+                             type(exc).__name__)
+            return None
+        line = ", ".join(f"{k} {v:.2f} ms" for k, v in out.items())
+        self.prof.info("hooked phases (sampled): %s", line)
+        self.log.info("hooked phases (sampled): %s", line)
+        return out
+
     def after_sim_finished(self):
         from tnl_lbm_tpu.io import native
+
+        #: one sampled phase breakdown per hooked run (regression guard for
+        #: the round-3 NN/IBM pipeline speedups); opt out by setting
+        #: sample_phases_at_finish = False before run()
+        if getattr(self, "sample_phases_at_finish", True):
+            self.sample_phase_timers()
 
         native.flush()  # drain async snapshot writes
         if native.errors():
