@@ -224,6 +224,7 @@ class Simulation:
 
         self._step = None
         self._jit_steps = {}
+        self._vtk_series = {}
 
     # ------------------------------------------------------------------ hooks
     def update_inflow(self, phys_time: float):
@@ -866,19 +867,39 @@ class Simulation:
         p.parent.mkdir(parents=True, exist_ok=True)
         return p
 
+    def _series(self, subdir: str, name: str):
+        """Cycle-append .pvd-indexed stream per output family (the analog
+        of the reference's per-variable ADIOS2 Write/Append streams,
+        adios_writer.hpp:18-24); resume-safe (io/series.py)."""
+        from tnl_lbm_tpu.io.series import VtiTimeSeries
+
+        key = (subdir, name)
+        s = self._vtk_series.get(key)
+        if s is None:
+            s = self._vtk_series[key] = VtiTimeSeries(
+                self.results_dir / subdir, name)
+        return s
+
     def _write_vtk_3d(self, suffix=""):
         scalars, vectors = self.output_data()
         if not self.is_coordinator:
             return
         units = self.domain.units
         cycle = self.cnt[VTK3D].count
-        write_vti(
-            self._results_path("vtk3D", f"data_{cycle:06d}{suffix}.vti"),
-            scalars=scalars,
-            vectors=vectors,
+        if suffix:
+            # diagnostic dumps (NaN guard) stay loose files outside the index
+            write_vti(
+                self._results_path("vtk3D", f"data_{cycle:06d}{suffix}.vti"),
+                scalars=scalars,
+                vectors=vectors,
+                origin=units.lbm2phys_point([0] * self.cfg.lat.D),
+                spacing=units.phys_dl,
+            )
+            return
+        self._series("vtk3D", "data").append(
+            scalars=scalars, vectors=vectors, time=self.phys_time(),
             origin=units.lbm2phys_point([0] * self.cfg.lat.D),
-            spacing=units.phys_dl,
-        )
+            spacing=units.phys_dl, cycle=cycle)
 
     def _write_vtk_2d(self):
         scalars, vectors = self.output_data()
@@ -891,13 +912,10 @@ class Simulation:
                 vc = {k: v[(slice(None),) + tuple(sl)] for k, v in vectors.items()}
                 start = [0] * self.cfg.lat.D
                 start[p.axis] = p.position
-                write_vti(
-                    self._results_path("vtk2D", f"{p.name}_{p.cycle:06d}.vti"),
-                    scalars=sc, vectors=vc,
+                self._series("vtk2D", p.name).append(
+                    scalars=sc, vectors=vc, time=self.phys_time(),
                     origin=units.lbm2phys_point([0] * self.cfg.lat.D),
-                    spacing=units.phys_dl,
-                    start=start,
-                )
+                    spacing=units.phys_dl, start=start, cycle=p.cycle)
             p.cycle += 1
 
     def _write_vtk_3dcut(self):
@@ -910,12 +928,10 @@ class Simulation:
                 )
                 sc = {k: v[sl] for k, v in scalars.items()}
                 vc = {k: v[(slice(None),) + sl] for k, v in vectors.items()}
-                write_vti(
-                    self._results_path("vtk3Dcut", f"{p.name}_{p.cycle:06d}.vti"),
-                    scalars=sc, vectors=vc,
+                self._series("vtk3Dcut", p.name).append(
+                    scalars=sc, vectors=vc, time=self.phys_time(),
                     origin=units.lbm2phys_point(list(p.origin)),
-                    spacing=units.phys_dl * p.step,
-                )
+                    spacing=units.phys_dl * p.step, cycle=p.cycle)
             p.cycle += 1
 
     def _write_probes_1d(self):
