@@ -73,8 +73,9 @@ def main():
     assert not sim._nan_guard()  # replicated-scalar read on every process
     sim.save_state()             # per-process shard files + p0 meta
     f6 = dist.replicate_to_host(sim.f)
-    sim._write_vtk_3d()          # collective gather, coordinator writes
     sim._advance(2)
+    # parallel multi-writer: per-process pieces + coordinator .pvti + index
+    sim._write_vtk_3d()
     f8 = dist.replicate_to_host(sim.f)
     rho8 = dist.replicate_to_host(sim.rho)
     u8 = dist.replicate_to_host(sim.u)

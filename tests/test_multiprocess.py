@@ -55,7 +55,14 @@ def test_two_process_run_matches_single_process(tmp_path):
     results = tmp_path / "results_mp"
     assert (results / "checkpoint.npz").exists()
     assert (results / "flag.loadstate").exists()
-    assert list((results / "vtk3D").glob("*.vti"))
+    # parallel multi-writer snapshot: per-process pieces + one .pvti + the
+    # time-series index referencing it
+    assert (results / "vtk3D" / "data_000000.pvti").exists()
+    assert len(list((results / "vtk3D").glob("data_000000_p*.vti"))) == 8
+    import xml.etree.ElementTree as ET
+
+    pvd = ET.parse(results / "vtk3D" / "data.pvd").getroot()
+    assert [ds.get("file") for ds in pvd.iter("DataSet")] == ["data_000000.pvti"]
     # per-process log files (rank-0 unsuffixed, rank-1 suffixed)
     assert (results / "log_main").exists()
     assert (results / "log_main_p1").exists()
@@ -97,3 +104,27 @@ def test_two_process_run_matches_single_process(tmp_path):
     np.testing.assert_allclose(got["rho8"], np.asarray(ref.rho), atol=1e-12)
     np.testing.assert_allclose(got["u8"], np.asarray(ref.u), atol=1e-12)
     assert jax.process_count() == 1  # the parent stayed single-process
+
+    # reassemble the .pvti pieces and compare the density field against the
+    # single-process reference (the pieces were written at iteration 8)
+    root_el = ET.parse(results / "vtk3D" / "data_000000.pvti").getroot()
+    rho_pieces = np.full((X, Y, Z), np.nan)
+    for piece in root_el.iter("Piece"):
+        e = [int(v) for v in piece.get("Extent").split()]
+        blob = _vti_first_scalar(results / "vtk3D" / piece.get("Source"))
+        nx, ny, nz = e[1] - e[0] + 1, e[3] - e[2] + 1, e[5] - e[4] + 1
+        rho_pieces[e[0]:e[1] + 1, e[2]:e[3] + 1, e[4]:e[5] + 1] = (
+            blob[: nx * ny * nz].reshape(nz, ny, nx).transpose(2, 1, 0))
+    assert not np.isnan(rho_pieces).any(), "pieces do not tile the domain"
+    np.testing.assert_allclose(rho_pieces, np.asarray(ref.rho), atol=1e-12)
+
+
+def _vti_first_scalar(path) -> np.ndarray:
+    """First appended data array of a raw-appended .vti, as float32."""
+    import struct
+
+    data = Path(path).read_bytes()
+    i = data.index(b'<AppendedData encoding="raw">')
+    i = data.index(b"_", i) + 1
+    (nbytes,) = struct.unpack_from("<Q", data, i)
+    return np.frombuffer(data, np.float32, count=nbytes // 4, offset=i + 8)

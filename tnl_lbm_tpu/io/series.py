@@ -66,11 +66,16 @@ class VtiTimeSeries:
         fname = f"{self.name}_{cycle:06d}.vti"
         write_vti(self.directory / fname, scalars=scalars, vectors=vectors,
                   origin=origin, spacing=spacing, start=start)
+        self.record(time=time, fname=fname)
+        return self.directory / fname
+
+    def record(self, *, time: float, fname: str) -> None:
+        """Index an externally-written snapshot (e.g. a ``.pvti`` whose
+        pieces the processes of a multi-host run wrote themselves)."""
         # a resumed run may legitimately rewrite the cycle it was saved at
         self.entries = [(t, f) for t, f in self.entries if f != fname]
         self.entries.append((float(time), fname))
         self._publish_index()
-        return self.directory / fname
 
     def _publish_index(self):
         lines = [

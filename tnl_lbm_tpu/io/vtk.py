@@ -115,6 +115,67 @@ def write_vti(
         fh.write(footer)
 
 
+def write_pvti(
+    path,
+    whole_extent,
+    pieces,
+    scalar_names=(),
+    vector_names=(),
+    origin=(0.0, 0.0, 0.0),
+    spacing: float = 1.0,
+) -> None:
+    """Write a parallel ImageData index referencing per-rank piece files.
+
+    The multi-writer analog of the reference's per-rank ADIOS2 streams
+    (adios_writer.hpp:18-24 + the MPI-split writer communicators,
+    state.hpp:123-170): in multi-process runs every process writes its own
+    shard blocks as plain ``.vti`` pieces (``write_vti`` with ``start=``)
+    and the coordinator publishes this one ``.pvti``; ParaView reads the
+    set as a single distributed dataset - no full-domain gather anywhere.
+
+    Args:
+      whole_extent: ((x0, x1), (y0, y1), (z0, z1)) inclusive site ranges.
+      pieces: list of (extent_like_whole_extent, relative_filename).
+      scalar_names / vector_names: field names (Float32, 1/3 components).
+    """
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+
+    def ext_str(ext):
+        e = list(ext) + [(0, 0)] * (3 - len(ext))
+        return " ".join(f"{int(a)} {int(b)}" for a, b in e)
+
+    o = _as3d(tuple(origin))
+    arrays = [
+        f'   <PDataArray type="Float32" Name="{n}" NumberOfComponents="1"/>'
+        for n in scalar_names
+    ] + [
+        f'   <PDataArray type="Float32" Name="{n}" NumberOfComponents="3"/>'
+        for n in vector_names
+    ]
+    piece_xml = [
+        f'  <Piece Extent="{ext_str(ext)}" Source="{fname}"/>'
+        for ext, fname in pieces
+    ]
+    body = "\n".join(
+        ['<?xml version="1.0"?>',
+         '<VTKFile type="PImageData" version="0.1" byte_order="LittleEndian">',
+         f' <PImageData WholeExtent="{ext_str(whole_extent)}" GhostLevel="0" '
+         f'Origin="{o[0]} {o[1]} {o[2]}" '
+         f'Spacing="{spacing} {spacing} {spacing}">',
+         "  <PPointData>"]
+        + arrays
+        + ["  </PPointData>"]
+        + piece_xml
+        + [" </PImageData>", "</VTKFile>", ""]
+    )
+    tmp = path.with_name(path.name + ".tmp")
+    tmp.write_text(body)
+    from tnl_lbm_tpu.utils.fileutils import rename_exchange
+
+    rename_exchange(tmp, path)
+
+
 def write_points_vtk(path, points: np.ndarray, time: float | None = None) -> None:
     """Legacy VTK POLYDATA point cloud (reference vtk_writer.h:5-48)."""
     path = Path(path)

@@ -123,6 +123,67 @@ def replicate_to_host(x) -> np.ndarray:
     return np.asarray(rep.addressable_data(0))
 
 
+def _norm_index(idx, shape):
+    """Slice tuple -> ((start, stop), ...) with Nones resolved."""
+    out = []
+    for dim, sl in enumerate(idx):
+        start = 0 if sl.start is None else int(sl.start)
+        stop = shape[dim] if sl.stop is None else int(sl.stop)
+        out.append((start, stop))
+    return tuple(out)
+
+
+def global_parts(arr):
+    """Canonical decomposition of a sharded jax.Array: [(gpos, index), ...]
+    for every distinct region, where ``gpos`` is the owner device's position
+    in the id-sorted global device set and ``index`` is ((start, stop), ...)
+    per dim.  Replicated regions dedupe to the first device in that order,
+    so the parts tile the array exactly once.  Identical on every process
+    (it depends only on the sharding).  Unsharded/host arrays -> one part
+    owned by position 0."""
+    sharding = getattr(arr, "sharding", None)
+    dev_set = getattr(sharding, "device_set", None)
+    full = tuple((0, s) for s in arr.shape)
+    if dev_set is None or len(dev_set) <= 1:
+        return [(0, full)]
+    gdevs = sorted(dev_set, key=lambda d: d.id)
+    imap = sharding.devices_indices_map(arr.shape)
+    seen = set()
+    parts = []
+    for pos, d in enumerate(gdevs):
+        idx = _norm_index(imap[d], arr.shape)
+        if idx in seen:
+            continue
+        seen.add(idx)
+        parts.append((pos, idx))
+    return parts
+
+
+def owned_shards(arr):
+    """[(gpos, index, host_block)] for the canonical-owner regions THIS
+    process holds (see global_parts); the union over processes covers the
+    array exactly once.  Unsharded arrays -> the whole array on every
+    process (caller gates on is_coordinator)."""
+    import jax as _jax
+
+    sharding = getattr(arr, "sharding", None)
+    dev_set = getattr(sharding, "device_set", None)
+    if dev_set is None or len(dev_set) <= 1:
+        return [(0, tuple((0, s) for s in arr.shape),
+                 np.asarray(_jax.device_get(arr)))]
+    owner_pos = {idx: pos for pos, idx in global_parts(arr)}
+    gdevs = sorted(dev_set, key=lambda d: d.id)
+    gpos = {d: i for i, d in enumerate(gdevs)}
+    imap = sharding.devices_indices_map(arr.shape)
+    out = []
+    for s in arr.addressable_shards:
+        idx = _norm_index(imap[s.device], arr.shape)
+        if owner_pos.get(idx) == gpos[s.device]:
+            out.append((gpos[s.device], idx,
+                        np.asarray(_jax.device_get(s.data))))
+    return out
+
+
 def broadcast_int(value: int) -> int:
     """Every process returns the coordinator's value (e.g. the checkpoint
     epoch token, which must be identical across ranks).  Collective."""

@@ -61,16 +61,6 @@ def _write_npz(path: Path, payload: dict, background: bool) -> None:
     rename_exchange(tmp, path)
 
 
-def _norm_index(idx, shape):
-    """Slice tuple -> [[start, stop], ...] with Nones resolved."""
-    out = []
-    for dim, sl in enumerate(idx):
-        start = 0 if sl.start is None else int(sl.start)
-        stop = shape[dim] if sl.stop is None else int(sl.stop)
-        out.append([start, stop])
-    return out
-
-
 def save_checkpoint(directory, arrays: dict, meta: dict,
                     background: bool = False) -> Path:
     """Save ``arrays`` (name -> device/host array) + ``meta`` (JSON-able).
@@ -97,28 +87,16 @@ def save_checkpoint(directory, arrays: dict, meta: dict,
         sharding = getattr(v, "sharding", None)
         dev_set = getattr(sharding, "device_set", None)
         if dev_set is not None and len(dev_set) > 1:
-            gdevs = sorted(dev_set, key=lambda d: d.id)
-            gpos = {d: i for i, d in enumerate(gdevs)}
-            imap = sharding.devices_indices_map(v.shape)
-            # canonical owner per distinct region: the first device in the
-            # id-sorted global order (dedupes replicated axes so coverage
-            # in load_checkpoint tiles the array exactly once)
-            owner = {}
-            parts = []
-            for d in gdevs:
-                idx = _norm_index(imap[d], v.shape)
-                key = tuple(map(tuple, idx))
-                if key in owner:
-                    continue
-                owner[key] = d
-                parts.append([gpos[d], idx])
+            # canonical owner per distinct region (parallel/distributed.py
+            # global_parts: first device in the id-sorted global order, so
+            # replicated axes dedupe and coverage in load_checkpoint tiles
+            # the array exactly once)
             shard_meta[k] = {
-                "shape": list(v.shape), "dtype": str(v.dtype), "parts": parts}
-            for s in v.addressable_shards:
-                idx = _norm_index(imap[s.device], v.shape)
-                if owner.get(tuple(map(tuple, idx))) is s.device:
-                    file_payloads.setdefault(gpos[s.device], {})[k] = (
-                        np.asarray(jax.device_get(s.data)))
+                "shape": list(v.shape), "dtype": str(v.dtype),
+                "parts": [[pos, [[s, e] for s, e in idx]]
+                          for pos, idx in dist.global_parts(v)]}
+            for pos, idx, block in dist.owned_shards(v):
+                file_payloads.setdefault(pos, {})[k] = block
         elif coordinator:
             host[k] = np.asarray(jax.device_get(v))
 

@@ -881,6 +881,13 @@ class Simulation:
         return s
 
     def _write_vtk_3d(self, suffix=""):
+        if (self._multiprocess and not suffix
+                and type(self).output_data is Simulation.output_data
+                and len(getattr(getattr(self.rho, "sharding", None),
+                                "device_set", ())) > 1):
+            # default fields + sharded state: parallel multi-writer, no
+            # full-domain gather (per-process pieces + coordinator .pvti)
+            return self._write_vtk_3d_pieces()
         scalars, vectors = self.output_data()
         if not self.is_coordinator:
             return
@@ -900,6 +907,50 @@ class Simulation:
             scalars=scalars, vectors=vectors, time=self.phys_time(),
             origin=units.lbm2phys_point([0] * self.cfg.lat.D),
             spacing=units.phys_dl, cycle=cycle)
+
+    def _write_vtk_3d_pieces(self):
+        """Parallel multi-writer 3D snapshot: every process writes the
+        shard blocks it owns as ``.vti`` pieces, the coordinator publishes
+        one ``.pvti`` and indexes it in the time series - the analog of
+        the reference's per-rank ADIOS2 streams behind MPI-split writer
+        communicators (adios_writer.hpp:18-24, state.hpp:123-170).  No
+        process ever holds the whole domain."""
+        from tnl_lbm_tpu.io.vtk import write_pvti
+
+        units = self.domain.units
+        cycle = self.cnt[VTK3D].count
+        vel = units.phys_dl / units.phys_dt if units.phys_dt else 1.0
+        origin = units.lbm2phys_point([0] * self.cfg.lat.D)
+        base = f"data_{cycle:06d}"
+        u_blocks = {pos: block
+                    for pos, idx, block in dist.owned_shards(self.u)}
+        for pos, idx, rho_block in dist.owned_shards(self.rho):
+            write_vti(
+                self._results_path("vtk3D", f"{base}_p{pos:03d}.vti"),
+                scalars={"lbm_density": rho_block},
+                vectors={"velocity": u_blocks[pos] * vel},
+                origin=origin, spacing=units.phys_dl,
+                start=[s for s, _ in idx],
+            )
+        from tnl_lbm_tpu.io import native
+
+        native.flush()  # pieces on disk before the index references them
+        dist.barrier("vtk3d-pieces")
+        if self.is_coordinator:
+            parts = dist.global_parts(self.rho)
+            pieces = [
+                (tuple((s, e - 1) for s, e in idx), f"{base}_p{pos:03d}.vti")
+                for pos, idx in parts
+            ]
+            whole = tuple((0, s - 1) for s in self.domain.shape)
+            write_pvti(
+                self._results_path("vtk3D", f"{base}.pvti"),
+                whole, pieces,
+                scalar_names=["lbm_density"], vector_names=["velocity"],
+                origin=origin, spacing=units.phys_dl,
+            )
+            self._series("vtk3D", "data").record(
+                time=self.phys_time(), fname=f"{base}.pvti")
 
     def _write_vtk_2d(self):
         scalars, vectors = self.output_data()
