@@ -98,6 +98,36 @@ def main():
     assert np.array_equal(f8b, f8), "resumed trajectory diverged"
     sim2._lock.release()
     dist.barrier("phase-2")
+
+    # coupled NSE+ADE dual lattice under multi-process (both sharded maps
+    # ride the jit as arguments - sim/coupled.py get_jit)
+    import dataclasses
+
+    from tnl_lbm_tpu.models import D3Q7
+    from tnl_lbm_tpu.ops import equilibrium as eqlib
+    from tnl_lbm_tpu.sim.coupled import CoupledSimulation
+
+    ade_dom = dataclasses.replace(
+        dom, lat=D3Q7, map=np.zeros(dom.shape, np.uint8))
+    ade_cfg = LBMConfig(lat=D3Q7, collision=__import__(
+        "tnl_lbm_tpu.ops.collision_ade", fromlist=["collide_srt_ade"]
+    ).collide_srt_ade, eq=eqlib.eq_quadratic, compute_dtype=jnp.float64)
+
+    class CSim(CoupledSimulation):
+        def body_force(self, t):
+            return np.array([1e-5, 0.0, 0.0])
+
+    csim = CSim(cfg, dom, ade_cfg, ade_dom, ade_diffusion=1e-3,
+                sim_id="mp_coupled", results_parent=outdir, plan=plan,
+                phys_final_time=1e9)
+    assert csim.can_compute()
+    csim.sim_init()
+    csim._advance(2)
+    phi = dist.replicate_to_host(csim.phi)
+    assert np.isfinite(phi).all() and phi.shape == dom.shape
+    csim._lock.release()
+    dist.barrier("phase-3")
+
     if rank == 0:
         with open(os.path.join(outdir, "worker_ok"), "w") as fh:
             fh.write("ok")

@@ -106,10 +106,11 @@ class CoupledSimulation(Simulation):
                 )
 
                 def ade_step(g, u, nu_ade, phi_in=None, transfer_dirs=None,
-                             transfer_coeff=0.0, parity=0):
+                             transfer_coeff=0.0, parity=0, map_arr=None):
                     del transfer_dirs, transfer_coeff, parity  # build-time
+                    mp = map_arr if map_arr is not None else self._map_ade_sharded
                     return sharded_ade_fused(
-                        g, u, self._map_ade_sharded, nu_ade,
+                        g, u, mp, nu_ade,
                         phi_in=phi_in if phi_in is not None else 0.0)
 
                 self._ade_step = ade_step
@@ -133,9 +134,10 @@ class CoupledSimulation(Simulation):
                 self.ade_cfg, self.ade_domain, self.plan)
 
             def ade_step(g, u, nu_ade, phi_in=None, transfer_dirs=None,
-                         transfer_coeff=0.0, parity=0):
+                         transfer_coeff=0.0, parity=0, map_arr=None):
+                mp = map_arr if map_arr is not None else self._map_ade_sharded
                 return sharded_ade(
-                    g, u, self._map_ade_sharded, nu_ade, phi_in=phi_in,
+                    g, u, mp, nu_ade, phi_in=phi_in,
                     transfer_dirs=transfer_dirs,
                     transfer_coeff=transfer_coeff, parity=parity,
                 )
@@ -231,11 +233,13 @@ class CoupledSimulation(Simulation):
             one_kernel = self._coupled_step
 
             if self.plan is not None:
-                map_sharded = self._map_sharded
-
-                def coupled(f, g, nu, nu_ade, u_in, force, phi_in, tdirs, tcoef):
+                # both sharded maps enter jit as ARGUMENTS (see
+                # state._jit_step: a closed-over multi-process array cannot
+                # become an HLO constant)
+                def coupled(f, g, mp, mp_ade, nu, nu_ade, u_in, force,
+                            phi_in, tdirs, tcoef):
                     f_new, rho, u = nse_step(
-                        f, map_sharded, nu,
+                        f, mp, nu,
                         u_in=u_in if have_uin else None,
                         force=force if have_force else None,
                         parity=parity,
@@ -246,8 +250,16 @@ class CoupledSimulation(Simulation):
                         transfer_dirs=tdirs,
                         transfer_coeff=tcoef,
                         parity=parity,
+                        map_arr=mp_ade,
                     )
                     return f_new, g_new, rho, u, phi
+
+                inner = jax.jit(coupled, donate_argnums=(0, 1))
+                jfn = lambda f, g, nu, nu_ade, u_in, force, phi_in, tdirs, tcoef: (  # noqa: E731
+                    inner(f, g, self._map_sharded, self._map_ade_sharded,
+                          nu, nu_ade, u_in, force, phi_in, tdirs, tcoef))
+                self._jit_steps[key] = jfn
+                return jfn
             elif one_kernel is not None:
                 def coupled(f, g, nu, nu_ade, u_in, force, phi_in, tdirs, tcoef):
                     del tdirs, tcoef
@@ -280,10 +292,10 @@ class CoupledSimulation(Simulation):
             return jfn
 
         dt = self.cfg.compute_dtype
-        nu = jnp.asarray(self.domain.units.lbm_viscosity(), dt)
-        nu_ade = jnp.asarray(self.ade_diffusion, dt)
+        nu = self._dispatch_arg(self.domain.units.lbm_viscosity())
+        nu_ade = self._dispatch_arg(self.ade_diffusion)
         tcoef = jnp.asarray(self.transfer_coeff, dt)
-        zero = jnp.zeros((3,), dt)
+        zero = self._dispatch_arg(np.zeros(3))
         t0 = _time.perf_counter()
         for _ in range(n_steps):
             u_in = self.update_inflow(self.phys_time())
@@ -295,8 +307,8 @@ class CoupledSimulation(Simulation):
             jfn = get_jit(parity, u_in is not None, force is not None)
             self.f, self.g, self.rho, self.u, self.phi = jfn(
                 self.f, self.g, nu, nu_ade,
-                jnp.asarray(u_in, dt) if u_in is not None else zero,
-                jnp.asarray(force, dt) if force is not None else zero,
+                self._dispatch_arg(u_in) if u_in is not None else zero,
+                self._dispatch_arg(force) if force is not None else zero,
                 phi_in, self._transfer_dirs, tcoef,
             )
             self.iterations += 1
@@ -307,5 +319,5 @@ class CoupledSimulation(Simulation):
 
     def output_data(self):
         scalars, vectors = super().output_data()
-        scalars["phi"] = np.asarray(jax.device_get(self.phi))
+        scalars["phi"] = self._host(self.phi)  # multi-process-safe gather
         return scalars, vectors
