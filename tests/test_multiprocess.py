@@ -119,6 +119,31 @@ def test_two_process_run_matches_single_process(tmp_path):
     np.testing.assert_allclose(rho_pieces, np.asarray(ref.rho), atol=1e-12)
 
 
+@pytest.mark.slow
+def test_launch_distributed_runs_app_unchanged(tmp_path):
+    """scripts/launch_distributed.py (the mpirun analog) runs an app module
+    under 2 spawned controller processes; the converged duct error matches
+    the single-process value."""
+    root = Path(__file__).resolve().parents[1]
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run(
+        [sys.executable, str(root / "scripts" / "launch_distributed.py"),
+         "-n", "2", "-m", "tnl_lbm_tpu.apps.sim_2", "--devices-per-proc", "4",
+         "--", "1", "--sharded", "--final-time", "0.3",
+         "--results-dir", str(tmp_path)],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    assert "ok=True" in out.stdout
+    results = next(tmp_path.glob("results_sim_2_*"))
+    assert (results / "flag.finished").exists()
+    assert (results / "log_main_p1").exists()
+    # the multi-process trajectory reproduces the known single-process
+    # converged error of this config (sim_2 res 1, t=0.3)
+    assert "l1error_phys=2.290475e-04" in out.stdout
+
+
 def _vti_first_scalar(path) -> np.ndarray:
     """First appended data array of a raw-appended .vti, as float32."""
     import struct

@@ -174,7 +174,7 @@ class Sim2D2(Simulation):
         if self.mean_samples == 0:
             return 0.0
         sel = self.roi_mask()
-        mean = np.asarray(jax.device_get(self.sum_v)) / self.mean_samples
+        mean = self._host(self.sum_v) / self.mean_samples
         speed = np.sqrt(mean[0] ** 2 + mean[1] ** 2) * self.domain.units.lbm2phys_velocity(1.0)
         n = sel.sum()
         return float((speed * sel).sum() / n) if n else 0.0
@@ -186,7 +186,7 @@ class Sim2D2(Simulation):
         if self.fluc_samples == 0:
             return 0.0
         sel = self.roi_mask()
-        up2 = np.asarray(jax.device_get(self.sum_up2)) / self.fluc_samples
+        up2 = self._host(self.sum_up2) / self.fluc_samples
         rms = np.sqrt(up2[0] + up2[1]) * self.domain.units.lbm2phys_velocity(1.0)
         n = sel.sum()
         return float((rms * sel).sum() / n) if n else 0.0
@@ -275,7 +275,7 @@ class Sim2D2(Simulation):
             return 0.0
         units = self.domain.units
         sel = self.roi_mask()
-        up2 = np.asarray(jax.device_get(self.sum_up2)) / self.fluc_samples
+        up2 = self._host(self.sum_up2) / self.fluc_samples
         tke = 0.5 * (up2[0] + up2[1]) * units.lbm2phys_velocity(1.0) ** 2
         return float((tke * sel).sum() * units.phys_dl**2)
 
@@ -283,7 +283,7 @@ class Sim2D2(Simulation):
         import jax
 
         units = self.domain.units
-        u = np.asarray(jax.device_get(self.u)) * units.lbm2phys_velocity(1.0)
+        u = self._host(self.u) * units.lbm2phys_velocity(1.0)
         sel = self.roi_mask()
         ke = 0.5 * (u[0] ** 2 + u[1] ** 2)
         return float((ke * sel).sum() * units.phys_dl**2)
@@ -295,15 +295,15 @@ class Sim2D2(Simulation):
 
         units = self.domain.units
         v2p = units.lbm2phys_velocity(1.0)
-        u = np.asarray(jax.device_get(self.u)) * v2p
-        scalars = {"lbm_density": np.asarray(jax.device_get(self.rho))}
+        u = self._host(self.u) * v2p
+        scalars = {"lbm_density": self._host(self.rho)}
         vectors = {"velocity": u}
         scalars["velocity_magnitude"] = np.sqrt(u[0] ** 2 + u[1] ** 2)
 
         if self.means_frozen and self.frozen_mean is not None:
-            mean = np.asarray(jax.device_get(self.frozen_mean)) * v2p
+            mean = self._host(self.frozen_mean) * v2p
         elif self.mean_samples > 0:
-            mean = np.asarray(jax.device_get(self.sum_v)) / self.mean_samples * v2p
+            mean = self._host(self.sum_v) / self.mean_samples * v2p
         else:
             mean = np.zeros_like(u)
         scalars["mean_vx"] = mean[0]
@@ -312,7 +312,7 @@ class Sim2D2(Simulation):
 
         if self.fluc_samples > 0:
             scalars["mean_fluc_mag"] = (
-                np.asarray(jax.device_get(self.sum_upmag)) / self.fluc_samples * v2p
+                self._host(self.sum_upmag) / self.fluc_samples * v2p
             )
         else:
             scalars["mean_fluc_mag"] = np.zeros_like(scalars["velocity_magnitude"])

@@ -47,7 +47,7 @@ class Sim2D3(Simulation):
         units = self.domain.units
         X, Y = self.domain.shape
         x0, x1 = max(1, X // 2), min(X - 1, int(np.ceil(0.75 * X)))
-        u = np.asarray(jax.device_get(self.u)) * units.lbm2phys_velocity(1.0)
+        u = self._host(self.u) * units.lbm2phys_velocity(1.0)
         fluid = np.isin(self.domain.map, [int(GEO.FLUID), int(GEO.FLUID_NEAR_WALL)])
         roi = np.zeros_like(fluid)
         roi[x0:x1, 1 : Y - 1] = True

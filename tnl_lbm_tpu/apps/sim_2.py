@@ -87,7 +87,7 @@ class Sim2(Simulation):
         import jax
 
         units = self.domain.units
-        ux = np.asarray(jax.device_get(self.u[0]))
+        ux = self._host(self.u)[0]
         diff = np.abs(ux[1:-1, 1:-1, 1:-1] - self.analytical[None, 1:-1, 1:-1])
         dl3 = units.phys_dl**3
         to_phys = units.lbm2phys_velocity(1.0)
@@ -100,7 +100,8 @@ class Sim2(Simulation):
         stopping = abs(prev - l1) / l1 if l1 > 0 else 0.0
         if stopping < 1e-4 and stddev < 1e-3:
             self.terminate = True
-            self.flags.create("finished")  # converged, not an error
+            if self.is_coordinator:
+                self.flags.create("finished")  # converged, not an error
             self.terminate_reason = "converged"
         self._err_idx = (self._err_idx + 1) % len(self.l1_history)
         self.l1_history[self._err_idx] = l1
@@ -113,8 +114,8 @@ class Sim2(Simulation):
         import jax
 
         units = self.domain.units
-        rho = np.asarray(jax.device_get(self.rho))
-        u = np.asarray(jax.device_get(self.u))
+        rho = self._host(self.rho)
+        u = self._host(self.u)
         scalars = {
             "lbm_density": rho,
             "error_ux": np.abs(u[0] - self.analytical[None]) * units.lbm2phys_velocity(1.0),
