@@ -128,6 +128,41 @@ def main():
     csim._lock.release()
     dist.barrier("phase-3")
 
+    # uneven pad-and-crop decomposition (incl. the pad-1 periodic case)
+    # under multi-process: 19x12x8 over the 4x2 mesh == single device
+    from tnl_lbm_tpu.ops import equilibrium as eqlib2
+    from tnl_lbm_tpu.parallel.sharded import make_sharded_step
+    from tnl_lbm_tpu.sim import make_step
+
+    Xu = 19
+    mu = np.zeros((Xu, Y, Z), np.uint8)
+    mu[:, 0] = mu[:, -1] = GEO.WALL
+    units_u = Lattice((Xu, Y, Z), (0, 0, 0), 1.0, 1.0)
+    dom_u = Domain(lat=D3Q27, units=units_u, map=mu,
+                   periodic=(True, False, True))
+    plan_u = ShardPlan(mesh=mesh, spatial_axes=("x", "y", None))
+    assert not plan_u.divisible(dom_u)
+    rng = np.random.default_rng(7)
+    f0 = eqlib2.eq_quadratic(
+        cfg.lat, jnp.asarray(1 + 0.01 * rng.standard_normal(dom_u.shape)),
+        jnp.asarray(0.02 * rng.standard_normal((3,) + dom_u.shape))
+    ).astype(cfg.compute_dtype)
+    force = np.array([1e-5, 0.0, 0.0])
+    g1 = jnp.asarray(np.asarray(f0))
+    j1 = jax.jit(lambda g: make_step(cfg, dom_u)(g, 0.03,
+                                                 force=jnp.asarray(force)))
+    for _ in range(3):
+        g1, _, _ = j1(g1)
+    fN = plan_u.shard_field(np.asarray(f0), like_f=True)
+    mapN = plan_u.shard_field(np.asarray(dom_u.map), like_f=False)
+    stepN = make_sharded_step(cfg, dom_u, plan_u)
+    jN = jax.jit(lambda g, mp: stepN(g, mp, 0.03, force=force))
+    for _ in range(3):
+        fN, _, _ = jN(fN, mapN)
+    du = np.abs(dist.replicate_to_host(fN) - np.asarray(g1)).max()
+    assert du < 1e-12, f"uneven multiprocess diverged: {du}"
+    dist.barrier("phase-4")
+
     if rank == 0:
         with open(os.path.join(outdir, "worker_ok"), "w") as fh:
             fh.write("ok")
