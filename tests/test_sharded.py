@@ -263,6 +263,11 @@ def test_weak_scaling_prediction_meets_baseline():
     eff = predicted_weak_scaling(dom, plan, 0.0139, overlapped=False)
     assert eff > 0.99
     assert predicted_weak_scaling(dom, plan, 0.0139, overlapped=True) >= eff
+    # multi-host tier: host-boundary cuts of the outermost sharded axis
+    # ride DCN; the 4-host prediction must still clear the BASELINE north
+    # star (>= 90% on v5p-16 = 4 hosts) and never exceed the 1-host figure
+    eff4 = predicted_weak_scaling(dom, plan, 0.0139, overlapped=False, hosts=4)
+    assert 0.9 < eff4 <= eff
 
 
 @pytest.mark.slow

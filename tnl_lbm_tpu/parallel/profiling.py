@@ -38,6 +38,10 @@ class HaloTraffic:
 #: ~186 GB/s each way per axis on the 2D torus (v5e has 4 links/chip).
 V5E_HBM_GBPS = 819.0
 V5E_ICI_GBPS_PER_LINK = 186.0
+#: per-host data-center-network bandwidth for the multi-host tier
+#: (order-of-magnitude public figure, ~200 Gbit/s NICs): the halo slabs of
+#: mesh axes that cross HOST boundaries ride DCN, not ICI.
+DCN_GBPS_PER_HOST = 25.0
 
 
 def subset_exchange_ok(domain: Domain) -> bool:
@@ -53,7 +57,9 @@ def predicted_weak_scaling(domain: Domain, plan,
                            hbm_gbps: float = V5E_HBM_GBPS,
                            ici_gbps: float = V5E_ICI_GBPS_PER_LINK,
                            overlapped: bool = True,
-                           subset: bool | None = None) -> float:
+                           subset: bool | None = None,
+                           hosts: int = 1,
+                           dcn_gbps: float = DCN_GBPS_PER_HOST) -> float:
     """Model the weak-scaling efficiency of a sharded run.
 
     The reference reports measured weak scaling >= 90% on GPU clusters
@@ -70,23 +76,39 @@ def predicted_weak_scaling(domain: Domain, plan,
     ``subset=None`` derives the exchange mode from the domain
     (``subset_exchange_ok``): Bouzidi domains and the Pallas slab paths
     exchange all Q components per face, ~3x the subset traffic.
+
+    ``hosts > 1`` models the multi-host tier (parallel/distributed.py):
+    the OUTERMOST sharded mesh axis is assumed to span the hosts (the
+    mesh construction order ``choose_plan``/``Mesh(devices.reshape(...))``
+    produces - device order is host-major), so ``hosts - 1`` of its cuts
+    ride DCN at ``dcn_gbps`` instead of ICI.  Only the host-boundary
+    shards pay that cost, but weak scaling is set by the slowest shard.
+    The reference's multi-node runs have the same two-tier structure
+    (NVLink intra-node, InfiniBand inter-node).
     """
     if subset is None:
         subset = subset_exchange_ok(domain)
     # each sharded axis uses its own ICI links; the slab bytes per axis
     # transfer concurrently, so the halo time is set by the busiest axis
     local = plan.local_shape(domain)
+    sharded_axes = [(a, name) for a, name in enumerate(plan.spatial_axes)
+                    if name is not None and plan.mesh.shape[name] > 1]
+    outer = sharded_axes[0][0] if sharded_axes else None
     worst = 0.0
-    for a, name in enumerate(plan.spatial_axes):
-        if name is None or plan.mesh.shape[name] == 1:
-            continue
+    for a, name in sharded_axes:
         slab_sites = int(np.prod([s for i, s in enumerate(local) if i != a]))
         if subset:
             q_face = int((np.asarray(domain.lat.c)[:, a] == 1).sum())
         else:
             q_face = domain.lat.Q
         axis_bytes = 2 * q_face * slab_sites * 4
-        worst = max(worst, axis_bytes / (ici_gbps * 1e9))
+        link_gbps = ici_gbps
+        if hosts > 1 and a == outer and plan.mesh.shape[name] >= hosts:
+            # a host-boundary shard sends one face over DCN and one over
+            # ICI; the DCN face dominates
+            link_gbps = dcn_gbps
+            axis_bytes //= 2
+        worst = max(worst, axis_bytes / (link_gbps * 1e9))
     if overlapped:
         return step_seconds / max(step_seconds, worst)
     return step_seconds / (step_seconds + worst)
