@@ -99,7 +99,17 @@ def tune_pair2(cfg, domain, candidates=None, iters: int = 10):
 
     default = (8, 32, 2)
     if candidates is None:
-        candidates = [(8, 32, 2), (8, 16, 2), (8, 32, 3), (4, 32, 2), (8, 16, 4)]
+        # (8,32,2) is the historical v5e winner; the wider-ty candidates
+        # trade cross-program prefetch depth (K) for window-read
+        # amplification ((ty+16)/ty: 1.5x at ty=32, 1.25x at ty=64) - on a
+        # chip generation with more VMEM they can win, so the sweep keeps
+        # exploring them (the builder's VMEM fitter shrinks any candidate
+        # that does not fit, making the timing safe everywhere)
+        candidates = [(8, 32, 2), (8, 16, 2), (8, 32, 3), (4, 32, 2),
+                      (8, 16, 4), (8, 64, 1), (8, 64, 2), (4, 64, 2),
+                      (16, 32, 2)]
+    candidates = [c for c in candidates
+                  if domain.shape[0] % c[0] == 0 and domain.shape[1] % c[1] == 0]
 
     def time_candidate(c):
         tx, ty, k = c
