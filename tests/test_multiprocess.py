@@ -120,6 +120,79 @@ def test_two_process_run_matches_single_process(tmp_path):
 
 
 @pytest.mark.slow
+def test_crash_recovery_resumes_from_published_checkpoint(tmp_path):
+    """Fault injection the reference does not have (SURVEY 5.3): both
+    processes die via os._exit right after publishing a checkpoint at
+    iteration 8; a fresh spawn over the same results directory must resume
+    from it and reach the same state as an uninterrupted run."""
+    root = Path(__file__).resolve().parents[1]
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(root)
+    env.pop("JAX_PLATFORMS", None)
+
+    def spawn(mode):
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(root / "tests" / "mp_crash_worker.py"),
+                 str(r), "2", str(port), str(tmp_path), mode],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True)
+            for r in range(2)
+        ]
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=600)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                out, _ = p.communicate()
+            outs.append(out)
+        return procs, outs
+
+    procs, outs = spawn("crash")
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 42, f"crash worker {rank}:\n{out[-2000:]}"
+    results = tmp_path / "results_crash"
+    assert (results / "checkpoint.npz").exists()
+    assert (results / "flag.loadstate").exists()
+
+    procs, outs = spawn("resume")
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"resume worker {rank}:\n{out[-2000:]}"
+
+    # uninterrupted single-process reference to iteration 12
+    import jax.numpy as jnp
+
+    from tnl_lbm_tpu.models import D3Q27
+    from tnl_lbm_tpu.ops import collision as col
+    from tnl_lbm_tpu.ops.boundary import GEO
+    from tnl_lbm_tpu.sim import Domain, LBMConfig
+    from tnl_lbm_tpu.sim.state import Simulation
+    from tnl_lbm_tpu.utils import Lattice
+
+    X, Y, Z = 16, 8, 8
+    m = np.zeros((X, Y, Z), np.uint8)
+    m[:, 0] = m[:, -1] = GEO.WALL
+    units = Lattice((X, Y, Z), (0, 0, 0), 1.0, 1.0)
+    dom = Domain(lat=D3Q27, units=units, map=m, periodic=(True, False, True))
+    cfg = LBMConfig(lat=D3Q27, collision=col.collide_srt,
+                    compute_dtype=jnp.float64)
+
+    class Sim(Simulation):
+        def body_force(self, t):
+            return np.array([1e-5, 0.0, 0.0])
+
+    ref = Sim(cfg, dom, sim_id="crash_ref", results_parent=tmp_path,
+              phys_final_time=1e9)
+    ref.sim_init()
+    ref._advance(12)
+    ref._lock.release()
+    got = np.load(tmp_path / "resumed.npz")
+    np.testing.assert_allclose(got["f12"], np.asarray(ref.f), atol=1e-12)
+
+
+@pytest.mark.slow
 def test_launch_distributed_runs_app_unchanged(tmp_path):
     """scripts/launch_distributed.py (the mpirun analog) runs an app module
     under 2 spawned controller processes; the converged duct error matches
