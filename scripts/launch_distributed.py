@@ -88,7 +88,8 @@ def main(argv=None):
     for rank, code in enumerate(codes):
         if code != 0:
             print(f"rank {rank} exited with {code}", file=sys.stderr)
-    return max(codes)
+    # signal deaths are negative wait() codes - any nonzero rank fails the run
+    return 0 if all(c == 0 for c in codes) else 1
 
 
 if __name__ == "__main__":

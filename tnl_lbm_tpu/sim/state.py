@@ -1218,7 +1218,12 @@ class Simulation:
                     break
                 if (
                     self.wall_time_limit is not None
-                    and time.time() - self._t_wall_start > self.wall_time_limit
+                    # the walltime decision comes from LOCAL clocks, which
+                    # skew across hosts: broadcast the coordinator's call so
+                    # every rank leaves the loop together (the reference
+                    # reaches collective agreement the same way, core.h:60-68)
+                    and dist.broadcast_flag(
+                        time.time() - self._t_wall_start > self.wall_time_limit)
                 ):
                     self.log.info("walltime limit reached - saving state")
                     self.save_state()
