@@ -5,16 +5,22 @@
 # (BENCH_r03.json = 0.0 MLUPS).  This script probes the backend every
 # ~4 minutes and, the moment it answers, runs the full pending
 # measurement battery automatically so a recovered tunnel is never
-# wasted:
-#   1. headline bench.py (pair2 A-A, 256^3)           -> /tmp/r4_bench.log
-#   2. hooked non-Newtonian bench (target >= 650)     -> /tmp/r4_bench_hooked.log
-#   3. IBM 1e5-point + 32k-point performance rows     -> /tmp/r4_ibm_*.log
-#   4. 54-geometry x Bouzidi on/off golden sweep      -> /tmp/r4_golden.csv
-# Markers: /tmp/r4_tpu_up (tunnel answered), /tmp/r4_measure_done (all done).
+# wasted.  Outputs land INSIDE the repo (docs/measurements/r4/) so the
+# end-of-round driver commit preserves them even if the builder session
+# is not alive when the tunnel returns:
+#   1. headline bench.py (pair2 A-A, 256^3)           -> r4_bench.log
+#   1b. autotuned headline (widened pair2 tile sweep) -> r4_bench_tuned.log
+#   2. hooked non-Newtonian bench (target >= 650)     -> r4_bench_hooked.log
+#   3. IBM 1e5-point + 32k-point performance rows     -> r4_ibm_*.log
+#   3b. trace anatomy of the production pair on chip  -> r4_anatomy.log
+#   4. 54-geometry x Bouzidi on/off golden sweep      -> r4_golden.csv
+# Markers: /tmp/r4_tpu_up (tunnel answered), /tmp/r4_measure_done (done).
 #
 # Run me in the background: sh scripts/round4_measure_on_recovery.sh
 set -x
 cd "$(dirname "$0")/.."
+OUT=docs/measurements/r4
+mkdir -p "$OUT"
 
 rm -f /tmp/r4_tpu_up /tmp/r4_measure_done
 while true; do
@@ -25,35 +31,42 @@ while true; do
     date >> /tmp/r4_probe_history.log
     sleep 240
 done
-date > /tmp/r4_tpu_up
+date | tee /tmp/r4_tpu_up > "$OUT/tunnel_recovered_at.txt"
 
 # 1. headline first: the single most important number
-timeout 1500 python -u bench.py > /tmp/r4_bench.log 2>&1
+timeout 1500 python -u bench.py > "$OUT/r4_bench.log" 2>&1
+
+# 1b. re-run with on-chip tile autotune: the round-4 widened pair2 sweep
+#     (larger ty, tx=16 candidates) may beat the pinned (8,32) K=2
+timeout 2400 env TNL_BENCH_AUTOTUNE=1 python -u bench.py \
+    > "$OUT/r4_bench_tuned.log" 2>&1
 
 # 2+3. round-3 pending measurements
 timeout 2400 python -u scripts/bench_hooked.py --n 256 --calls 20 \
-    > /tmp/r4_bench_hooked.log 2>&1
+    > "$OUT/r4_bench_hooked.log" 2>&1
 timeout 1800 python -u scripts/make_ibm_performance_tables.py \
     --n 96 --points 100000 --steps 5 --diracs phi2 --methods original \
-    > /tmp/r4_ibm_1e5.log 2>&1
+    > "$OUT/r4_ibm_1e5.log" 2>&1
 timeout 1200 python -u scripts/make_ibm_performance_tables.py \
     --n 64 --points 32768 --steps 5 --diracs phi2 --methods modified,original \
-    > /tmp/r4_ibm_32k.log 2>&1
+    > "$OUT/r4_ibm_32k.log" 2>&1
 
 # 3b. trace-measured step anatomy on the real chip (VERDICT r3 item 3):
 #     kernel/DMA/copy split of the production A-A fused step
 timeout 1500 python -u scripts/profile_anatomy.py --n 256 --steps 10 \
     --use-fused --streaming AA --outdir /tmp/r4_anatomy \
-    > /tmp/r4_anatomy.log 2>&1
+    > "$OUT/r4_anatomy.log" 2>&1
+cp /tmp/r4_anatomy/profile_summary.json "$OUT/r4_anatomy_summary.json" 2>/dev/null
 
 # 4. full 54x2 golden sweep (VERDICT r3 item 4).  --batch 1: one TPU chip,
 #    one host core; the persistent compile cache amortizes the compiles.
 python scripts/make_golden_geometries.py /tmp/r4_golden_geos \
-    > /tmp/r4_golden_gen.log 2>&1
+    > "$OUT/r4_golden_gen.log" 2>&1
 timeout 14000 python -u scripts/run_all_geometries.py /tmp/r4_golden_geos \
     --batch 1 --final-time 0.4 --run-root /tmp/r4_golden_runs \
-    --csv /tmp/r4_golden.csv > /tmp/r4_golden.log 2>&1
+    --csv "$OUT/r4_golden.csv" > "$OUT/r4_golden.log" 2>&1
 
 date > /tmp/r4_measure_done
-tail -n 3 /tmp/r4_bench.log /tmp/r4_bench_hooked.log /tmp/r4_ibm_1e5.log \
-    /tmp/r4_ibm_32k.log /tmp/r4_golden.log
+tail -n 3 "$OUT"/r4_bench.log "$OUT"/r4_bench_tuned.log \
+    "$OUT"/r4_bench_hooked.log "$OUT"/r4_ibm_1e5.log \
+    "$OUT"/r4_ibm_32k.log "$OUT"/r4_golden.log
