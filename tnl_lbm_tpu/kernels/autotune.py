@@ -86,6 +86,17 @@ def autotune(key: str, candidates, time_candidate, default, force: bool = False)
     return best
 
 
+def cached_winner(key: str):
+    """Return the cached winner for ``key`` on this device, or None.
+
+    Cache-only lookup: never measures.  Lets callers (bench.py) adopt a
+    tile geometry a previous autotune pass measured on this same chip
+    without paying the sweep themselves."""
+    full_key = f"{device_kind()}|{key}"
+    hit = _load().get(full_key)
+    return tuple(hit) if isinstance(hit, list) else hit
+
+
 def tune_pair2(cfg, domain, candidates=None, iters: int = 10):
     """Pick the best (tx, ty, K) for the one-kernel A-A pair on this chip.
 
