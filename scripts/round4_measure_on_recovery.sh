@@ -56,7 +56,7 @@ timeout 1200 python -u scripts/make_ibm_performance_tables.py \
 timeout 1500 python -u scripts/profile_anatomy.py --n 256 --steps 10 \
     --use-fused --streaming AA --outdir /tmp/r4_anatomy \
     > "$OUT/r4_anatomy.log" 2>&1
-cp /tmp/r4_anatomy/profile_summary.json "$OUT/r4_anatomy_summary.json" 2>/dev/null
+cp /tmp/r4_anatomy/anatomy.json "$OUT/r4_anatomy_summary.json" 2>/dev/null
 
 # 4. full 54x2 golden sweep (VERDICT r3 item 4).  --batch 1: one TPU chip,
 #    one host core; the persistent compile cache amortizes the compiles.

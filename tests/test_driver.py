@@ -206,16 +206,23 @@ def test_per_shard_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(arrays["f"], big)
     np.testing.assert_array_equal(arrays["s"], small)
 
-    # a foreign epoch's shard file (a concurrent writer's in-flight save,
-    # ADVICE r3) must survive the GC; only the superseded epoch's files go
-    foreign = tmp_path / "checkpoint_shard000_999.npz"
+    # a concurrent writer's in-flight save carries an epoch NEWER than the
+    # published one (ADVICE r3) and must survive the GC; an epoch OLDER
+    # than the superseded publish is an unreachable orphan (e.g. a save
+    # that crashed before publishing) and must be collected, as must the
+    # legacy unsuffixed layout
+    import time as _time
+
+    foreign = tmp_path / f"checkpoint_shard000_{_time.time_ns() + 10**12}.npz"
     np.savez(foreign, x=np.zeros(1))
+    orphan = tmp_path / "checkpoint_shard000_999.npz"
+    np.savez(orphan, x=np.zeros(1))
     legacy = tmp_path / "checkpoint_shard001.npz"
     np.savez(legacy, x=np.zeros(1))
 
     # a second save garbage-collects the previous epoch's shard files
     ckpt.save_checkpoint(tmp_path, {"f": sharded, "s": small}, {"iterations": 43})
-    assert foreign.exists() and not legacy.exists()
+    assert foreign.exists() and not orphan.exists() and not legacy.exists()
     foreign.unlink()
     assert len(list(tmp_path.glob("checkpoint_shard*.npz"))) == 8
     _, meta2 = ckpt.load_checkpoint(tmp_path)

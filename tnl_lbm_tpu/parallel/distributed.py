@@ -24,6 +24,8 @@ per-process shard files (sim/checkpoint.py).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -116,11 +118,18 @@ def replicate_to_host(x) -> np.ndarray:
         return np.asarray(x)
     if getattr(x, "is_fully_addressable", True):
         return np.asarray(jax.device_get(x))
+    rep = _replicator(x.sharding.mesh)(x)
+    return np.asarray(rep.addressable_data(0))
+
+
+@functools.lru_cache(maxsize=8)
+def _replicator(mesh):
+    """Cached jitted all-gather to a replicated sharding: a fresh
+    ``jax.jit(lambda ...)`` per call would retrace (and recompile) the
+    gather at every probe/print/VTK event."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    mesh = x.sharding.mesh
-    rep = jax.jit(lambda a: a, out_shardings=NamedSharding(mesh, P()))(x)
-    return np.asarray(rep.addressable_data(0))
+    return jax.jit(lambda a: a, out_shardings=NamedSharding(mesh, P()))
 
 
 def _norm_index(idx, shape):

@@ -148,11 +148,23 @@ def save_checkpoint(directory, arrays: dict, meta: dict,
                 native.flush()
             # only now is the new checkpoint fully committed:
             # garbage-collect the shard files THIS save superseded - the
-            # previous published epoch and the legacy unsuffixed layout,
-            # never other epochs that may belong to a concurrent writer
+            # previous published epoch, anything OLDER than it (an epoch
+            # older than a long-superseded publish can never be referenced
+            # again: it either crashed before publishing or was itself
+            # superseded - without this, a save that died between
+            # shard-write and meta-publish would leak its shard set
+            # forever), and the legacy unsuffixed layout.  Epochs NEWER
+            # than prev stay: they may belong to a concurrent writer
+            # (ADVICE r3).
             doomed = list(directory.glob("checkpoint_shard???.npz"))
             if prev_epoch is not None and prev_epoch != epoch:
-                doomed += directory.glob(f"checkpoint_shard*_{prev_epoch}.npz")
+                for p in directory.glob("checkpoint_shard???_*.npz"):
+                    try:
+                        e = int(p.stem.rsplit("_", 1)[1])
+                    except ValueError:
+                        continue
+                    if e <= int(prev_epoch) and e != epoch:
+                        doomed.append(p)
             for p in doomed:
                 try:
                     p.unlink()

@@ -633,7 +633,10 @@ class Simulation:
         """Best-of-N wall time for one A-A pair via (a) the one-kernel pair
         dispatch and (b) two per-step dispatches.  Leaves self.f untouched."""
         nu = self._dispatch_arg(self.domain.units.lbm_viscosity())
-        zero = jnp.zeros((self.cfg.lat.D,), self.cfg.compute_dtype)
+        # _dispatch_arg, not jnp.zeros: a process-local jax.Array cannot
+        # join a multi-host-mesh computation (it would raise, and the
+        # auto-probe's fail-safe would silently pin per-step dispatch)
+        zero = self._dispatch_arg(np.zeros(self.cfg.lat.D))
         self._ensure_pair2_jits()
         jpair = self._jit_steps["pair2"][(False, False)]
         fpad = self._jit_steps["pair2_pad"](self.f)
@@ -1316,7 +1319,12 @@ class Simulation:
             self._io_time += time.perf_counter() - t_io
         if c[SAVESTATE].period > 0:
             wall = time.time() - self._t_wall_start
-            if wall >= c[SAVESTATE].count * c[SAVESTATE].period:
+            # save_checkpoint is collective (broadcast + barriers), but this
+            # trigger reads the LOCAL wall clock: broadcast the coordinator's
+            # decision so every rank enters the save on the same dispatch
+            # (same agreement the reference reaches via MPI, core.h:70-76)
+            if dist.broadcast_flag(
+                    wall >= c[SAVESTATE].count * c[SAVESTATE].period):
                 c[SAVESTATE].count += 1
                 if c[SAVESTATE].count > 1:  # skip initial save (reference state.hpp:948)
                     self.save_state(background=True)

@@ -83,9 +83,21 @@ def _device_op_events(xs):
         if not (is_device or is_host):
             continue
         md = plane.event_metadata
+        # A TPU device plane carries several lines: "XLA Ops" (individual
+        # HLO ops - what we want), "XLA Modules" (ONE event spanning the
+        # whole executable per dispatch - counting it would double compute
+        # and blanket every collective as "overlapped"), "Steps", etc.
+        # When an ops line exists, use ONLY it; the substring fallback
+        # covers trace formats without one.
+        ops_lines = [ln.name for ln in plane.lines
+                     if is_device and "xla ops" in ln.name.lower()]
         for line in plane.lines:
-            if is_device and "step" in line.name.lower():
-                continue  # step markers, not ops
+            if is_device and ops_lines and line.name not in ops_lines:
+                continue
+            if is_device and not ops_lines and (
+                    "step" in line.name.lower()
+                    or "module" in line.name.lower()):
+                continue  # step markers / whole-executable spans, not ops
             if is_host and not line.name.startswith("tf_XLA"):
                 continue
             key = plane.name if is_device else f"{plane.name}/{line.name}"
