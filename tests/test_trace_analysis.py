@@ -24,6 +24,39 @@ def test_classify_op_categories():
     assert classify_op("fused_copy_like") == "compute"
 
 
+def test_device_plane_uses_only_xla_ops_line():
+    """TPU device planes carry an 'XLA Modules' line with ONE event spanning
+    the whole executable per dispatch; counting it doubles compute and
+    blankets every collective as overlapped.  Only the 'XLA Ops' line's
+    events may be yielded when it exists."""
+    xplane_pb2 = pytest.importorskip(
+        "tensorflow.tsl.profiler.protobuf.xplane_pb2")
+    from tnl_lbm_tpu.utils.trace_analysis import _device_op_events
+
+    xs = xplane_pb2.XSpace()
+    plane = xs.planes.add(name="/device:TPU:0")
+    plane.event_metadata[1].id = 1
+    plane.event_metadata[1].name = "jit_step_module"
+    plane.event_metadata[2].id = 2
+    plane.event_metadata[2].name = "fusion.7"
+    plane.event_metadata[3].id = 3
+    plane.event_metadata[3].name = "collective-permute-start.1"
+    mods = plane.lines.add(name="XLA Modules", timestamp_ns=0)
+    e = mods.events.add(metadata_id=1)
+    e.offset_ps, e.duration_ps = 0, 10_000_000  # spans everything
+    ops = plane.lines.add(name="XLA Ops", timestamp_ns=0)
+    e = ops.events.add(metadata_id=2)
+    e.offset_ps, e.duration_ps = 0, 4_000_000
+    e = ops.events.add(metadata_id=3)
+    e.offset_ps, e.duration_ps = 5_000_000, 2_000_000
+    steps = plane.lines.add(name="Steps", timestamp_ns=0)
+    e = steps.events.add(metadata_id=1)
+    e.offset_ps, e.duration_ps = 0, 10_000_000
+
+    got = sorted(name for _, name, _, _ in _device_op_events(xs))
+    assert got == ["collective-permute-start.1", "fusion.7"]
+
+
 @pytest.mark.slow
 def test_step_anatomy_from_sharded_trace(tmp_path):
     """Capture a real sharded-step trace on the 8-device CPU mesh and check
