@@ -163,6 +163,72 @@ def main():
     assert du < 1e-12, f"uneven multiprocess diverged: {du}"
     dist.barrier("phase-4")
 
+    # phase 5: build-time sharded auxiliary arrays (here: Bouzidi) must
+    # ride jit as ARGUMENTS via step.sharded_consts (round-4 self-review:
+    # a trace-time plan.shard_field default / closed-over sharded array
+    # cannot lower in multi-process runs).  (a) through the driver's
+    # _jit_step on the XLA sharded path, (b) the fused 2D builder directly.
+    from tnl_lbm_tpu.models import D2Q9
+    from tnl_lbm_tpu.ops import collision_2d as col2
+
+    X2, Y2 = 16, 16
+    m2 = np.zeros((X2, Y2), np.uint8)
+    m2[:, 1] = m2[:, Y2 - 2] = GEO.WALL
+    m2[:, 0] = m2[:, Y2 - 1] = GEO.NOTHING
+    m2[0, 2:Y2 - 2] = GEO.INFLOW
+    m2[X2 - 1, 2:Y2 - 2] = GEO.OUTFLOW_RIGHT
+    m2[4:6, 5:9] = GEO.WALL
+    m2[3, 5:9] = m2[6, 5:9] = GEO.FLUID_NEAR_WALL
+    rng2 = np.random.default_rng(3)
+    bz2 = np.full((8, X2, Y2), -1.0, np.float32)
+    nw = m2 == GEO.FLUID_NEAR_WALL
+    bz2[:, nw] = rng2.uniform(0.05, 0.95, (8, int(nw.sum()))).astype(np.float32)
+    units2 = Lattice((X2, Y2), (0, 0), 1.0, 1.0, phys_viscosity=0.03)
+    dom2 = Domain(lat=D2Q9, units=units2, map=m2, bouzidi=bz2)
+    cfg2 = LBMConfig(lat=D2Q9, collision=col2.collide_srt_2d,
+                     compute_dtype=jnp.float64)
+    plan2 = ShardPlan(mesh=mesh, spatial_axes=("x", "y"))
+
+    class Sim2(Simulation):
+        def update_inflow(self, t):
+            return np.array([0.05, 0.0])
+
+    sim2d = Sim2(cfg2, dom2, sim_id="mp_bz", results_parent=outdir,
+                 plan=plan2, phys_final_time=1e9)
+    assert sim2d.can_compute()
+    sim2d.sim_init()
+    sim2d._advance(4)
+    f_mp = dist.replicate_to_host(sim2d.f)
+    sim2d._lock.release()
+
+    from tnl_lbm_tpu.sim import initial_dfs, make_step
+
+    nu2 = dom2.units.lbm_viscosity()
+    uin2 = jnp.asarray([0.05, 0.0], cfg2.compute_dtype)
+    step_1dev = make_step(cfg2, dom2)
+    j2 = jax.jit(lambda g: step_1dev(g, nu2, u_in=uin2)[0])
+    g2 = initial_dfs(cfg2, dom2)
+    for _ in range(4):
+        g2 = j2(g2)
+    d2 = np.abs(f_mp - np.asarray(g2)).max()
+    assert d2 < 1e-12, f"mp bouzidi driver trajectory diverged: {d2}"
+
+    # (b) fused 2D sharded builder: thread its exposed sharded consts
+    from tnl_lbm_tpu.parallel.sharded import make_sharded_fused_step_2d
+
+    step_f2 = make_sharded_fused_step_2d(cfg2, dom2, plan2)
+    sc2 = step_f2.sharded_consts
+    assert "bouzidi_arr" in sc2
+    f2s = plan2.shard_field(np.asarray(initial_dfs(cfg2, dom2)), like_f=True)
+    mp2s = plan2.shard_field(np.asarray(m2), like_f=False)
+    jf2 = jax.jit(lambda g, mp_, bz_: step_f2(g, mp_, nu2, u_in=uin2,
+                                              bouzidi_arr=bz_)[0])
+    for _ in range(4):
+        f2s = jf2(f2s, mp2s, sc2["bouzidi_arr"])
+    d2f = np.abs(dist.replicate_to_host(f2s) - np.asarray(g2)).max()
+    assert d2f < 1e-12, f"mp fused-2D bouzidi diverged: {d2f}"
+    dist.barrier("phase-5")
+
     if rank == 0:
         with open(os.path.join(outdir, "worker_ok"), "w") as fh:
             fh.write("ok")

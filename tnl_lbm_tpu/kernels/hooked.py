@@ -305,6 +305,7 @@ def make_sharded_hooked_fused_step(cfg: LBMConfig, domain: Domain, plan,
             return base2(f, map_arr, nu, u_in=u_in, force=extra,
                          bouzidi_arr=bouzidi_arr)
 
+        step2.sharded_consts = dict(getattr(base2, "sharded_consts", {}))
         return step2
 
     # round 3: non-Newtonian configs collapse the whole sharded step into
@@ -324,11 +325,13 @@ def make_sharded_hooked_fused_step(cfg: LBMConfig, domain: Domain, plan,
                    if k in ("tile", "tiles_per_program", "with_macro")})
 
             def step(f, map_arr, nu, u_in=None, force=None, parity: int = 0,
-                     hook_consts=None):
+                     hook_consts=None, fluid_mask=None):
                 del hook_consts  # NN hooks carry no consts pytree
                 return nn_sharded(f, map_arr, nu, u_in=u_in, force=force,
-                                  parity=parity)
+                                  parity=parity, fluid_mask=fluid_mask)
 
+            step.sharded_consts = dict(
+                getattr(nn_sharded, "sharded_consts", {}))
             return step
 
     cfg_nohook = dataclasses.replace(cfg, forcing_hook=None)
@@ -338,22 +341,22 @@ def make_sharded_hooked_fused_step(cfg: LBMConfig, domain: Domain, plan,
                    force_field=True, **kernel_kwargs)
     macro = builder(cfg_nohook, domain, plan,
                     macro_only=True, **kernel_kwargs)
-    fluid_mask = plan.shard_field(
+    fluid_mask_g = plan.shard_field(
         jnp.asarray(np.asarray(domain.map) == int(GEO.FLUID)), like_f=False)
 
     has_consts = getattr(hook, "consts", None) is not None
     shard_local = getattr(hook, "shard_local", False)
 
-    def _eval_hook(rho0, u0, nu, hook_consts):
+    def _eval_hook(rho0, u0, nu, hook_consts, fl_mask):
         """Hook dispatch: global GSPMD for stencil hooks (XLA partitions
         them), or inside its OWN shard_map for ownership-partitioned hooks
         (IBM's sharded_hook: lax.axis_index/psum over the mesh axes) -
         round 3: distributed IBM now rides the fused pipeline too."""
         if not shard_local:
             if has_consts:
-                return hook(lat, rho0, u0, nu, fluid_mask,
+                return hook(lat, rho0, u0, nu, fl_mask,
                             consts=hook_consts).astype(dtype)
-            return hook(lat, rho0, u0, nu, fluid_mask).astype(dtype)
+            return hook(lat, rho0, u0, nu, fl_mask).astype(dtype)
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
@@ -363,7 +366,7 @@ def make_sharded_hooked_fused_step(cfg: LBMConfig, domain: Domain, plan,
             return hook(lat, rho_l, u_l, nu_r, fl_l, **kw)
 
         in_specs = [plan.spec_site, plan.spec_f, plan.spec_site, P()]
-        operands = [rho0, u0, fluid_mask, jnp.asarray(nu, dtype)]
+        operands = [rho0, u0, fl_mask, jnp.asarray(nu, dtype)]
         if has_consts:
             in_specs.append(P())  # replicated consts pytree
             operands.append(hook_consts)
@@ -373,7 +376,7 @@ def make_sharded_hooked_fused_step(cfg: LBMConfig, domain: Domain, plan,
         )(*operands).astype(dtype)
 
     def step(f, map_arr, nu, u_in=None, force=None, parity: int = 0,
-             hook_consts=None):
+             hook_consts=None, fluid_mask=None):
         fvec = None if (force is not None and jnp.ndim(force) > 1) else force
         rho0, u0 = macro(f, map_arr, nu, u_in=u_in, force=fvec, parity=parity)
         if fvec is None and force is not None:
@@ -382,7 +385,10 @@ def make_sharded_hooked_fused_step(cfg: LBMConfig, domain: Domain, plan,
             u0 = u0 + force.astype(dtype) / (2 * jnp.maximum(rho0, 1e-12))
         if shard_local and has_consts and hook_consts is None:
             hook_consts = hook.consts
-        extra = _eval_hook(rho0, u0, nu, hook_consts)
+        # multi-process callers pass the mask (see step.sharded_consts);
+        # the closure default only works single-process
+        extra = _eval_hook(rho0, u0, nu, hook_consts,
+                           fluid_mask_g if fluid_mask is None else fluid_mask)
         if force is not None:
             fb = jnp.asarray(force, dtype)
             if fb.ndim == 1:
@@ -391,4 +397,5 @@ def make_sharded_hooked_fused_step(cfg: LBMConfig, domain: Domain, plan,
         extra = jnp.broadcast_to(extra, (3,) + tuple(domain.shape))
         return base(f, map_arr, nu, u_in=u_in, force=extra, parity=parity)
 
+    step.sharded_consts = {"fluid_mask": fluid_mask_g}
     return step

@@ -336,9 +336,14 @@ def _make_uneven_sharded_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan,
 
     def step(f, map_arr, nu, u_in=None, force=None, parity: int = 0,
              bouzidi_arr=None, hook_consts=None):
-        del map_arr, bouzidi_arr  # rebuilt padded internally
+        del map_arr  # rebuilt padded internally (build-time edge pad)
         dt = cfg.compute_dtype
         extra = {} if hook_consts is None else {"hook_consts": hook_consts}
+        if bouzidi_arr is not None:
+            # multi-process callers thread the PADDED bouzidi array from
+            # step.sharded_consts; the inner builder's closure default
+            # only works single-process
+            extra["bouzidi_arr"] = bouzidi_arr
         f_new, rho, u = inner(
             _pad_state(f), map_p_dev, nu,
             u_in=_pad_drive(u_in, dt), force=_pad_drive(force, dt),
@@ -346,6 +351,9 @@ def _make_uneven_sharded_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan,
         )
         return f_new[crop_f], rho[crop_s], u[crop_f]
 
+    # the inner builder's sharded consts live on the PADDED domain; expose
+    # them unchanged (callers pass them back verbatim)
+    step.sharded_consts = dict(getattr(inner, "sharded_consts", {}))
     return step
 
 
@@ -468,6 +476,15 @@ def make_sharded_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan):
         a = jnp.broadcast_to(a, (lat.D,) + tuple(domain.shape))
         return a, plan.spec_f
 
+    # materialized at BUILD time and exposed via step.sharded_consts:
+    # multi-process callers must thread it through jit as an ARGUMENT (a
+    # closed-over / trace-time-built sharded array spans non-addressable
+    # devices and cannot lower); the in-step default keeps single-process
+    # callers working unchanged
+    bz_default = (plan.shard_field(
+        jnp.asarray(domain.bouzidi, dtype=cfg.compute_dtype), like_f=True)
+        if use_bouzidi else None)
+
     def step(f, map_arr, nu, u_in=None, force=None, parity: int = 0,
              bouzidi_arr=None, hook_consts=None):
         dt = cfg.compute_dtype
@@ -475,14 +492,14 @@ def make_sharded_step(cfg: LBMConfig, domain: Domain, plan: ShardPlan):
         u_in, uin_spec = _field_or_vec(u_in, dt)
         force, force_spec = _field_or_vec(force, dt)
         if use_bouzidi and bouzidi_arr is None:
-            bouzidi_arr = plan.shard_field(
-                jnp.asarray(domain.bouzidi, dtype=dt), like_f=True
-            )
+            bouzidi_arr = bz_default
         if use_hc and hook_consts is None:
             hook_consts = cfg.forcing_hook.consts
         return run(parity, f, map_arr, nu, u_in, force, bouzidi_arr,
                    uin_spec, force_spec, hook_consts)
 
+    step.sharded_consts = (
+        {"bouzidi_arr": bz_default} if use_bouzidi else {})
     return step
 
 
@@ -649,6 +666,8 @@ def make_sharded_fused_step_2d(cfg: LBMConfig, domain: Domain,
         )
         return sharded(*operands)
 
+    step.sharded_consts = (
+        {"bouzidi_arr": bz_sharded} if has_bouzidi else {})
     return step
 
 
@@ -722,7 +741,8 @@ def make_sharded_fused_nn_step(cfg: LBMConfig, domain: Domain,
         return local_step(fpad, nu, u_in=u_in, force=force, parity=parity,
                           map_master=mpad, mask_master=kpad, bflags=bflags)
 
-    def step(f, map_arr, nu, u_in=None, force=None, parity: int = 0):
+    def step(f, map_arr, nu, u_in=None, force=None, parity: int = 0,
+             fluid_mask=None):
         dt = cfg.compute_dtype
         nu_v = jnp.asarray(nu, dt)
         u_in_v = jnp.zeros((3,), dt) if u_in is None else jnp.asarray(u_in, dt)
@@ -737,8 +757,13 @@ def make_sharded_fused_nn_step(cfg: LBMConfig, domain: Domain,
             out_specs=(plan.spec_f,) + out_macro,
             check_vma=False,
         )
-        return sharded(f, map_arr, mask_g, nu_v, u_in_v, force_v)
+        # multi-process callers pass the mask (see step.sharded_consts);
+        # the closure default only works single-process
+        return sharded(f, map_arr,
+                       mask_g if fluid_mask is None else fluid_mask,
+                       nu_v, u_in_v, force_v)
 
+    step.sharded_consts = {"fluid_mask": mask_g}
     return step
 
 
@@ -794,7 +819,7 @@ def make_sharded_fused_ade_step(cfg: LBMConfig, domain: Domain,
                           map_arr_in=mp.astype(jnp.int32),
                           tflags_in=maybe_tfl[0] if maybe_tfl else None)
 
-    def step(g, u, map_arr, nu, phi_in=0.0):
+    def step(g, u, map_arr, nu, phi_in=0.0, tflags=None):
         dt = cfg.compute_dtype
         nu_v = jnp.asarray(nu, dt)
         phi_v = jnp.asarray(0.0 if phi_in is None else phi_in, dt)
@@ -802,8 +827,10 @@ def make_sharded_fused_ade_step(cfg: LBMConfig, domain: Domain,
         ins = [plan.spec_f, plan.spec_site, plan.spec_f, nu_spec, P()]
         operands = [g, map_arr, u, nu_v, phi_v]
         if needs_transfer:
+            # multi-process callers pass tflags (see step.sharded_consts);
+            # the closure default only works single-process
             ins.append(plan.spec_site)
-            operands.append(tflags_g)
+            operands.append(tflags_g if tflags is None else tflags)
         sharded = shard_map(
             local,
             mesh=plan.mesh,
@@ -813,6 +840,7 @@ def make_sharded_fused_ade_step(cfg: LBMConfig, domain: Domain,
         )
         return sharded(*operands)
 
+    step.sharded_consts = {"tflags": tflags_g} if needs_transfer else {}
     return step
 
 

@@ -106,13 +106,19 @@ class CoupledSimulation(Simulation):
                 )
 
                 def ade_step(g, u, nu_ade, phi_in=None, transfer_dirs=None,
-                             transfer_coeff=0.0, parity=0, map_arr=None):
+                             transfer_coeff=0.0, parity=0, map_arr=None,
+                             tflags=None):
                     del transfer_dirs, transfer_coeff, parity  # build-time
                     mp = map_arr if map_arr is not None else self._map_ade_sharded
                     return sharded_ade_fused(
                         g, u, mp, nu_ade,
-                        phi_in=phi_in if phi_in is not None else 0.0)
+                        phi_in=phi_in if phi_in is not None else 0.0,
+                        tflags=tflags)
 
+                # sharded transfer flags must enter jit as arguments in
+                # multi-process runs (see get_jit)
+                ade_step.sharded_consts = dict(
+                    getattr(sharded_ade_fused, "sharded_consts", {}))
                 self._ade_step = ade_step
                 self._ade_fused = True
                 self.coupled_kernel = "sharded-fused"
@@ -235,14 +241,23 @@ class CoupledSimulation(Simulation):
             if self.plan is not None:
                 # both sharded maps enter jit as ARGUMENTS (see
                 # state._jit_step: a closed-over multi-process array cannot
-                # become an HLO constant)
+                # become an HLO constant) - and so do any other sharded
+                # arrays the step builders materialized (transfer flags,
+                # bouzidi, fluid masks), exposed via step.sharded_consts
+                nse_sc = dict(getattr(nse_step, "sharded_consts", None) or {})
+                ade_sc = dict(getattr(ade_step, "sharded_consts", None) or {})
+                nse_names, ade_names = sorted(nse_sc), sorted(ade_sc)
+                nse_vals0 = tuple(nse_sc[k] for k in nse_names)
+                ade_vals0 = tuple(ade_sc[k] for k in ade_names)
+
                 def coupled(f, g, mp, mp_ade, nu, nu_ade, u_in, force,
-                            phi_in, tdirs, tcoef):
+                            phi_in, tdirs, tcoef, nse_vals, ade_vals):
                     f_new, rho, u = nse_step(
                         f, mp, nu,
                         u_in=u_in if have_uin else None,
                         force=force if have_force else None,
                         parity=parity,
+                        **dict(zip(nse_names, nse_vals)),
                     )
                     g_new, phi = ade_step(
                         g, u, nu_ade,
@@ -251,13 +266,15 @@ class CoupledSimulation(Simulation):
                         transfer_coeff=tcoef,
                         parity=parity,
                         map_arr=mp_ade,
+                        **dict(zip(ade_names, ade_vals)),
                     )
                     return f_new, g_new, rho, u, phi
 
                 inner = jax.jit(coupled, donate_argnums=(0, 1))
                 jfn = lambda f, g, nu, nu_ade, u_in, force, phi_in, tdirs, tcoef: (  # noqa: E731
                     inner(f, g, self._map_sharded, self._map_ade_sharded,
-                          nu, nu_ade, u_in, force, phi_in, tdirs, tcoef))
+                          nu, nu_ade, u_in, force, phi_in, tdirs, tcoef,
+                          nse_vals0, ade_vals0))
                 self._jit_steps[key] = jfn
                 return jfn
             elif one_kernel is not None:

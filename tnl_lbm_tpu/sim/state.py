@@ -470,9 +470,17 @@ class Simulation:
             # the sharded geometry map enters jit as an ARGUMENT, never a
             # closure: a closed-over jax.Array becomes an HLO constant,
             # which multi-process runs cannot even fetch (the array spans
-            # non-addressable devices)
-            def fn(f, mp, nu, u_in, force, hook_consts=None):
+            # non-addressable devices).  The same rule applies to every
+            # other sharded array the step builder materialized (bouzidi,
+            # fluid mask, transfer flags): builders expose them as
+            # step.sharded_consts and the driver threads them through here.
+            sc = dict(getattr(step, "sharded_consts", None) or {})
+            sc_names = sorted(sc)
+            sc_vals = tuple(sc[k] for k in sc_names)
+
+            def fn(f, mp, nu, u_in, force, hook_consts=None, *sc_in):
                 kw = {} if hc is None else {"hook_consts": hook_consts}
+                kw.update(zip(sc_names, sc_in))
                 return step(
                     f, mp, nu,
                     u_in=u_in if have_uin else None,
@@ -494,9 +502,9 @@ class Simulation:
             else:
                 jfn = inner
         else:
-            if hc is not None:
+            if hc is not None or sc_vals:
                 jfn = lambda f, nu, u_in, force: inner(  # noqa: E731
-                    f, self._map_sharded, nu, u_in, force, hc)
+                    f, self._map_sharded, nu, u_in, force, hc, *sc_vals)
             else:
                 jfn = lambda f, nu, u_in, force: inner(  # noqa: E731
                     f, self._map_sharded, nu, u_in, force)
