@@ -101,13 +101,15 @@ def main():
     init_state = None
     if on_tpu and supports(dom):
         cfg_aa = dataclasses.replace(cfg, streaming="AA")
-        tile, k = (8, 32), 2  # sweep winner on the v5e bench chip
+        from tnl_lbm_tpu.kernels.autotune import normalize_pair2, pair2_build_opts
+
+        tile, k, mode = (8, 32), 2, ""  # round-3 sweep winner on the v5e chip
         if os.environ.get("TNL_BENCH_AUTOTUNE") == "1":
-            # re-measure the tile geometry on THIS chip (reference
-            # block_size_optimizer analog, kernels/autotune.py); cached
+            # re-measure tile geometry + traffic variants on THIS chip
+            # (reference block_size_optimizer analog, kernels/autotune.py)
             from tnl_lbm_tpu.kernels.autotune import tune_pair2
 
-            tx, ty, k = tune_pair2(cfg_aa, dom)
+            tx, ty, k, mode = tune_pair2(cfg_aa, dom)
             tile = (tx, ty)
         else:
             # adopt (never measure) a winner a previous autotune pass
@@ -120,13 +122,15 @@ def main():
             hit = cached_winner(
                 f"pair2|{shape_key}|{cfg_aa.compute_dtype.__name__}")
             if hit is not None:
-                tile, k = (hit[0], hit[1]), hit[2]
+                tx, ty, k, mode = normalize_pair2(hit)
+                tile = (tx, ty)
         try:
             # one-kernel pair: both parities in VMEM per tile, single
             # windowed read + interior write per 2 steps
             pair2 = make_fused_pair2_aa(cfg_aa, dom, tile=tile,
-                                        tiles_per_program=k)
-            kernel_name = "pallas-fused-AA-pair2"
+                                        tiles_per_program=k,
+                                        **pair2_build_opts(mode))
+            kernel_name = "pallas-fused-AA-pair2" + (f"[{mode}]" if mode else "")
             # no donation: in/out are same-shape, XLA would alias them and
             # aliased in/out DMA costs ~1.8x bandwidth
             advance_pair = jax.jit(lambda f: pair2(f, 0.02, force=force)[0])

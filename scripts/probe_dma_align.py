@@ -20,9 +20,16 @@ Q, X, Y, Z = 27, 256, 256, 256
 TX, TY = 16, 32
 
 
-def make_copy(y_off: int, wy: int, label: str):
+def make_copy(y_off: int, wy: int, label: str, dst_off: int = 0):
     """Grid over (X//TX, Y//TY); each program DMAs the [Q, TX+4, wy, Z]
-    window starting at (i*TX, jt*TY + y_off) and writes the interior tile."""
+    window starting at (i*TX, jt*TY + y_off) into VMEM sublane offset
+    ``dst_off`` and writes the interior tile.
+
+    ``dst_off == y_off % 8`` probes the CONGRUENT-offset hypothesis: the
+    Mosaic DMA rule may be src % 8 == dst % 8 (same within-tile sublane
+    phase) rather than src % 8 == 0 - if congruent copies work, the A-A
+    pair kernel's input windows shrink from ty+16 to ty+4 rows (the
+    ``window="tight"`` variant in kernels/fused_aa.py)."""
     wx = TX + 4
 
     def kernel(fpad_hbm, out_ref, scr, sem):
@@ -30,16 +37,16 @@ def make_copy(y_off: int, wy: int, label: str):
         j = pl.program_id(1)
         d = pltpu.make_async_copy(
             fpad_hbm.at[:, pl.ds(i * TX, wx), pl.ds(j * TY + y_off, wy), :],
-            scr.at[:, :, 0:wy, :],
+            scr.at[:, :, dst_off : dst_off + wy, :],
             sem,
         )
         d.start()
         d.wait()
-        # interior rows sit at (2, (interior_y_origin - window_start))
-        yo = 8 - y_off
+        # interior rows sit at (2, dst_off + (interior_y_origin - window_start))
+        yo = dst_off + 8 - y_off
         out_ref[...] = scr[:, 2 : 2 + TX, yo : yo + TY, :]
 
-    wy_buf = ((wy + 7) // 8) * 8
+    wy_buf = ((dst_off + wy + 7) // 8) * 8
     call = pl.pallas_call(
         kernel,
         grid=(X // TX, Y // TY),
@@ -60,14 +67,18 @@ def main():
     fpad = jnp.zeros((Q, X + 4, Y + 16, Z), jnp.float32) + 1.5
 
     variants = [
-        (0, TY + 16, "aligned start, ty+16 (status quo)"),
-        (6, TY + 8, "start+6 (unaligned), ty+8"),
-        (6, TY + 4, "start+6 (unaligned), ty+4 (ragged size)"),
-        (8, TY + 8, "aligned start+8, ty+8 (control)"),
+        (0, TY + 16, "aligned start, ty+16 (status quo)", 0),
+        (6, TY + 8, "start+6 (unaligned), ty+8", 0),
+        (6, TY + 4, "start+6 (unaligned), ty+4 (ragged size)", 0),
+        (8, TY + 8, "aligned start+8, ty+8 (control)", 0),
+        # congruent-offset variants: dst sublane offset == src offset mod 8
+        (6, TY + 4, "start+6 -> dst+6 (congruent), ty+4", 6),
+        (6, TY + 8, "start+6 -> dst+6 (congruent), ty+8", 6),
+        (2, TY + 4, "start+2 -> dst+2 (congruent), ty+4", 2),
     ]
-    for y_off, wy, label in variants:
+    for y_off, wy, label, dst_off in variants:
         try:
-            call, _ = make_copy(y_off, wy, label)
+            call, _ = make_copy(y_off, wy, label, dst_off)
             fn = jax.jit(lambda x, call=call: call(x))
             out = fn(fpad)
             v = float(out[0, 0, 0, 0])

@@ -587,3 +587,92 @@ def test_macro_only_aa_matches_xla_ustar():
         assert float(jnp.abs(rho1 - rho2).max()) < 1e-6, parity
         assert float(jnp.abs(u1 - u2).max()) < 1e-6, parity
         f, _, _ = step(f, 0.02, force=force, parity=parity)
+
+
+def _variant_domain(X=8, Y=32, Z=8, obstacle=False, torus=False):
+    """Duct tall enough in y that interior tiles (ty=8) classify as
+    z-profile tiles; optional (x, y)-varying obstacle inside one interior
+    tile to force that tile back onto the generic path."""
+    m = np.zeros((X, Y, Z), np.uint8)
+    periodic = (True, True, True) if torus else (True, False, False)
+    if not torus:
+        m[:, 0] = m[:, -1] = GEO.WALL
+        m[:, :, 0] = m[:, :, -1] = GEO.WALL
+        m[2, 2, 2] = GEO.NOTHING
+    if obstacle:
+        # interior blob, varying in x AND y, placed so it pollutes the
+        # consumed windows of tile rows jt=0,1 only (rows [-2,10)/[6,18)
+        # at ty=8) - jt=2 stays on the z-profile fast path
+        m[3:5, 9:12, 3:6] = GEO.WALL
+    units = Lattice((X, Y, Z), (0, 0, 0), 1.0, 1.0)
+    return Domain(lat=D3Q27, units=units, map=m, periodic=periodic)
+
+
+def test_pair2_variants_match_base():
+    """Round-4 HBM-traffic variants (tight congruent windows, z-profile
+    map-DMA skip, int8 map) == the base pair2 bitwise in interpret mode.
+    The autotuner sweeps these on-chip (kernels/autotune.py)."""
+    from tnl_lbm_tpu.kernels.fused_aa import (
+        from_padded_aa, make_fused_pair2_aa, to_padded_aa,
+    )
+
+    dom = _variant_domain()
+    cfg = LBMConfig(lat=D3Q27, collision=col.collide_cum_well, eq=eqlib.eq_well,
+                    well=True, streaming="AA")
+    force = jnp.asarray([1e-5, 0, 0], jnp.float32)
+    fp0 = to_padded_aa(rand_f(dom, cfg, seed=41), dom.periodic)
+
+    base = make_fused_pair2_aa(cfg, dom, tile=(4, 8))
+    fp_ref = fp0
+    for _ in range(2):
+        fp_ref, rho_ref, u_ref = base(fp_ref, 0.02, force=force)
+
+    v = make_fused_pair2_aa(cfg, dom, tile=(4, 8), window="tight",
+                            zprofile=True, map_mode="i8")
+    # interior tiles (y-wall-free consumed windows) must take the fast path
+    assert v.zprof_tiles > 0 and v.zprof_tiles < v.n_tiles
+    fp = fp0
+    for _ in range(2):
+        fp, rho, u = v(fp, 0.02, force=force)
+    Z = dom.shape[-1]
+    assert float(jnp.abs(from_padded_aa(fp, Z) - from_padded_aa(fp_ref, Z)).max()) == 0.0
+    assert float(jnp.abs(rho - rho_ref).max()) == 0.0
+    assert float(jnp.abs(u - u_ref).max()) == 0.0
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["tight", "zprof", "i16", "tight+zprof+i8"])
+@pytest.mark.parametrize("geometry", ["duct_obstacle", "torus"])
+def test_pair2_variant_matrix_matches_xla(mode, geometry):
+    """Each traffic variant x {obstacle duct, all-fluid torus} == two XLA
+    A-A steps.  The obstacle forces one interior tile back to the generic
+    (map-DMA) path; the torus classifies EVERY tile onto the z-profile
+    path (no map DMA at all)."""
+    from tnl_lbm_tpu.kernels.autotune import pair2_build_opts
+    from tnl_lbm_tpu.kernels.fused_aa import (
+        from_padded_aa, make_fused_pair2_aa, to_padded_aa,
+    )
+
+    dom = _variant_domain(obstacle=(geometry == "duct_obstacle"),
+                          torus=(geometry == "torus"))
+    cfg = LBMConfig(lat=D3Q27, collision=col.collide_cum_well, eq=eqlib.eq_well,
+                    well=True, streaming="AA")
+    step_ref = make_step(cfg, dom)
+    pair2 = make_fused_pair2_aa(cfg, dom, tile=(4, 8),
+                                **pair2_build_opts(mode))
+    if "zprof" in mode:
+        if geometry == "torus":
+            assert pair2.zprof_tiles == pair2.n_tiles  # all tiles skip
+        else:
+            assert 0 < pair2.zprof_tiles < pair2.n_tiles
+    f1 = rand_f(dom, cfg, seed=17)
+    force = jnp.asarray([1e-5, 0, 0], jnp.float32)
+    fp = to_padded_aa(f1, dom.periodic)
+    for it in range(4):
+        f1, rho1, u1 = step_ref(f1, 0.02, force=force, parity=it % 2)
+    for _ in range(2):
+        fp, rho2, u2 = pair2(fp, 0.02, force=force)
+    f2 = from_padded_aa(fp, dom.shape[-1])
+    assert float(jnp.abs(f1 - f2).max()) < 1e-6
+    assert float(jnp.abs(rho1 - rho2).max()) < 2e-6
+    assert float(jnp.abs(u1 - u2).max()) < 1e-6

@@ -97,34 +97,80 @@ def cached_winner(key: str):
     return tuple(hit) if isinstance(hit, list) else hit
 
 
-def tune_pair2(cfg, domain, candidates=None, iters: int = 10):
-    """Pick the best (tx, ty, K) for the one-kernel A-A pair on this chip.
+def pair2_build_opts(mode: str) -> dict:
+    """Decode a pair2 variant tag ("tight+zprof+i16", "" = base) into
+    make_fused_pair2_aa keyword options.  Tags compose with '+':
+    tight (congruent minimal DMA windows), zprof (map-DMA skip on
+    z-profile tiles), i16/i8 (narrow map windows)."""
+    opts: dict = {}
+    for part in filter(None, mode.split("+")):
+        if part == "tight":
+            opts["window"] = "tight"
+        elif part == "zprof":
+            opts["zprofile"] = True
+        elif part in ("i16", "i8"):
+            opts["map_mode"] = part
+        else:
+            raise ValueError(f"unknown pair2 variant tag {part!r}")
+    return opts
 
-    Used by bench.py with TNL_BENCH_AUTOTUNE=1; the default (8, 32, 2) is
-    the sweep winner on the v5e-class bench chip (docs/PERFORMANCE.md).
+
+def normalize_pair2(c):
+    """(tx, ty, K[, mode]) -> (tx, ty, K, mode) with mode defaulting to ""
+    (round-3 cache entries are 3-tuples)."""
+    c = tuple(c)
+    return c if len(c) == 4 else c + ("",)
+
+
+def tune_pair2(cfg, domain, candidates=None, iters: int = 10):
+    """Pick the best (tx, ty, K, mode) for the one-kernel A-A pair on this
+    chip.  ``mode`` selects the round-4 HBM-traffic variants (see
+    pair2_build_opts); Mosaic-rejected variants are skipped, so untested
+    DMA geometries (congruent offsets, int8 map windows) are safe to sweep.
+
+    Used by bench.py with TNL_BENCH_AUTOTUNE=1; the default (8, 32, 2)
+    base kernel is the round-3 sweep winner on the v5e bench chip
+    (docs/PERFORMANCE.md).
     """
     import jax.numpy as jnp
 
     from tnl_lbm_tpu.kernels.fused_aa import make_fused_pair2_aa, to_padded_aa
     from tnl_lbm_tpu.sim import initial_dfs
 
-    default = (8, 32, 2)
+    default = (8, 32, 2, "")
     if candidates is None:
-        # (8,32,2) is the historical v5e winner; the wider-ty candidates
-        # trade cross-program prefetch depth (K) for window-read
-        # amplification ((ty+16)/ty: 1.5x at ty=32, 1.25x at ty=64) - on a
-        # chip generation with more VMEM they can win, so the sweep keeps
-        # exploring them (the builder's VMEM fitter shrinks any candidate
-        # that does not fit, making the timing safe everywhere)
+        # Tile geometry: (8,32,2) is the historical v5e winner; wider-ty
+        # candidates trade cross-program prefetch depth (K) for window-read
+        # amplification; tx=16 halves the x-halo share now that the round-3
+        # cascade spills less.  The VMEM fitter shrinks anything oversized,
+        # making every timing safe.
         candidates = [(8, 32, 2), (8, 16, 2), (8, 32, 3), (4, 32, 2),
                       (8, 16, 4), (8, 64, 1), (8, 64, 2), (4, 64, 2),
-                      (16, 32, 2)]
+                      (16, 32, 2), (16, 32, 1)]
+        # Round-4 traffic variants on the strongest geometries.  Ordered
+        # cheapest-risk first; each is an independent Mosaic bet (tight =
+        # congruent DMA offsets, zprof = conditional map DMA, i16/i8 =
+        # narrow-int windows) so failures fall back gracefully.
+        candidates += [
+            (8, 32, 2, "zprof"),
+            (8, 32, 2, "tight"),
+            (8, 32, 2, "tight+zprof"),
+            (8, 32, 2, "i16"),
+            (8, 32, 2, "tight+zprof+i16"),
+            (8, 32, 2, "tight+zprof+i8"),
+            (8, 64, 1, "tight+zprof"),
+            (16, 32, 1, "tight+zprof"),
+            (16, 32, 2, "tight+zprof"),
+        ]
+    candidates = [normalize_pair2(c) for c in candidates]
     candidates = [c for c in candidates
                   if domain.shape[0] % c[0] == 0 and domain.shape[1] % c[1] == 0]
 
     def time_candidate(c):
-        tx, ty, k = c
-        pair = make_fused_pair2_aa(cfg, domain, tile=(tx, ty), tiles_per_program=k)
+        tx, ty, k, mode = normalize_pair2(c)
+        pair = make_fused_pair2_aa(cfg, domain, tile=(tx, ty),
+                                   tiles_per_program=k,
+                                   **pair2_build_opts(mode))
         force = jnp.zeros((3,), cfg.compute_dtype)
         step = jax.jit(lambda f: pair(f, 0.02, force=force)[0])
         f = to_padded_aa(initial_dfs(cfg, domain), domain.periodic)
@@ -137,5 +183,6 @@ def tune_pair2(cfg, domain, candidates=None, iters: int = 10):
         return (time.perf_counter() - t0) / iters
 
     shape = "x".join(str(s) for s in domain.shape)
-    return autotune(f"pair2|{shape}|{cfg.compute_dtype.__name__}",
-                    candidates, time_candidate, default)
+    return normalize_pair2(autotune(
+        f"pair2|{shape}|{cfg.compute_dtype.__name__}",
+        candidates, time_candidate, default))

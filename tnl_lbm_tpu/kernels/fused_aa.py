@@ -565,7 +565,9 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
                         with_macro: bool = True, even_band: str = "aligned",
                         local_shape=None, prepadded: bool = False,
                         vmem_limit_mb: int = 112,
-                        _debug_dma: str = "full", z_halo: int = 0):
+                        _debug_dma: str = "full", z_halo: int = 0,
+                        window: str = "pad16", map_mode: str = "i32",
+                        zprofile: bool = False):
     """One-kernel A-A pair on persistent-padded state: ``pair(fpad, nu,
     u_in, force) -> (fpad_new, rho, u)`` advances TWO lattice steps with a
     single windowed read and a single interior write.
@@ -592,14 +594,45 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
     the two-kernel pair's 27.9 ms.  This rebuild (subwindow cascade +
     cross-program prefetch) is the production path.
 
-    Tile sizing: tx > 8 makes the cumulant cascade spill registers (the
-    Mosaic OOM dump shows ~72 MB of spill slots at tx=16 - SURVEY.md's
-    "register pressure" warning measured); (8, 32) K=2 is the production
-    geometry, confirmed by the on-chip autotuner.
+    Round-4 HBM-traffic variants (each correctness-tested in interpret
+    mode, selected per chip by the autotuner - kernels/autotune.py - which
+    skips any variant Mosaic rejects):
+
+    - ``window="tight"``: the input DMAs copy only the consumed rows
+      [jt*ty+6, jt*ty+ty+10) into scratch sublane offset 6 (extent ty+4
+      instead of ty+16), betting on the congruent-offset DMA rule
+      src%8 == dst%8 (scripts/probe_dma_align.py); cuts the f+map input
+      traffic by 25% at ty=32.  Scratch shapes and compute geometry are
+      unchanged (head/tail scratch rows hold junk the band never consumes).
+    - ``map_mode="i16"|"i8"``: the static geometry-map windows travel as
+      int16/int8 and are widened to int32 in-register, cutting the map's
+      share of the input traffic (20% of total at (8,32)) by 2x/4x.
+      Requires ``prepadded=False`` (the sharded wrappers pass int32 maps).
+    - ``zprofile=True``: tiles whose consumed map window varies only along
+      z (ALL interior tiles of wall-bounded channel/duct geometries - every
+      tile spans full Z, so a plain all-fluid fast path never fires) skip
+      the map DMA entirely; the kernel rebuilds their masks from a shared
+      per-profile z-vector (one jnp.where select per tile).  Per-tile
+      classes ride SMEM, the <=4 profiles ride VMEM.  Static maps only.
+
+    Tile sizing: tx > 8 made the round-2 cumulant cascade spill registers
+    (the Mosaic OOM dump showed ~72 MB of spill slots at tx=16 - SURVEY.md's
+    "register pressure" warning measured); the round-3 cascade carries ~59%
+    fewer ops, so the autotune sweep keeps tx=16 candidates.  (8, 32) K=2
+    is the production geometry, confirmed by the on-chip autotuner.
 
     State helpers: to_padded_aa / from_padded_aa.
     """
     assert cfg.streaming == "AA"
+    assert window in ("pad16", "tight"), window
+    assert map_mode in ("i32", "i16", "i8"), map_mode
+    if prepadded and map_mode != "i32":
+        raise ValueError("map_mode narrowing needs a build-time map "
+                         "(prepadded shards pass int32 maps)")
+    if prepadded:
+        zprofile = False  # classification needs the static global map
+    map_np_dtype = {"i32": np.int32, "i16": np.int16, "i8": np.int8}[map_mode]
+    map_jnp_dtype = {"i32": jnp.int32, "i16": jnp.int16, "i8": jnp.int8}[map_mode]
     cfg_ab = dataclasses.replace(cfg, streaming="AB")
     lat, codes, sym_codes, eq_kind, do_coll_codes = _prep(cfg_ab, domain)
     if GEO.OUTFLOW_RIGHT_INTERP in codes:
@@ -643,9 +676,47 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
         if periodic[1]:
             mp[:, 6:8] = mp[:, Y + 6 : Y + 8]
             mp[:, Y + 8 : Y + 10] = mp[:, 8:10]
-        map_pad = mp
+        map_pad = mp.astype(map_np_dtype)
 
-    def kernel(params_ref, fpad_hbm, mp_hbm, fout_ref, rho_ref, u_ref, *rest):
+    # z-profile tile classification (static maps): a tile whose consumed
+    # map rows [jt*ty+6, jt*ty+ty+10) x [i*tx, i*tx+wx) are constant over
+    # (x, y) needs no map window at all - its masks rebuild from a shared
+    # [Zp] profile vector.  cls[tau] = 0 (generic) or 1 + profile index.
+    zprof_cls = None
+    zprof_profiles = None
+    if zprofile and map_pad is not None:
+        mp_arr = np.asarray(map_pad, np.int32)
+        cls = np.zeros(n_tiles, np.int32)
+        prof_key: dict = {}
+        prof_list: list = []
+        for tau in range(n_tiles):
+            i, jt = tau // ny_t, tau % ny_t
+            R = mp_arr[i * tx : i * tx + wx, jt * ty + 6 : jt * ty + ty + 10, :]
+            if not (R == R[0:1, 0:1, :]).all():
+                continue
+            key = R[0, 0].tobytes()
+            if key not in prof_key:
+                if len(prof_list) >= 4:
+                    continue  # cap the select chain; tile stays generic
+                prof_key[key] = len(prof_list)
+                prof_list.append(R[0, 0])
+            cls[tau] = 1 + prof_key[key]
+        if cls.any():
+            zprof_cls = cls
+            # [n_prof, 8, Zp]: 8 sublanes for VMEM tiling friendliness
+            zprof_profiles = np.ascontiguousarray(np.broadcast_to(
+                np.stack(prof_list)[:, None, :], (len(prof_list), 8, Zp)
+            ).astype(np.int32))
+    use_zprof = zprof_cls is not None
+    n_prof = 0 if not use_zprof else zprof_profiles.shape[0]
+
+    def kernel(*args):
+        if use_zprof:
+            (params_ref, cls_ref, fpad_hbm, mp_hbm, prof_ref,
+             fout_ref, rho_ref, u_ref, *rest) = args
+        else:
+            params_ref, fpad_hbm, mp_hbm, fout_ref, rho_ref, u_ref, *rest = args
+            cls_ref = prof_ref = None
         fscr = rest[:K]
         mscr = rest[K : 2 * K]
         outs = rest[2 * K : 3 * K]
@@ -657,17 +728,51 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
         def tile_ij(tau):
             return tau // ny_t, tau % ny_t
 
-        def in_dmas(tau, t):
+        def in_dma_f(tau, t):
             i, jt = tile_ij(tau)
-            d1 = pltpu.make_async_copy(
+            if window == "tight":
+                # congruent-offset copy of exactly the consumed rows
+                # (src % 8 == dst % 8 == 6); head/tail scratch rows stale
+                return pltpu.make_async_copy(
+                    fpad_hbm.at[:, pl.ds(i * tx, wx),
+                                pl.ds(jt * ty + 6, ty + 4), :],
+                    fscr[t].at[:, :, 6 : ty + 10, :], sem.at[t, 0],
+                )
+            return pltpu.make_async_copy(
                 fpad_hbm.at[:, pl.ds(i * tx, wx), pl.ds(jt * ty, wy), :],
                 fscr[t], sem.at[t, 0],
             )
-            d2 = pltpu.make_async_copy(
+
+        def in_dma_m(tau, t):
+            i, jt = tile_ij(tau)
+            if window == "tight":
+                return pltpu.make_async_copy(
+                    mp_hbm.at[pl.ds(i * tx, wx),
+                              pl.ds(jt * ty + 6, ty + 4), :],
+                    mscr[t].at[:, 6 : ty + 10, :], sem.at[t, 1],
+                )
+            return pltpu.make_async_copy(
                 mp_hbm.at[pl.ds(i * tx, wx), pl.ds(jt * ty, wy), :],
                 mscr[t], sem.at[t, 1],
             )
-            return d1, d2
+
+        def start_inputs(tau, t):
+            in_dma_f(tau, t).start()
+            if use_zprof:
+                @pl.when(cls_ref[tau] == 0)
+                def _():
+                    in_dma_m(tau, t).start()
+            else:
+                in_dma_m(tau, t).start()
+
+        def wait_inputs(tau, t):
+            in_dma_f(tau, t).wait()
+            if use_zprof:
+                @pl.when(cls_ref[tau] == 0)
+                def _():
+                    in_dma_m(tau, t).wait()
+            else:
+                in_dma_m(tau, t).wait()
 
         def out_dmas(tau, t):
             i, jt = tile_ij(tau)
@@ -694,12 +799,12 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
         @pl.when(p == 0)
         def _():
             for t in range(K):
-                for d in in_dmas(t, t):
-                    if _debug_dma == "none":
+                if _debug_dma == "none":
+                    for d in (in_dma_f(t, t), in_dma_m(t, t)):
                         d.start()
                         d.wait()
-                    else:
-                        d.start()
+                else:
+                    start_inputs(t, t)
 
         for t in range(K):
             tau = p * K + t
@@ -712,11 +817,21 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
                     for d in out_dmas(tau - K, t):
                         d.wait()
 
-                din = in_dmas(tau, t)
-                din[0].wait()
-                din[1].wait()
+                wait_inputs(tau, t)
             scratch = fscr[t]
             m_win = mscr[t][...]
+            if map_mode != "i32":
+                m_win = m_win.astype(jnp.int32)
+            if use_zprof:
+                # synthesize the map window for z-profile tiles (their
+                # scratch holds stale rows - the map DMA was skipped)
+                cls = cls_ref[tau]
+                pidx = jnp.maximum(cls - 1, 0)
+                prof = prof_ref[0, 0:1, :][None]  # [1, 1, Zp]
+                for kp in range(1, n_prof):
+                    prof = jnp.where(pidx == kp,
+                                     prof_ref[kp, 0:1, :][None], prof)
+                m_win = jnp.where(cls == 0, m_win, prof)
             i, jt = tile_ij(tau)
 
             # ---- even pass on the y-band the odd pass consumes ----
@@ -821,8 +936,7 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
                 # its input DMA overlaps this program's remaining compute
                 @pl.when(p + 1 < n_prog)
                 def _(t=t, tau=tau):
-                    for d in in_dmas(tau + K, t):
-                        d.start()
+                    start_inputs(tau + K, t)
 
         @pl.when(p == n_prog - 1)
         def _():
@@ -834,14 +948,19 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
 
     n_sems = 5 if with_macro else 3
     dummy_scr = (1, 8, 128)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    if use_zprof:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # cls
+    in_specs += [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    if use_zprof:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # profiles
     call = pl.pallas_call(
         kernel,
         grid=(n_prog,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),  # fpad_new via manual DMA
             pl.BlockSpec(memory_space=pl.ANY),  # rho via manual DMA
@@ -853,7 +972,7 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
             jax.ShapeDtypeStruct(((3, X, Y, Zp) if with_macro else (3,) + dummy_scr), dtype),
         ),
         scratch_shapes=[pltpu.VMEM((Q, wx, wy, Zp), dtype) for _ in range(K)]
-        + [pltpu.VMEM((wx, wy, Zp), jnp.int32) for _ in range(K)]
+        + [pltpu.VMEM((wx, wy, Zp), map_jnp_dtype) for _ in range(K)]
         + [pltpu.VMEM((Q, tx, ty, Zp), dtype) for _ in range(K)]
         + [pltpu.VMEM((tx, ty, Zp) if with_macro else dummy_scr, dtype) for _ in range(K)]
         + [pltpu.VMEM((3, tx, ty, Zp) if with_macro else (3,) + dummy_scr, dtype)
@@ -863,6 +982,9 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit_mb * 1024 * 1024),
     )
+
+    cls_const = None if not use_zprof else jnp.asarray(zprof_cls)
+    prof_const = None if not use_zprof else jnp.asarray(zprof_profiles)
 
     def pair(fpad, nu, u_in=None, force=None, map_pad_in=None, bflags=None):
         flags = (jnp.ones((6,), dtype) if bflags is None
@@ -876,7 +998,10 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
                             mode="edge")
         else:
             mp_in = map_pad_in
-        fpad_new, rho, u = call(params, fpad, mp_in)
+        if use_zprof:
+            fpad_new, rho, u = call(params, cls_const, fpad, mp_in, prof_const)
+        else:
+            fpad_new, rho, u = call(params, fpad, mp_in)
         if not prepadded:
             # halos for the NEXT pair; the distributed wrapper exchanges
             # them with ppermute before each call instead
@@ -885,6 +1010,13 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
             return fpad_new, None, None
         return fpad_new, rho[..., :Z], u[..., :Z]
 
+    # diagnostics for tests / the autotune log: how many tiles ride the
+    # z-profile fast path (skip their map DMA), and the final geometry
+    pair.tile = (tx, ty)
+    pair.tiles_per_program = K
+    pair.n_tiles = n_tiles
+    pair.zprof_tiles = 0 if not use_zprof else int((zprof_cls != 0).sum())
+    pair.n_profiles = n_prof
     return pair
 
 

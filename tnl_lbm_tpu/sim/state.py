@@ -678,13 +678,29 @@ class Simulation:
         if "pair2" in self._jit_steps:
             return
         if self.plan is None:
+            from tnl_lbm_tpu.kernels.autotune import (
+                cached_winner,
+                normalize_pair2,
+                pair2_build_opts,
+            )
             from tnl_lbm_tpu.kernels.fused_aa import (
                 from_padded_aa,
                 make_fused_pair2_aa,
                 to_padded_aa,
             )
 
-            pair = make_fused_pair2_aa(self.cfg, self.domain)
+            # adopt a tile/variant winner a previous autotune pass measured
+            # on this same chip + lattice shape (bench.py sows the cache)
+            shape_key = "x".join(str(s) for s in self.domain.shape)
+            hit = cached_winner(
+                f"pair2|{shape_key}|{self.cfg.compute_dtype.__name__}")
+            if hit is not None:
+                tx, ty, k, mode = normalize_pair2(hit)
+                pair = make_fused_pair2_aa(self.cfg, self.domain,
+                                           tile=(tx, ty), tiles_per_program=k,
+                                           **pair2_build_opts(mode))
+            else:
+                pair = make_fused_pair2_aa(self.cfg, self.domain)
 
             def pair_call(fpad, nu, u_in, force):
                 return pair(fpad, nu, u_in=u_in, force=force)
