@@ -103,24 +103,32 @@ def main():
         cfg_aa = dataclasses.replace(cfg, streaming="AA")
         from tnl_lbm_tpu.kernels.autotune import normalize_pair2, pair2_build_opts
 
+        # TNL_BENCH_HALF=1|f16|bf16: measure the FP16S half-storage pair
+        # (explicit opt-in - different accuracy class, never the headline;
+        # see kernels/fused_aa.py store_dtype).  Falls through to the f32
+        # chain on Mosaic rejection.
+        half_env = os.environ.get("TNL_BENCH_HALF", "")
+        store = {"": None, "0": None, "1": jnp.float16, "f16": jnp.float16,
+                 "bf16": jnp.bfloat16}[half_env]
         tile, k, mode = (8, 32), 2, ""  # round-3 sweep winner on the v5e chip
         if os.environ.get("TNL_BENCH_AUTOTUNE") == "1":
             # re-measure tile geometry + traffic variants on THIS chip
             # (reference block_size_optimizer analog, kernels/autotune.py)
             from tnl_lbm_tpu.kernels.autotune import tune_pair2
 
-            tx, ty, k, mode = tune_pair2(cfg_aa, dom)
+            tx, ty, k, mode = tune_pair2(cfg_aa, dom, store_dtype=store)
             tile = (tx, ty)
         else:
             # adopt (never measure) a winner a previous autotune pass
             # recorded for this chip+shape - the round-4 recovery watcher
             # runs the TNL_BENCH_AUTOTUNE=1 sweep, and the driver's plain
             # bench run should benefit from it
-            from tnl_lbm_tpu.kernels.autotune import cached_winner
+            from tnl_lbm_tpu.kernels.autotune import (
+                cached_winner,
+                pair2_cache_key,
+            )
 
-            shape_key = "x".join(str(s) for s in shape)
-            hit = cached_winner(
-                f"pair2|{shape_key}|{cfg_aa.compute_dtype.__name__}")
+            hit = cached_winner(pair2_cache_key(dom, cfg_aa, store))
             if hit is not None:
                 tx, ty, k, mode = normalize_pair2(hit)
                 tile = (tx, ty)
@@ -129,14 +137,18 @@ def main():
             # windowed read + interior write per 2 steps
             pair2 = make_fused_pair2_aa(cfg_aa, dom, tile=tile,
                                         tiles_per_program=k,
+                                        store_dtype=store,
                                         **pair2_build_opts(mode))
             kernel_name = "pallas-fused-AA-pair2" + (f"[{mode}]" if mode else "")
+            if store is not None:
+                kernel_name += f"[store={jnp.dtype(store).name}]"
             # no donation: in/out are same-shape, XLA would alias them and
             # aliased in/out DMA costs ~1.8x bandwidth
             advance_pair = jax.jit(lambda f: pair2(f, 0.02, force=force)[0])
             steps_per_call = 2
             cfg = cfg_aa
-            init_state = to_padded_aa(initial_dfs(cfg, dom), dom.periodic)
+            init_state = to_padded_aa(initial_dfs(cfg, dom), dom.periodic,
+                                      store_dtype=store)
             # force the compile now so a Mosaic failure falls back cleanly
             _probe = advance_pair(init_state)
             float(_probe[0, 0, 0, 0])
@@ -225,7 +237,7 @@ def main():
             sharded_compile = f"FAILED: {type(exc).__name__}"
 
     print(json.dumps({
-        "metric": f"MLUPS/chip (D3Q27 cumulant-well, {kernel_name}, {n}^3, f32, {dev.platform})",
+        "metric": f"MLUPS/chip (D3Q27 cumulant-well, {kernel_name}, {n}^3, f32 compute, {dev.platform})",
         "value": round(mlups, 1),
         "unit": "MLUPS",
         "vs_baseline": round(mlups / BASELINE_MLUPS, 3),

@@ -425,3 +425,64 @@ def test_fused_profile_inflow_reroute_mechanism(tmp_path):
     s._advance(1)  # would crash in _params_vec without the reroute
     assert s._uin_fallback is not None
     assert np.isfinite(np.asarray(jax.device_get(s.f))).all()
+
+
+def test_half_storage_simulation(tmp_path):
+    """cfg.storage_dtype plumbs half storage through the driver's pair
+    path: the run advances in f16 at rest, macro stays f32 and tracks the
+    full-precision run within the storage-rounding envelope; configs that
+    cannot take the pair path refuse the request instead of silently
+    ignoring it."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tnl_lbm_tpu.models import D3Q27
+    from tnl_lbm_tpu.ops import collision as col
+    from tnl_lbm_tpu.ops import equilibrium as eqlib
+    from tnl_lbm_tpu.sim import Domain, LBMConfig
+    from tnl_lbm_tpu.sim.state import Simulation
+    from tnl_lbm_tpu.utils import Lattice
+
+    X, Y, Z = 8, 16, 8
+    m = np.zeros((X, Y, Z), np.uint8)
+    m[:, 0] = m[:, -1] = GEO.WALL
+    units = Lattice((X, Y, Z), (0, 0, 0), 1.0, 1.0)
+    dom = Domain(lat=D3Q27, units=units, map=m, periodic=(True, False, True))
+
+    class Sim(Simulation):
+        def body_force(self, t):
+            return np.array([1e-5, 0.0, 0.0])
+
+    def run(storage):
+        cfg = LBMConfig(lat=D3Q27, collision=col.collide_cum_well,
+                        eq=eqlib.eq_well, well=True, streaming="AA",
+                        storage_dtype=storage)
+        sim = Sim(cfg, dom, sim_id=f"half_{storage is not None}",
+                  results_parent=tmp_path, use_fused=True,
+                  pair_dispatch=True, phys_final_time=1.0)
+        sim.sim_init()
+        sim._advance(4)
+        u = np.asarray(sim.u, np.float64)
+        sim._lock.release()
+        return u
+
+    u32 = run(None)
+    uh = run(jnp.float16)
+    assert np.isfinite(uh).all()
+    d = np.abs(uh - u32).max()
+    assert 0 <= d < 2e-3, d
+
+    # config guard: half storage without well DFs is rejected outright
+    with pytest.raises(ValueError, match="well"):
+        LBMConfig(lat=D3Q27, collision=col.collide_srt, streaming="AA",
+                  storage_dtype=jnp.float16)
+
+    # driver guard: a config that cannot take the pair path refuses
+    cfg_ab = LBMConfig(lat=D3Q27, collision=col.collide_cum_well,
+                       eq=eqlib.eq_well, well=True, streaming="AB",
+                       storage_dtype=jnp.float16)
+    sim = Sim(cfg_ab, dom, sim_id="half_ab", results_parent=tmp_path,
+              use_fused=True, phys_final_time=1.0)
+    with pytest.raises(ValueError, match="pair"):
+        sim.sim_init()
+    sim._lock.release()

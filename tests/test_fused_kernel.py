@@ -676,3 +676,55 @@ def test_pair2_variant_matrix_matches_xla(mode, geometry):
     assert float(jnp.abs(f1 - f2).max()) < 1e-6
     assert float(jnp.abs(rho1 - rho2).max()) < 2e-6
     assert float(jnp.abs(u1 - u2).max()) < 1e-6
+
+
+def test_pair2_half_storage_accuracy():
+    """FP16S-style half storage (round-4): DFs at rest in 16 bits, every
+    arithmetic op in f32 (kernels/fused_aa.py store_dtype).  Velocity must
+    stay within the storage-rounding envelope of the f32 run, and NOTHING
+    sites must round-trip bit-exact (widen->narrow of an unchanged value
+    is the identity)."""
+    from tnl_lbm_tpu.kernels.fused_aa import (
+        from_padded_aa, make_fused_pair2_aa, to_padded_aa,
+    )
+
+    dom = _variant_domain()  # duct with a NOTHING site at (2, 2, 2)
+    cfg = LBMConfig(lat=D3Q27, collision=col.collide_cum_well, eq=eqlib.eq_well,
+                    well=True, streaming="AA")
+    force = jnp.asarray([1e-5, 0, 0], jnp.float32)
+    f0 = rand_f(dom, cfg, seed=23)
+
+    base = make_fused_pair2_aa(cfg, dom, tile=(4, 8))
+    fp = to_padded_aa(f0, dom.periodic)
+    for _ in range(3):
+        fp, rho32, u32 = base(fp, 0.02, force=force)
+
+    for sd, tol_u in ((jnp.float16, 2e-3), (jnp.bfloat16, 2e-2)):
+        ph = make_fused_pair2_aa(cfg, dom, tile=(4, 8), store_dtype=sd)
+        assert ph.store_dtype == jnp.dtype(sd)
+        fph = to_padded_aa(f0, dom.periodic, store_dtype=sd)
+        assert fph.dtype == jnp.dtype(sd)
+        for _ in range(3):
+            fph, rhoh, uh = ph(fph, 0.02, force=force)
+        assert fph.dtype == jnp.dtype(sd)  # state stays narrow at rest
+        assert rhoh.dtype == cfg.compute_dtype  # macro stays wide
+        uh = np.asarray(uh, np.float64)
+        assert np.isfinite(uh).all()
+        du = np.abs(uh - np.asarray(u32, np.float64)).max()
+        assert 0 < du < tol_u, (sd, du)
+        # NOTHING sites keep their stored DFs bitwise across pairs
+        f_site = from_padded_aa(fph, dom.shape[-1])[:, 2, 2, 2]
+        want = f0[:, 2, 2, 2].astype(sd)
+        assert jnp.array_equal(f_site, want)
+
+    # half storage composes with the round-4 traffic variants
+    phv = make_fused_pair2_aa(cfg, dom, tile=(4, 8), store_dtype=jnp.float16,
+                              window="tight", zprofile=True, map_mode="i8")
+    fph = to_padded_aa(f0, dom.periodic, store_dtype=jnp.float16)
+    fph, _, uhv = phv(fph, 0.02, force=force)
+    assert np.isfinite(np.asarray(uhv)).all()
+
+    # the conditioning guard: raw (non-well) DFs refuse half storage
+    cfg_raw = LBMConfig(lat=D3Q27, collision=col.collide_srt, streaming="AA")
+    with pytest.raises(ValueError, match="well"):
+        make_fused_pair2_aa(cfg_raw, dom, tile=(4, 8), store_dtype=jnp.float16)

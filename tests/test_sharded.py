@@ -1120,3 +1120,60 @@ def test_sharded_xla_hooked_aa_matches_single():
         fN, rhoN, uN = jN[it % 2](fN)
     np.testing.assert_allclose(np.asarray(fN), np.asarray(f1), atol=2e-6)
     np.testing.assert_allclose(np.asarray(uN), np.asarray(u1), atol=2e-6)
+
+
+def test_sharded_pair2_half_storage_matches_single():
+    """Distributed half-storage pair (f16 at rest AND on the ppermute
+    wire - half the per-pair ICI halo bytes) == the single-chip half
+    kernel bitwise: both round at exactly the same points (narrow on the
+    interior write, widen at consumption), and halo exchange moves the
+    stored 16-bit values unchanged."""
+    from tnl_lbm_tpu.kernels.fused_aa import (
+        from_padded_aa, make_fused_pair2_aa, to_padded_aa,
+    )
+    from tnl_lbm_tpu.parallel.sharded import (
+        from_padded_aa_sharded,
+        make_sharded_fused_pair2_aa,
+        to_padded_aa_sharded,
+    )
+
+    X, Y, Z = 16, 16, 8
+    units = Lattice(global_size=(X, Y, Z), phys_origin=(0, 0, 0),
+                    phys_dl=1.0, phys_dt=1.0)
+    m = np.zeros((X, Y, Z), np.uint8)
+    m[:, 0], m[:, -1] = GEO.WALL, GEO.WALL
+    m[4, 4, 4] = GEO.NOTHING
+    dom = Domain(lat=D3Q27, units=units, map=m, periodic=(True, False, True))
+    cfg = LBMConfig(lat=D3Q27, collision=col3.collide_srt_well,
+                    eq=eqlib.eq_well, well=True, streaming="AA",
+                    compute_dtype=jnp.float32)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("x", "y"))
+    plan = ShardPlan(mesh=mesh, spatial_axes=("x", "y", None))
+
+    rng = np.random.default_rng(11)
+    rho0 = jnp.asarray(1 + 0.01 * rng.standard_normal(dom.shape), jnp.float32)
+    u0 = jnp.asarray(0.02 * rng.standard_normal((3,) + dom.shape), jnp.float32)
+    f0 = cfg.eq(cfg.lat, rho0, u0).astype(jnp.float32)
+    force = jnp.asarray([1e-5, 0, 0], jnp.float32)
+    sd = jnp.float16
+
+    one = make_fused_pair2_aa(cfg, dom, tile=(4, 8), store_dtype=sd)
+    fp1 = to_padded_aa(f0, dom.periodic, store_dtype=sd)
+    for _ in range(2):
+        fp1, rho1, u1 = one(fp1, 0.02, force=force)
+    f1 = from_padded_aa(fp1, Z, dtype=cfg.compute_dtype)
+
+    pair = make_sharded_fused_pair2_aa(cfg, dom, plan, tile=(4, 8),
+                                       tiles_per_program=1, store_dtype=sd)
+    fN = plan.shard_field(f0, like_f=True)
+    mapN = plan.shard_field(jnp.asarray(dom.map), like_f=False)
+    fp = to_padded_aa_sharded(fN, plan, dom, store_dtype=sd)
+    assert fp.dtype == jnp.dtype(sd)
+    jpair = jax.jit(lambda fp: pair(fp, mapN, 0.02, force=force))
+    for _ in range(2):
+        fp, rhoN, uN = jpair(fp)
+    assert fp.dtype == jnp.dtype(sd)
+    f2 = from_padded_aa_sharded(fp, plan, dom, dtype=cfg.compute_dtype)
+    assert float(jnp.abs(f1 - f2).max()) == 0.0
+    assert float(jnp.abs(rho1 - rhoN).max()) == 0.0
+    assert float(jnp.abs(u1 - uN).max()) == 0.0

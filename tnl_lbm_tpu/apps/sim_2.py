@@ -131,6 +131,7 @@ def build(
     use_forcing: bool = True,
     scaling: str = "strong",
     precision: str = "single",
+    storage: str = "full",
     final_time: float = 200.0,
     results_parent=".",
     n_devices: int = 1,
@@ -191,6 +192,11 @@ def build(
         well=True,
         streaming=streaming,
         compute_dtype=jnp.float64 if precision == "double" else jnp.float32,
+        # FP16S half storage (pair2 path only): quantifies the accuracy
+        # cost right here - the duct L1/L2 error probes compare against
+        # the analytic solution either way (kernels/fused_aa.py)
+        storage_dtype={"full": None, "f16": jnp.float16,
+                       "bf16": jnp.bfloat16}[storage],
     )
 
     plan = None
@@ -213,6 +219,8 @@ def build(
         f"sim_2_CUM_{precision}_{'forcing' if use_forcing else 'velocity'}_"
         f"{scaling}_res_{resolution}_nd_{n_devices}"
     )
+    if storage != "full":
+        sim_id += f"_store_{storage}"
     sim = Sim2(
         cfg, dom,
         sim_id=sim_id,
@@ -242,6 +250,10 @@ def main(argv=None):
     p.add_argument("resolution", type=int, nargs="?", default=2)
     p.add_argument("--scaling", choices=["strong", "weak_1d", "weak_3d"], default="strong")
     p.add_argument("--precision", choices=["single", "double"], default="single")
+    p.add_argument("--storage", choices=["full", "f16", "bf16"], default="full",
+                   help="16-bit at-rest DF storage on the A-A pair path "
+                        "(FP16S; implies --streaming AA --use-fused "
+                        "--pair-dispatch on)")
     p.add_argument("--velocity", action="store_true", help="profile-inflow instead of body force")
     p.add_argument("--final-time", type=float, default=200.0)
     p.add_argument("--results-dir", default=".")
@@ -259,12 +271,16 @@ def main(argv=None):
 
     if args.precision == "double":
         jax.config.update("jax_enable_x64", True)
+    if args.storage != "full":
+        # half storage exists only on the one-kernel A-A pair path
+        args.streaming, args.use_fused, args.pair_dispatch = "AA", True, "on"
     n_devices = len(jax.devices()) if args.sharded else 1
     sim = build(
         args.resolution,
         use_forcing=not args.velocity,
         scaling=args.scaling,
         precision=args.precision,
+        storage=args.storage,
         final_time=args.final_time,
         results_parent=args.results_dir,
         n_devices=n_devices,

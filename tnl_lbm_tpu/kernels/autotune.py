@@ -122,11 +122,26 @@ def normalize_pair2(c):
     return c if len(c) == 4 else c + ("",)
 
 
-def tune_pair2(cfg, domain, candidates=None, iters: int = 10):
+def pair2_cache_key(domain, cfg, store_dtype=None) -> str:
+    """Autotune-cache key for the pair2 kernel on a lattice shape.  Half
+    storage (store_dtype) tunes separately: its VMEM economics (f windows
+    at half size) shift the optimal tile geometry."""
+    import jax.numpy as jnp
+
+    shape = "x".join(str(s) for s in domain.shape)
+    key = f"pair2|{shape}|{cfg.compute_dtype.__name__}"
+    if store_dtype is not None:
+        key += f"|store={jnp.dtype(store_dtype).name}"
+    return key
+
+
+def tune_pair2(cfg, domain, candidates=None, iters: int = 10,
+               store_dtype=None):
     """Pick the best (tx, ty, K, mode) for the one-kernel A-A pair on this
     chip.  ``mode`` selects the round-4 HBM-traffic variants (see
     pair2_build_opts); Mosaic-rejected variants are skipped, so untested
     DMA geometries (congruent offsets, int8 map windows) are safe to sweep.
+    ``store_dtype`` sweeps the half-storage build under its own cache key.
 
     Used by bench.py with TNL_BENCH_AUTOTUNE=1; the default (8, 32, 2)
     base kernel is the round-3 sweep winner on the v5e bench chip
@@ -170,10 +185,12 @@ def tune_pair2(cfg, domain, candidates=None, iters: int = 10):
         tx, ty, k, mode = normalize_pair2(c)
         pair = make_fused_pair2_aa(cfg, domain, tile=(tx, ty),
                                    tiles_per_program=k,
+                                   store_dtype=store_dtype,
                                    **pair2_build_opts(mode))
         force = jnp.zeros((3,), cfg.compute_dtype)
         step = jax.jit(lambda f: pair(f, 0.02, force=force)[0])
-        f = to_padded_aa(initial_dfs(cfg, domain), domain.periodic)
+        f = to_padded_aa(initial_dfs(cfg, domain), domain.periodic,
+                     store_dtype=store_dtype)
         f = step(f)
         float(f[0, 0, 0, 0])  # compile + sync
         t0 = time.perf_counter()
@@ -182,7 +199,6 @@ def tune_pair2(cfg, domain, candidates=None, iters: int = 10):
         assert float(f[0, 0, 0, 0]) == float(f[0, 0, 0, 0])
         return (time.perf_counter() - t0) / iters
 
-    shape = "x".join(str(s) for s in domain.shape)
     return normalize_pair2(autotune(
-        f"pair2|{shape}|{cfg.compute_dtype.__name__}",
+        pair2_cache_key(domain, cfg, store_dtype),
         candidates, time_candidate, default))

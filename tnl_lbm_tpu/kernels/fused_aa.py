@@ -519,23 +519,29 @@ def _edge_rep2(v, axis, is_lo, is_hi, lo_src, hi_src, n_lo, n_hi):
     return jnp.concatenate([lo, v[:, n_lo : v.shape[1] - n_hi], hi], 1)
 
 
-def to_padded_aa(f, periodic):
+def to_padded_aa(f, periodic, store_dtype=None):
     """[Q, X, Y, Z] -> the persistent-pad pair state [Q, X+4, Y+16, Zp]
     (x-origin 2, y-origin 8, lanes padded to the 128 multiple) with halo
-    layers filled."""
+    layers filled.  ``store_dtype`` narrows the at-rest state (half
+    storage, see make_fused_pair2_aa)."""
     Q, X, Y, Z = f.shape
+    if store_dtype is not None:
+        f = f.astype(store_dtype)
     Zp = _lane_pad(Z, jax.default_backend() == "cpu")
     fpad = jnp.pad(f, [(0, 0), (2, 2), (8, 8), (0, Zp - Z)], mode="edge")
     return _fill_halos_pad8(fpad, periodic, X, Y, Z, Q)
 
 
-def from_padded_aa(fpad, Z: int | None = None):
+def from_padded_aa(fpad, Z: int | None = None, dtype=None):
     """Persistent-pad state -> plain [Q, X, Y, Z].  Pass the true ``Z``
     when the lane extent was padded (to_padded_aa pads to the 128
-    multiple); with Z=None the full lane extent is returned."""
+    multiple); with Z=None the full lane extent is returned.  ``dtype``
+    widens half-stored state back to the compute dtype."""
     Q, Xp, Yp, Zl = fpad.shape
     out = fpad[:, 2 : Xp - 2, 8 : Yp - 8, :]
-    return out if Z is None else out[..., :Z]
+    if Z is not None:
+        out = out[..., :Z]
+    return out if dtype is None else out.astype(dtype)
 
 
 def _fill_halos_pad8(fpad, periodic, X, Y, Z, Q):
@@ -567,7 +573,7 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
                         vmem_limit_mb: int = 112,
                         _debug_dma: str = "full", z_halo: int = 0,
                         window: str = "pad16", map_mode: str = "i32",
-                        zprofile: bool = False):
+                        zprofile: bool = False, store_dtype=None):
     """One-kernel A-A pair on persistent-padded state: ``pair(fpad, nu,
     u_in, force) -> (fpad_new, rho, u)`` advances TWO lattice steps with a
     single windowed read and a single interior write.
@@ -615,6 +621,21 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
       per-profile z-vector (one jnp.where select per tile).  Per-tile
       classes ride SMEM, the <=4 profiles ride VMEM.  Static maps only.
 
+    Half storage (``store_dtype=jnp.float16`` or ``jnp.bfloat16``): the
+    at-rest DF state travels and sleeps in 16 bits while every arithmetic
+    op stays in the compute dtype (widen after the input DMA, narrow on the
+    interior write) - the FP16S scheme of FluidX3D (Lehmann et al. 2022,
+    doi:10.3390/computation10060092) applied to the A-A pair.  Halves the
+    dominant f traffic AND the f window's VMEM (larger tiles fit), and
+    halves the sharded wrapper's ppermute halo bytes.  Requires
+    ``cfg.well=True``: the well transform stores DEVIATIONS from the rest
+    state (reference common_well.h), so the 10/7-bit mantissa applies to
+    the small signal, not the O(w_q) carrier - without it half storage
+    loses ~log2(1/Ma) bits of the physics.  NOTHING sites round-trip
+    bit-exact (widen->narrow of an unchanged value is the identity).
+    Accuracy is quantified in tests/test_fused_kernel.py and
+    docs/PERFORMANCE.md; this is an explicit opt-in, never autotuned.
+
     Tile sizing: tx > 8 made the round-2 cumulant cascade spill registers
     (the Mosaic OOM dump showed ~72 MB of spill slots at tx=16 - SURVEY.md's
     "register pressure" warning measured); the round-3 cascade carries ~59%
@@ -647,15 +668,41 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
     Zp = _lane_pad(Z, interpret)
     itemsize = jnp.dtype(dtype).itemsize
 
-    def vmem_bytes(tx, ty, k):
-        per_tile = ((Q + 1) * (tx + 4) * (ty + 16)   # window + map (int32)
-                    + (Q + 4) * tx * ty)             # out + rho + u
-        return k * per_tile * Zp * itemsize
+    store = jnp.dtype(dtype) if store_dtype is None else jnp.dtype(store_dtype)
+    half = store != jnp.dtype(dtype)
+    if half:
+        if store not in (jnp.dtype(jnp.float16), jnp.dtype(jnp.bfloat16)):
+            raise ValueError(f"store_dtype must be float16/bfloat16 or the "
+                             f"compute dtype, got {store}")
+        if not cfg.well:
+            raise ValueError(
+                "half storage needs well-conditioned (deviation) DFs: set "
+                "cfg.well=True so the 16-bit mantissa applies to the small "
+                "signal, not the O(w_q) rest-state carrier")
+    s_item = store.itemsize
+    m_item = np.dtype(map_np_dtype).itemsize
+    # half storage: the interior-write scratch gains 8 head rows so its
+    # output DMA offsets are congruent mod 16 (16-bit sublane granularity:
+    # src row 8 === dst row 8 + jt*ty with ty % 16 == 0)
+    oy0 = 8 if half else 0
 
-    tx, ty, K = _fit_tiles_vmem(
-        vmem_bytes, tile, tiles_per_program, X, Y,
-        budget_bytes=min(MOSAIC_SCRATCH_BUDGET,
-                         int(vmem_limit_mb * 0.85 * 1e6)))
+    def vmem_bytes(tx, ty, k):
+        per_tile = (Q * (tx + 4) * (ty + 16) * s_item       # f window
+                    + (tx + 4) * (ty + 16) * m_item         # map window
+                    + Q * tx * (ty + oy0) * s_item          # interior out
+                    + 4 * tx * ty * itemsize)               # rho + u
+        return k * per_tile * Zp
+
+    try:
+        tx, ty, K = _fit_tiles_vmem(
+            vmem_bytes, tile, tiles_per_program, X, Y,
+            budget_bytes=min(MOSAIC_SCRATCH_BUDGET,
+                             int(vmem_limit_mb * 0.85 * 1e6)),
+            ty_align=16 if (half and not interpret) else 8)
+    except AssertionError:
+        raise ValueError(
+            f"half storage needs a tile height that is a multiple of 16 "
+            f"(16-bit DMA sublane granularity); Y={Y} has no such divisor")
     wx, wy = tx + 4, ty + 16  # window extents (x-origin 2, y-origin 8)
     txc, tyc = tx + 2, ty + 2  # odd ring extents
     nx_t, ny_t = X // tx, Y // ty
@@ -776,8 +823,9 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
 
         def out_dmas(tau, t):
             i, jt = tile_ij(tau)
+            src = outs[t].at[:, :, oy0 : oy0 + ty, :] if half else outs[t]
             ds = [pltpu.make_async_copy(
-                outs[t],
+                src,
                 fout_ref.at[:, pl.ds(2 + i * tx, tx), pl.ds(8 + jt * ty, ty), :],
                 sem.at[t, 2],
             )]
@@ -845,7 +893,10 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
 
             def shifted_e(q, offs, scratch=scratch):
                 del offs  # same-site read (streaming_AA.h:16-45)
-                return scratch[q, :, yb:ybe, :]
+                v = scratch[q, :, yb:ybe, :]
+                # half storage: widen once at consumption; all arithmetic
+                # downstream runs in the compute dtype
+                return v.astype(dtype) if half else v
 
             m_sub = m_win[:, yb:ybe, :]
             even_out, _, _ = _stream_bc_collide(
@@ -924,7 +975,11 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
                     [ev[q][2 : 2 + tx, 8 - yb : 8 - yb + ty, :] for q in range(Q)])
                 pushed = jnp.where(m_int == int(GEO.NOTHING), center, pushed)
 
-            outs[t][...] = pushed
+            if half:
+                # narrow on the interior write (the only HBM store of f)
+                outs[t][:, :, oy0 : oy0 + ty, :] = pushed.astype(store)
+            else:
+                outs[t][...] = pushed
             if with_macro:
                 rscr[t][...] = rho_ring[1 : 1 + tx, 1 : 1 + ty, :]
                 uscr[t][...] = u_ring[:, 1 : 1 + tx, 1 : 1 + ty, :]
@@ -967,13 +1022,13 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
             pl.BlockSpec(memory_space=pl.ANY),  # u via manual DMA
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((Q, X + 4, Y + 16, Zp), dtype),
+            jax.ShapeDtypeStruct((Q, X + 4, Y + 16, Zp), store),
             jax.ShapeDtypeStruct((X, Y, Zp) if with_macro else dummy_scr, dtype),
             jax.ShapeDtypeStruct(((3, X, Y, Zp) if with_macro else (3,) + dummy_scr), dtype),
         ),
-        scratch_shapes=[pltpu.VMEM((Q, wx, wy, Zp), dtype) for _ in range(K)]
+        scratch_shapes=[pltpu.VMEM((Q, wx, wy, Zp), store) for _ in range(K)]
         + [pltpu.VMEM((wx, wy, Zp), map_jnp_dtype) for _ in range(K)]
-        + [pltpu.VMEM((Q, tx, ty, Zp), dtype) for _ in range(K)]
+        + [pltpu.VMEM((Q, tx, ty + oy0, Zp), store) for _ in range(K)]
         + [pltpu.VMEM((tx, ty, Zp) if with_macro else dummy_scr, dtype) for _ in range(K)]
         + [pltpu.VMEM((3, tx, ty, Zp) if with_macro else (3,) + dummy_scr, dtype)
            for _ in range(K)]
@@ -1017,6 +1072,7 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
     pair.n_tiles = n_tiles
     pair.zprof_tiles = 0 if not use_zprof else int((zprof_cls != 0).sum())
     pair.n_profiles = n_prof
+    pair.store_dtype = store
     return pair
 
 

@@ -1108,7 +1108,7 @@ def make_sharded_fused_step_aa(cfg: LBMConfig, domain: Domain, plan: ShardPlan,
 
 def make_sharded_fused_pair2_aa(cfg: LBMConfig, domain: Domain, plan: ShardPlan,
                                 tile=(8, 32), tiles_per_program: int = 2,
-                                with_macro: bool = True):
+                                with_macro: bool = True, store_dtype=None):
     """Distributed one-kernel A-A pair: the production 1536-MLUPS path on a
     mesh.  ``pair(fpad, map_arr, nu, u_in, force) -> (fpad_new, rho, u)``
     advances TWO steps per dispatch.
@@ -1151,7 +1151,7 @@ def make_sharded_fused_pair2_aa(cfg: LBMConfig, domain: Domain, plan: ShardPlan,
     pair_local = make_fused_pair2_aa(
         cfg, dom_k, tile=tile, tiles_per_program=tiles_per_program,
         with_macro=with_macro, local_shape=kshape, prepadded=True,
-        z_halo=2 if zsh else 0,
+        z_halo=2 if zsh else 0, store_dtype=store_dtype,
     )
     ax_x, ax_y = plan.spatial_axes[0], plan.spatial_axes[1]
     periodic = domain.periodic
@@ -1275,7 +1275,8 @@ def _pair2_z_layout(plan: ShardPlan, domain: Domain):
     return zw, Zk, _lane_pad(Zk, _jax.default_backend() == "cpu")
 
 
-def to_padded_aa_sharded(f, plan: ShardPlan, domain: Domain):
+def to_padded_aa_sharded(f, plan: ShardPlan, domain: Domain,
+                         store_dtype=None):
     """Plain sharded [Q, X, Y, Z] -> per-shard persistent-pad blocks
     [Q, nx*(Xl+4), ny*(Yl+16), Zp] (halo layers uninitialized; the pair
     wrapper fills them before every call; z-sharded plans add 2 halo
@@ -1284,6 +1285,10 @@ def to_padded_aa_sharded(f, plan: ShardPlan, domain: Domain):
     zw, Zk, Zp = _pair2_z_layout(plan, domain)
 
     def local(fl):
+        if store_dtype is not None:
+            fl = fl.astype(store_dtype)  # half storage: narrow at rest AND
+            # on the wire - the pair wrapper's ppermute halo sweeps move
+            # 16-bit slabs, halving the per-pair ICI traffic
         return jnp.pad(fl, [(0, 0), (2, 2), (8, 8),
                             (zw, zw + Zp - Zk)], mode="edge")
 
@@ -1293,13 +1298,15 @@ def to_padded_aa_sharded(f, plan: ShardPlan, domain: Domain):
     )(f)
 
 
-def from_padded_aa_sharded(fpad, plan: ShardPlan, domain: Domain):
-    """Inverse of ``to_padded_aa_sharded``: strip the per-shard pads."""
+def from_padded_aa_sharded(fpad, plan: ShardPlan, domain: Domain, dtype=None):
+    """Inverse of ``to_padded_aa_sharded``: strip the per-shard pads
+    (``dtype`` widens half-stored state back to the compute dtype)."""
     zw, _, _ = _pair2_z_layout(plan, domain)
     Zl = plan.local_shape(domain)[2]
 
     def local(fl):
-        return fl[:, 2 : fl.shape[1] - 2, 8 : fl.shape[2] - 8, zw : zw + Zl]
+        out = fl[:, 2 : fl.shape[1] - 2, 8 : fl.shape[2] - 8, zw : zw + Zl]
+        return out if dtype is None else out.astype(dtype)
 
     return shard_map(
         local, mesh=plan.mesh,

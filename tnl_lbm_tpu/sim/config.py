@@ -31,6 +31,11 @@ class LBMConfig:
       streaming: "AB" (pull, double buffer) or "AA" (in-place, single buffer).
       well: DFs stored as deviations from lattice weights (well-conditioned).
       compute_dtype: device dtype of DFs and macro fields.
+      storage_dtype: optional 16-bit at-rest dtype for the DF state on the
+        one-kernel A-A pair path (jnp.float16 / jnp.bfloat16; FP16S scheme:
+        every arithmetic op stays in compute_dtype).  Requires well=True.
+        Applies only where the pair2 kernel runs (Simulation pair dispatch,
+        bench); other paths keep compute_dtype.
     """
 
     lat: LatticeDescriptor
@@ -49,9 +54,15 @@ class LBMConfig:
     #: redundant with well=True, which removes the O(1) weight offsets
     #: before rounding, but available for total-DF float32 configs.
     high_precision_rho: bool = False
+    #: 16-bit at-rest DF storage for the pair2 path (see class docstring)
+    storage_dtype: Any = None
 
     def __post_init__(self):
         assert self.streaming in ("AB", "AA")
+        if self.storage_dtype is not None and not self.well:
+            raise ValueError("storage_dtype (half storage) requires well=True "
+                             "(deviation DFs keep the 16-bit mantissa on the "
+                             "small signal)")
 
 
 @dataclasses.dataclass

@@ -613,6 +613,17 @@ class Simulation:
         item 4): compile the per-step even/odd jits and the one-kernel pair,
         time one pair each way on a copy of the state, keep the faster.
         The probe runs once at sim_init; its cost amortizes over the run."""
+        if self.cfg.storage_dtype is not None:
+            # half storage exists only on the pair2 path; silently falling
+            # back to a full-precision per-step kernel would ignore the
+            # user's explicit precision request
+            if self.pair_dispatch is False or not self._pair_dispatch_capable():
+                raise ValueError(
+                    "cfg.storage_dtype (half storage) requires the one-kernel "
+                    "A-A pair path: use_fused=True, streaming='AA', no forcing "
+                    "hook / per-step-state hooks, pair_dispatch not False")
+            self.pair_dispatch = True
+            return
         if self.pair_dispatch != "auto":
             self.pair_dispatch = bool(self.pair_dispatch)
             return
@@ -682,6 +693,7 @@ class Simulation:
                 cached_winner,
                 normalize_pair2,
                 pair2_build_opts,
+                pair2_cache_key,
             )
             from tnl_lbm_tpu.kernels.fused_aa import (
                 from_padded_aa,
@@ -691,22 +703,26 @@ class Simulation:
 
             # adopt a tile/variant winner a previous autotune pass measured
             # on this same chip + lattice shape (bench.py sows the cache)
-            shape_key = "x".join(str(s) for s in self.domain.shape)
-            hit = cached_winner(
-                f"pair2|{shape_key}|{self.cfg.compute_dtype.__name__}")
+            sd = self.cfg.storage_dtype
+            hit = cached_winner(pair2_cache_key(self.domain, self.cfg, sd))
             if hit is not None:
                 tx, ty, k, mode = normalize_pair2(hit)
                 pair = make_fused_pair2_aa(self.cfg, self.domain,
                                            tile=(tx, ty), tiles_per_program=k,
+                                           store_dtype=sd,
                                            **pair2_build_opts(mode))
             else:
-                pair = make_fused_pair2_aa(self.cfg, self.domain)
+                pair = make_fused_pair2_aa(self.cfg, self.domain,
+                                           store_dtype=sd)
 
             def pair_call(fpad, nu, u_in, force):
                 return pair(fpad, nu, u_in=u_in, force=force)
 
-            pad_fn = lambda f: to_padded_aa(f, self.domain.periodic)  # noqa: E731
-            unpad_fn = lambda fp: from_padded_aa(fp, self.domain.shape[-1])  # noqa: E731
+            pad_fn = lambda f: to_padded_aa(  # noqa: E731
+                f, self.domain.periodic, store_dtype=sd)
+            unpad_fn = lambda fp: from_padded_aa(  # noqa: E731
+                fp, self.domain.shape[-1],
+                dtype=self.cfg.compute_dtype if sd is not None else None)
         else:
             from tnl_lbm_tpu.parallel.sharded import (
                 from_padded_aa_sharded,
@@ -714,16 +730,20 @@ class Simulation:
                 to_padded_aa_sharded,
             )
 
+            sd = self.cfg.storage_dtype
             spair = make_sharded_fused_pair2_aa(self.cfg, self.domain,
-                                                self.plan)
+                                                self.plan, store_dtype=sd)
 
             # the sharded map is a jit ARGUMENT (see _jit_step: closed-over
             # multi-process arrays cannot become HLO constants)
             def pair_call(fpad, mp, nu, u_in, force):
                 return spair(fpad, mp, nu, u_in=u_in, force=force)
 
-            pad_fn = lambda f: to_padded_aa_sharded(f, self.plan, self.domain)  # noqa: E731
-            unpad_fn = lambda fp: from_padded_aa_sharded(fp, self.plan, self.domain)  # noqa: E731
+            pad_fn = lambda f: to_padded_aa_sharded(  # noqa: E731
+                f, self.plan, self.domain, store_dtype=sd)
+            unpad_fn = lambda fp: from_padded_aa_sharded(  # noqa: E731
+                fp, self.plan, self.domain,
+                dtype=self.cfg.compute_dtype if sd is not None else None)
         if self.plan is None:
             self._jit_steps["pair2"] = {
                 key: jax.jit(
