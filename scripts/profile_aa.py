@@ -1,5 +1,8 @@
 """Time the A-A fused pair on the real chip vs the A-B fused step."""
 import sys
+if "-h" in sys.argv or "--help" in sys.argv:
+    print(__doc__ or "")
+    raise SystemExit(0)
 import time
 
 import jax

@@ -1,5 +1,8 @@
 """Tile sweep for the A-B fused kernel with the raised VMEM limit."""
 import sys
+if "-h" in sys.argv or "--help" in sys.argv:
+    print(__doc__ or "")
+    raise SystemExit(0)
 import time
 
 import jax

@@ -2,6 +2,9 @@
 pattern but no collision math.  Separates DMA/bandwidth floor from the
 cumulant-cascade compute cost in the fused kernels."""
 import sys
+if "-h" in sys.argv or "--help" in sys.argv:
+    print(__doc__ or "")
+    raise SystemExit(0)
 import time
 
 import jax

@@ -9,6 +9,9 @@ Usage: python scripts/profile_hooked.py [n]
 """
 import dataclasses
 import sys
+if "-h" in sys.argv or "--help" in sys.argv:
+    print(__doc__ or "")
+    raise SystemExit(0)
 import time
 
 import jax

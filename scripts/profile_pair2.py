@@ -5,6 +5,9 @@ Default sweep if no args.  Two-kernel production pair reference: 27.9 ms.
 """
 import dataclasses
 import sys
+if "-h" in sys.argv or "--help" in sys.argv:
+    print(__doc__ or "")
+    raise SystemExit(0)
 import time
 
 import jax

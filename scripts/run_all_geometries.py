@@ -46,21 +46,26 @@ def main(argv=None):
         for g in geometries
         for b in modes
     ]
-    rows = []
-    with ThreadPoolExecutor(max_workers=args.batch) as pool:
-        for sub, value in zip(jobs, pool.map(lambda s: run_submission(s, [gdir]), jobs)):
-            rows.append({
-                "geometry": Path(sub.geometry).name,
-                "bouzidi": "on" if sub.bouzidi else "off",
-                "value": value,
-            })
-            print(rows[-1])
-
+    # the CSV is appended row-by-row and flushed: a sweep killed by a
+    # walltime limit keeps every completed row (round-4 lost a partial
+    # sweep because the file was written only at completion)
+    n_rows = 0
     with open(args.csv, "w", newline="") as fh:
         writer = csv.DictWriter(fh, fieldnames=["geometry", "bouzidi", "value"])
         writer.writeheader()
-        writer.writerows(rows)
-    print(f"wrote {len(rows)} rows to {args.csv}")
+        fh.flush()
+        with ThreadPoolExecutor(max_workers=args.batch) as pool:
+            for sub, value in zip(jobs, pool.map(lambda s: run_submission(s, [gdir]), jobs)):
+                row = {
+                    "geometry": Path(sub.geometry).name,
+                    "bouzidi": "on" if sub.bouzidi else "off",
+                    "value": value,
+                }
+                writer.writerow(row)
+                fh.flush()
+                n_rows += 1
+                print(row)
+    print(f"wrote {n_rows} rows to {args.csv}")
 
 
 if __name__ == "__main__":
