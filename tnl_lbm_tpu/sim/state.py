@@ -206,6 +206,7 @@ class Simulation:
         self.is_coordinator = dist.is_coordinator()
         self._multiprocess = dist.is_multiprocess()
 
+        self._dispatch_cache: dict = {}
         self._lock = FileLock(self.results_dir / "lock")
         self.flags = Flags(self.results_dir)
         self._t_wall_start = time.time()
@@ -781,12 +782,22 @@ class Simulation:
         Multi-process runs pass host numpy values (implicitly replicated
         across the mesh); a process-local jax.Array cannot join a
         computation over a multi-host mesh.  Single-process keeps the
-        device-resident jnp path (no extra per-dispatch RPC on tunneled
-        TPU backends)."""
+        device-resident jnp path AND memoizes the transfer by value: a
+        steady inflow profile (e.g. sim2d_3's parabolic inflow, rebuilt
+        as numpy every step) would otherwise cost one host->device RPC
+        per step - ~30 ms each on tunneled TPU backends, which dominated
+        the round-4 golden sweep at ~100 ms/step on a 128x32 grid."""
         dt = self.cfg.compute_dtype
         if self._multiprocess:
             return np.asarray(x, dtype=jnp.dtype(dt).name)
-        return jnp.asarray(x, dt)
+        arr = np.asarray(x, dtype=jnp.dtype(dt).name)
+        key = (arr.shape, arr.tobytes())
+        hit = self._dispatch_cache.get(key)
+        if hit is None:
+            if len(self._dispatch_cache) >= 64:  # time-varying inflows
+                self._dispatch_cache.clear()     # must not grow unbounded
+            hit = self._dispatch_cache[key] = jnp.asarray(arr, dt)
+        return hit
 
     def _advance_pairs(self, n_pairs: int, nu, uin0=_UNSET):
         """Advance 2*n_pairs steps through the one-kernel A-A pair
@@ -847,6 +858,13 @@ class Simulation:
                 jax.block_until_ready(self.f)
                 self._compute_time += time.perf_counter() - t0
                 return
+        scan_args = self._scan_chunk_args(n_steps, uin0)
+        if scan_args is not None:
+            u0, f0 = scan_args
+            self._advance_scan(n_steps, nu, u0, f0)
+            jax.block_until_ready(self.f)
+            self._compute_time += time.perf_counter() - t0
+            return
         for _ in range(n_steps):
             u_in = uin0 if uin0 is not _UNSET else self.update_inflow(self.phys_time())
             uin0 = _UNSET
@@ -875,6 +893,147 @@ class Simulation:
             self.compute_after_step()
         jax.block_until_ready(self.f)
         self._compute_time += time.perf_counter() - t0
+
+    def _scan_chunk_args(self, n_steps, uin0):
+        """Gate + argument probe for the lax.scan-chunked dispatch.
+
+        Returns ``(u_in, force)`` for the chunk when eligible, else None.
+        Eligible = no overridden per-step driver hooks, AA parity aligned,
+        and the inflow/force hooks return the SAME value at every step time
+        in the chunk (checked exactly, by evaluating each - same hook call
+        count as the per-step loop).  One jitted scan then replaces
+        n_steps jit dispatches: on tunneled TPU backends each dispatch
+        costs ~ms-level RPC latency, which dominated small-grid runs
+        (the round-4 golden sweep measured ~100 ms/step on 128x32)."""
+        if (n_steps < 4
+                or (self.collect_stats and self.vm is None)
+                or (self.collect_stats2 and self.vm_b is None)):
+            return None
+        base = Simulation
+        if (type(self).compute_before_step is not base.compute_before_step
+                or type(self).compute_after_step is not base.compute_after_step
+                or self._hooks_need_per_step_state()):
+            return None
+        if self.cfg.streaming == "AA" and (
+                self.iterations % 2 != 0 or n_steps % 2 != 0):
+            return None
+        dt_phys = self.domain.units.phys_dt
+
+        def same(a, b):
+            if a is None or b is None:
+                return a is None and b is None
+            a, b = np.asarray(a), np.asarray(b)
+            return a.shape == b.shape and np.array_equal(a, b)
+
+        u0 = f0 = None
+        for i in range(n_steps):
+            ti = (self.iterations + i) * dt_phys
+            ui = uin0 if (i == 0 and uin0 is not _UNSET) else self.update_inflow(ti)
+            fi = self.body_force(ti)
+            if i == 0:
+                u0, f0 = ui, fi
+            elif not (same(u0, ui) and same(f0, fi)):
+                return None
+        return u0, f0
+
+    def _advance_scan(self, n_steps, nu, u_in, force):
+        """Advance n_steps via one jitted lax.scan over the per-step kernel
+        (compiler-friendly control flow - SURVEY.md section 7; the analog of
+        the reference's per-step kernel launch loop, state.hpp:1030-1044,
+        amortized into a single device program)."""
+        s1 = self.collect_stats
+        s2 = self.collect_stats2
+        jfn = self._jit_scan(
+            n_steps, u_in is not None, force is not None,
+            uin_profile=jnp.ndim(u_in) > 1 if u_in is not None else False,
+            s1=s1, s2=s2)
+        zero = self._dispatch_arg(np.zeros(self.cfg.lat.D))
+        st1 = ((self.vm, self.vm2, jnp.asarray(float(self.stat_counter)))
+               if s1 else ())
+        st2 = ((self.vm_b, self.vm2_b, jnp.asarray(float(self.stat2_counter)))
+               if s2 else ())
+        self.f, self.rho, self.u, st1, st2 = jfn(
+            self.f, self.rho, self.u,
+            nu,
+            self._dispatch_arg(u_in) if u_in is not None else zero,
+            self._dispatch_arg(force) if force is not None else zero,
+            st1, st2,
+        )
+        if s1:
+            self.vm, self.vm2, _ = st1
+            self.stat_counter += n_steps
+        if s2:
+            self.vm_b, self.vm2_b, _ = st2
+            self.stat2_counter += n_steps
+        self.iterations += n_steps
+
+    def _jit_scan(self, k, have_uin, have_force, uin_profile, s1, s2):
+        key = ("scan", k, have_uin, have_force, uin_profile, s1, s2)
+        if key in self._jit_steps:
+            return self._jit_steps[key]
+        step = (self._uin_fallback_step()
+                if uin_profile and getattr(self, "_vector_uin_only", False)
+                else self._step)
+        hc = (getattr(self.cfg.forcing_hook, "consts", None)
+              if self.cfg.forcing_hook is not None else None)
+        parities = (0, 1) if self.cfg.streaming == "AA" else (0,)
+        n_outer = k // len(parities)
+        D = self.cfg.lat.D
+        pairs = [(a, b) for a in range(D) for b in range(a, D)]
+
+        def upd_stats(u, st):
+            vm, vm2, n = st
+            denom = 1.0 / (n + 1.0)
+            delta = u - vm
+            vm_new = vm + delta * denom
+            delta_new = u - vm_new
+            rows = [vm2[i] + delta_new[a] * delta[b]
+                    for i, (a, b) in enumerate(pairs)]
+            return vm_new, jnp.stack(rows), n + 1.0
+
+        sc = (dict(getattr(step, "sharded_consts", None) or {})
+              if self.plan is not None else {})
+        sc_names = sorted(sc)
+        sc_vals = tuple(sc[n] for n in sc_names)
+
+        def fn(f, rho, u, mp, nu, u_in, force, hook_consts, st1, st2, *sc_in):
+            kw = {} if hc is None else {"hook_consts": hook_consts}
+            kw.update(zip(sc_names, sc_in))
+
+            def one(f, parity):
+                args = (f, nu) if self.plan is None else (f, mp, nu)
+                return step(
+                    *args,
+                    u_in=u_in if have_uin else None,
+                    force=force if have_force else None,
+                    parity=parity, **kw)
+
+            def body(carry, _):
+                f, rho, u, st1, st2 = carry
+                for parity in parities:
+                    f, rho, u = one(f, parity)
+                    if s1:
+                        st1 = upd_stats(u, st1)
+                    if s2:
+                        st2 = upd_stats(u, st2)
+                return (f, rho, u, st1, st2), None
+
+            carry, _ = jax.lax.scan(
+                body, (f, rho, u, st1, st2), None, length=n_outer)
+            return carry
+
+        # same donation rule as _jit_step: the A-A even Pallas kernel must
+        # not alias its output onto its input buffer
+        donate_ok = not (self.use_fused and self.cfg.streaming == "AA")
+        inner = jax.jit(fn, donate_argnums=0 if donate_ok else ())
+        mp = self._map_sharded if self.plan is not None else None
+
+        def jfn(f, rho, u, nu, u_in, force, st1, st2):
+            return inner(f, rho, u, mp, nu, u_in, force, hc, st1, st2,
+                         *sc_vals)
+
+        self._jit_steps[key] = jfn
+        return jfn
 
     def _update_stats(self, u, vm, vm2, n):
         """Online mean + Welford covariance of velocity
