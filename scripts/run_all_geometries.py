@@ -17,6 +17,7 @@ from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root: in-process solver imports
 from run_lbm_simulation import Submission, run_submission  # noqa: E402
 
 
@@ -29,7 +30,18 @@ def main(argv=None):
     p.add_argument("--run-root", default="runs")
     p.add_argument("--final-time", type=float, default=None)
     p.add_argument("--csv", default="geometry_values.csv")
+    p.add_argument("--in-process", action="store_true",
+                   help="run solvers inside this interpreter (sequential): "
+                        "one import + one compile serves the whole sweep")
     args = p.parse_args(argv)
+
+    # persistent XLA compile cache: subprocess rows with identical HLO
+    # (the geometry map is a jit argument, not a baked constant) skip
+    # recompilation across processes
+    import os
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        str(Path.home() / ".cache" / "tnl_lbm_tpu" / "xla_cache"))
 
     gdir = Path(args.geometry_dir)
     geometries = sorted(
@@ -42,10 +54,13 @@ def main(argv=None):
         Submission(
             geometry=str(g), resolution=args.resolution, bouzidi=b,
             run_root=Path(args.run_root), final_time=args.final_time,
+            executor="in-process" if args.in_process else "local",
         )
         for g in geometries
         for b in modes
     ]
+    if args.in_process:
+        args.batch = 1  # sequential: one device, one jit cache
     # the CSV is appended row-by-row and flushed: a sweep killed by a
     # walltime limit keeps every completed row (round-4 lost a partial
     # sweep because the file was written only at completion)

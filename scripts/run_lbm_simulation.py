@@ -145,12 +145,38 @@ def run_submission(sub: Submission, search_dirs=(REPO_ROOT / "geometries",)) -> 
     run_dir = prepare_run_dir(sub, geometry_path)
     if sub.executor == "slurm":
         rc = submit_slurm(sub, run_dir, geometry_path)
+    elif sub.executor == "in-process":
+        rc = execute_in_process(sub, run_dir, geometry_path)
     else:
         rc = execute_local(sub, run_dir, geometry_path)
     if rc != 0:
         print(f"run {sub.name} failed with rc={rc}", file=sys.stderr)
         return None
     return read_result(run_dir, geometry_path)
+
+
+def execute_in_process(sub: Submission, run_dir: Path, geometry_path: Path) -> int:
+    """Run the solver inside THIS interpreter (same run-dir layout and
+    value file as execute_local).  Batch sweeps gain enormously: import +
+    device-client setup happen once, and since the geometry map enters
+    jit as an argument (kernels/fused_2d.py sharded_consts) one compiled
+    program serves every geometry with the same GEO-code set - the
+    round-4 sweep paid ~150 s/row in subprocess mode, nearly all of it
+    per-process compiles."""
+    import importlib
+
+    mod = importlib.import_module(sub.module)
+    try:
+        sim = mod.build(
+            sub.resolution, str(run_dir / geometry_path.name), sub.bouzidi,
+            sub.final_time if sub.final_time is not None else 4.0,
+            results_parent=run_dir, values_dir=run_dir / "values",
+        )
+        sim.run()
+    except Exception as exc:
+        print(f"in-process run {sub.name} failed: {exc!r}", file=sys.stderr)
+        return 1
+    return 0
 
 
 def main(argv=None):

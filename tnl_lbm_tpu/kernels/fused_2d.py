@@ -261,6 +261,15 @@ def make_fused_step_2d(cfg: LBMConfig, domain: Domain,
     map_arr = None if prepadded else np.asarray(domain.map, np.int32)
     bz_arr = (np.asarray(domain.bouzidi, np.float32)
               if has_bouzidi and not prepadded else None)
+    # Geometry arrays are RUNTIME operands of the pallas_call; exposing
+    # them as sharded_consts lets the driver thread them through jit as
+    # arguments instead of closed-over constants.  Closed over, each
+    # geometry bakes a distinct HLO (the map becomes a constant) and a
+    # 108-row golden sweep pays one full XLA compile per row; as
+    # arguments one compiled program serves every geometry with the same
+    # GEO-code set (and the persistent compilation cache hits across
+    # processes).  Direct step() calls without the kwargs still use the
+    # closure values.
 
     def step(f, nu, u_in=None, force=None, parity: int = 0,
              map_arr_in=None, bouzidi_arr=None):
@@ -291,4 +300,9 @@ def make_fused_step_2d(cfg: LBMConfig, domain: Domain,
         f_new, rho, u = call(*ops, f)
         return f_new, rho, u
 
+    if not prepadded:
+        consts = {"map_arr_in": jnp.asarray(map_arr)}
+        if bz_arr is not None:
+            consts["bouzidi_arr"] = jnp.asarray(bz_arr)
+        step.sharded_consts = consts
     return step

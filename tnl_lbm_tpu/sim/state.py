@@ -458,9 +458,22 @@ class Simulation:
         hc = (getattr(self.cfg.forcing_hook, "consts", None)
               if self.cfg.forcing_hook is not None else None)
 
+        # the geometry map (+ bouzidi etc.) enters jit as an ARGUMENT,
+        # never a closure: a closed-over jax.Array becomes an HLO
+        # constant, which (a) multi-process runs cannot even fetch (the
+        # array spans non-addressable devices) and (b) bakes one distinct
+        # compiled program per geometry, so a golden sweep pays a full
+        # XLA compile per row.  Builders expose such arrays as
+        # step.sharded_consts and the driver threads them through here -
+        # sharded AND unsharded alike.
+        sc = dict(getattr(step, "sharded_consts", None) or {})
+        sc_names = sorted(sc)
+        sc_vals = tuple(sc[k] for k in sc_names)
+
         if self.plan is None:
-            def fn(f, nu, u_in, force, hook_consts=None):
+            def fn(f, nu, u_in, force, hook_consts=None, *sc_in):
                 kw = {} if hc is None else {"hook_consts": hook_consts}
+                kw.update(zip(sc_names, sc_in))
                 return step(
                     f, nu,
                     u_in=u_in if have_uin else None,
@@ -468,17 +481,6 @@ class Simulation:
                     parity=parity, **kw,
                 )
         else:
-            # the sharded geometry map enters jit as an ARGUMENT, never a
-            # closure: a closed-over jax.Array becomes an HLO constant,
-            # which multi-process runs cannot even fetch (the array spans
-            # non-addressable devices).  The same rule applies to every
-            # other sharded array the step builder materialized (bouzidi,
-            # fluid mask, transfer flags): builders expose them as
-            # step.sharded_consts and the driver threads them through here.
-            sc = dict(getattr(step, "sharded_consts", None) or {})
-            sc_names = sorted(sc)
-            sc_vals = tuple(sc[k] for k in sc_names)
-
             def fn(f, mp, nu, u_in, force, hook_consts=None, *sc_in):
                 kw = {} if hc is None else {"hook_consts": hook_consts}
                 kw.update(zip(sc_names, sc_in))
@@ -498,8 +500,9 @@ class Simulation:
         )
         inner = jax.jit(fn, donate_argnums=0 if donate_ok else ())
         if self.plan is None:
-            if hc is not None:
-                jfn = lambda f, nu, u_in, force: inner(f, nu, u_in, force, hc)  # noqa: E731
+            if hc is not None or sc_vals:
+                jfn = lambda f, nu, u_in, force: inner(  # noqa: E731
+                    f, nu, u_in, force, hc, *sc_vals)
             else:
                 jfn = inner
         else:
@@ -991,8 +994,7 @@ class Simulation:
                     for i, (a, b) in enumerate(pairs)]
             return vm_new, jnp.stack(rows), n + 1.0
 
-        sc = (dict(getattr(step, "sharded_consts", None) or {})
-              if self.plan is not None else {})
+        sc = dict(getattr(step, "sharded_consts", None) or {})
         sc_names = sorted(sc)
         sc_vals = tuple(sc[n] for n in sc_names)
 
