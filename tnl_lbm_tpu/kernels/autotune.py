@@ -73,7 +73,10 @@ def autotune(key: str, candidates, time_candidate, default, force: bool = False)
     for c in candidates:
         try:
             t = time_candidate(c)
-        except Exception:  # failed compile / OOM on this chip: skip
+        except Exception as exc:  # failed compile / OOM on this chip: skip
+            # record WHY (Mosaic rejection vs OOM vs ...) so the sweep
+            # table distinguishes "rejected" from "slow" from "never ran"
+            results[str(c)] = f"failed: {type(exc).__name__}: {str(exc)[:200]}"
             continue
         results[str(c)] = round(t, 6)
         if best_t is None or t < best_t:
