@@ -41,7 +41,22 @@ V5E_ICI_GBPS_PER_LINK = 186.0
 #: per-host data-center-network bandwidth for the multi-host tier
 #: (order-of-magnitude public figure, ~200 Gbit/s NICs): the halo slabs of
 #: mesh axes that cross HOST boundaries ride DCN, not ICI.
+#: ASSUMED (wire spec) - the only constant in this module not backed by a
+#: measurement on this hardware.  What IS measured
+#: (scripts/measure_multiprocess_overhead.py, committed in
+#: docs/measurements/r5/r5_mp_overhead.json): crossing a jax.distributed
+#: process boundary on the CPU backend costs ~17-20 ms/step fixed
+#: software latency over localhost gRPC.  That number bounds the
+#: MULTI-PROCESS RUNTIME's software stack (parallel/distributed.py), not
+#: the TPU pod's DCN data path - real pods move halo slabs through XLA's
+#: transfer engine, not the CPU backend's gRPC collectives - so it is
+#: recorded here (DCN_FIXED_S_MEASURED_CPU_BACKEND) and deliberately NOT
+#: folded into predicted_weak_scaling's TPU prediction.
 DCN_GBPS_PER_HOST = 25.0
+#: measured same-box cross-process per-step overhead, CPU backend (see
+#: above; 64x32x32: 20.2 ms, 128x64x64: 32.1 ms -> ~17-20 ms fixed +
+#: ~0.06 GB/s streaming)
+DCN_FIXED_S_MEASURED_CPU_BACKEND = 0.020
 
 
 def subset_exchange_ok(domain: Domain) -> bool:
