@@ -151,7 +151,7 @@ def main():
                                       store_dtype=store)
             # force the compile now so a Mosaic failure falls back cleanly
             _probe = advance_pair(init_state)
-            float(_probe[0, 0, 0, 0])
+            float(_probe[0, 2, 8, 0])
             del _probe
         except Exception as exc:  # unknown hardware/Mosaic regression
             import sys
@@ -172,7 +172,7 @@ def main():
                 cfg = cfg_aa
                 init_state = initial_dfs(cfg, dom)
                 _probe = advance_pair(init_state)
-                float(_probe[0, 0, 0, 0])
+                float(_probe[0, 2, 8, 0])
                 del _probe
             except Exception as exc:
                 import sys
@@ -190,13 +190,13 @@ def main():
 
     f = init_state
     f = advance_pair(f)  # compile + warm both parities
-    float(f[0, 0, 0, 0])
+    float(f[0, 2, 8, 0])
 
     calls = 50 if on_tpu else 10
     t0 = time.perf_counter()
     for _ in range(calls):
         f = advance_pair(f)
-    v = float(f[0, 0, 0, 0])  # forces completion (block_until_ready does
+    v = float(f[0, 2, 8, 0])  # forces completion (block_until_ready does
     # not actually block through the remote-TPU tunnel)
     dt = time.perf_counter() - t0
     assert v == v, "NaN in benchmark output"

@@ -58,11 +58,11 @@ def main():
         # timing: state-advance only
         adv = jax.jit(lambda f: pair(f, 0.02, force=force)[0])
         fp2 = adv(fp)
-        float(fp2[0, 0, 0, 0])
+        float(fp2[0, 2, 8, 0])
         t0 = time.perf_counter()
         for _ in range(args.timing_calls):
             fp2 = adv(fp2)
-        float(fp2[0, 0, 0, 0])
+        float(fp2[0, 2, 8, 0])
         dt = (time.perf_counter() - t0) / args.timing_calls
         return u, dt
 

@@ -25,13 +25,13 @@ cfg_aa = dataclasses.replace(cfg, streaming="AA")
 def timeit(label, fn, iters=50):
     f = initial_dfs(cfg, dom)
     f = fn(f)
-    float(f[0, 0, 0, 0])
+    float(f[0, 2, 8, 0])
     f = initial_dfs(cfg, dom)
     f = fn(f)  # warm both parities if pair
     t0 = time.perf_counter()
     for _ in range(iters):
         f = fn(f)
-    float(f[0, 0, 0, 0])
+    float(f[0, 2, 8, 0])
     dt = (time.perf_counter() - t0) / iters
     print(f"{label:40s} {dt*1e3:8.2f} ms {n**3/dt/1e6:8.1f} MLUPS")
     return dt

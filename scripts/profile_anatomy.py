@@ -63,6 +63,7 @@ def main(argv=None):
     force = jnp.array([1e-5, 0.0, 0.0], jnp.float32)
 
     plan = None
+    steps_per_call = 1
     if args.sharded:
         from tnl_lbm_tpu.parallel.sharded import choose_plan, make_sharded_step
 
@@ -72,6 +73,21 @@ def main(argv=None):
         mp = plan.shard_field(jnp.asarray(dom.map), like_f=False)
         jstep = jax.jit(lambda f, p: step(f, mp, 0.02, force=force,
                                           parity=p)[0])
+    elif args.use_fused and args.streaming == "AA":
+        # the PRODUCTION kernel: one-kernel A-A pair (2 steps/dispatch)
+        from tnl_lbm_tpu.kernels.fused_aa import (
+            make_fused_pair2_aa,
+            pad_map_pair2,
+            to_padded_aa,
+        )
+
+        pair2 = make_fused_pair2_aa(cfg, dom)
+        f = to_padded_aa(f, dom.periodic)
+        mp_dev = jnp.asarray(pad_map_pair2(dom.map, dom.periodic, f.shape[-1]))
+        inner = jax.jit(lambda x, mp: pair2(x, 0.02, force=force,
+                                            map_pad_in=mp)[0])
+        jstep = lambda x, p: inner(x, mp_dev)  # noqa: E731
+        steps_per_call = 2
     elif args.use_fused:
         from tnl_lbm_tpu.kernels.fused import make_fused_step
 
@@ -94,7 +110,7 @@ def main(argv=None):
             f = jstep(f, i % 2 if args.streaming == "AA" else 0)
         jax.block_until_ready(f)
     wall = time.perf_counter() - t0
-    step_s = wall / args.steps
+    step_s = wall / (args.steps * steps_per_call)
     mlups = n ** 3 / step_s / 1e6
     print(f"device={jax.devices()[0].platform} n={n} steps={args.steps} "
           f"{step_s * 1e3:.2f} ms/step  {mlups:.1f} MLUPS")

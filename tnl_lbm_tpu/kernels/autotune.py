@@ -195,11 +195,11 @@ def tune_pair2(cfg, domain, candidates=None, iters: int = 10,
         f = to_padded_aa(initial_dfs(cfg, domain), domain.periodic,
                      store_dtype=store_dtype)
         f = step(f)
-        float(f[0, 0, 0, 0])  # compile + sync
+        float(f[0, 2, 8, 0])  # compile + sync
         t0 = time.perf_counter()
         for _ in range(iters):
             f = step(f)
-        assert float(f[0, 0, 0, 0]) == float(f[0, 0, 0, 0])
+        assert float(f[0, 2, 8, 0]) == float(f[0, 2, 8, 0])
         return (time.perf_counter() - t0) / iters
 
     return normalize_pair2(autotune(

@@ -566,6 +566,27 @@ def _fill_halos_pad8(fpad, periodic, X, Y, Z, Q):
     return fpad
 
 
+def pad_map_pair2(map_arr, periodic, Zp: int) -> np.ndarray:
+    """Geometry map -> the pair2 persistent-pad layout [X+4, Y+16, Zp]
+    (x-origin 2, y-origin 8, wrapped halos on periodic axes).  Exposed so
+    callers can thread the padded map through jit as an ARGUMENT
+    (``pair(..., map_pad_in=...)``): closed over, a large map bakes into
+    the lowered HLO as a dense constant - at 512^3 that exceeds the remote
+    compiler's request-size limit (HTTP 413, docs/measurements/r5/
+    r5_demo512.log) before it even reaches Mosaic."""
+    X, Y = map_arr.shape[0], map_arr.shape[1]
+    Z = map_arr.shape[2]
+    mp = np.pad(np.asarray(map_arr, np.int32),
+                [(2, 2), (8, 8), (0, Zp - Z)], mode="edge")
+    if periodic[0]:
+        mp[0:2] = mp[X : X + 2]
+        mp[X + 2 : X + 4] = mp[2:4]
+    if periodic[1]:
+        mp[:, 6:8] = mp[:, Y + 6 : Y + 8]
+        mp[:, Y + 8 : Y + 10] = mp[:, 8:10]
+    return mp
+
+
 def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
                         tile=(8, 32), tiles_per_program: int = 2,
                         with_macro: bool = True, even_band: str = "aligned",
@@ -573,7 +594,8 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
                         vmem_limit_mb: int = 112,
                         _debug_dma: str = "full", z_halo: int = 0,
                         window: str = "pad16", map_mode: str = "i32",
-                        zprofile: bool = False, store_dtype=None):
+                        zprofile: bool = False, store_dtype=None,
+                        halo_in_kernel: bool = True):
     """One-kernel A-A pair on persistent-padded state: ``pair(fpad, nu,
     u_in, force) -> (fpad_new, rho, u)`` advances TWO lattice steps with a
     single windowed read and a single interior write.
@@ -686,6 +708,26 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
     # src row 8 === dst row 8 + jt*ty with ty % 16 == 0)
     oy0 = 8 if half else 0
 
+    # In-kernel halo maintenance (round 5).  The XLA-level
+    # _fill_halos_pad8 after every pair materializes TWO full copies of
+    # the padded array (trace-measured 1.4 ms/pair of pure copy at 256^3,
+    # docs/measurements/r5/r5_anatomy_summary.json, ~10% of the step) and
+    # doubles peak memory.  Instead, edge tiles DMA their own halo images
+    # straight from the output scratch: periodic-x wraps are 2-wide
+    # x-slabs (major dim - no alignment constraint), periodic-y wraps are
+    # 8-row slabs whose extra rows land in the junk band (rows 0..5 /
+    # >= Y+10 are never consumed), corners combine both.  NON-periodic
+    # halos need no maintenance at all: the kernel already edge-replicates
+    # out-of-domain layers from interior values (_edge_rep/_edge_rep2), so
+    # the input halo contents on those axes are don't-care.
+    halo_in_kernel = bool(halo_in_kernel) and not prepadded
+    if half and periodic[1]:
+        # the y-slab destinations (sublane offsets 0 / Y+8) are 8- but not
+        # 16-aligned; 16-bit DMAs need the 16 granule - keep the XLA fill
+        halo_in_kernel = False
+    halo_x = halo_in_kernel and bool(periodic[0])
+    halo_y = halo_in_kernel and bool(periodic[1])
+
     def vmem_bytes(tx, ty, k):
         per_tile = (Q * (tx + 4) * (ty + 16) * s_item       # f window
                     + (tx + 4) * (ty + 16) * m_item         # map window
@@ -715,15 +757,7 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
         map_pad = None  # each shard passes its own padded local map
     else:
         # static padded map, same layout/origins as the state
-        mp = np.pad(np.asarray(domain.map, np.int32),
-                    [(2, 2), (8, 8), (0, Zp - Z)], mode="edge")
-        if periodic[0]:
-            mp[0:2] = mp[X : X + 2]
-            mp[X + 2 : X + 4] = mp[2:4]
-        if periodic[1]:
-            mp[:, 6:8] = mp[:, Y + 6 : Y + 8]
-            mp[:, Y + 8 : Y + 10] = mp[:, 8:10]
-        map_pad = mp.astype(map_np_dtype)
+        map_pad = pad_map_pair2(domain.map, periodic, Zp).astype(map_np_dtype)
 
     # z-profile tile classification (static maps): a tile whose consumed
     # map rows [jt*ty+6, jt*ty+ty+10) x [i*tx, i*tx+wx) are constant over
@@ -842,6 +876,64 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
                 ))
             return ds
 
+        def halo_dmas(tau, t):
+            """(condition, copy) pairs writing this tile's periodic halo
+            images of the pair output.  Start and wait run under the SAME
+            conditions, so semaphore counts always match."""
+            i, jt = tile_ij(tau)
+            src = outs[t]
+            ds = []
+            if halo_x:
+                ds.append((i == nx_t - 1, pltpu.make_async_copy(
+                    src.at[:, tx - 2 : tx, oy0 : oy0 + ty, :],
+                    fout_ref.at[:, 0:2, pl.ds(8 + jt * ty, ty), :],
+                    sem.at[t, hsem])))
+                ds.append((i == 0, pltpu.make_async_copy(
+                    src.at[:, 0:2, oy0 : oy0 + ty, :],
+                    fout_ref.at[:, X + 2 : X + 4, pl.ds(8 + jt * ty, ty), :],
+                    sem.at[t, hsem])))
+            if halo_y:
+                ds.append((jt == ny_t - 1, pltpu.make_async_copy(
+                    src.at[:, :, oy0 + ty - 8 : oy0 + ty, :],
+                    fout_ref.at[:, pl.ds(2 + i * tx, tx), 0:8, :],
+                    sem.at[t, hsem])))
+                ds.append((jt == 0, pltpu.make_async_copy(
+                    src.at[:, :, oy0 : oy0 + 8, :],
+                    fout_ref.at[:, pl.ds(2 + i * tx, tx), Y + 8 : Y + 16, :],
+                    sem.at[t, hsem])))
+            if halo_x and halo_y:
+                # corners: wrap x then wrap y (matches _fill_halos_pad8's
+                # x-first ordering)
+                ds.append(((i == nx_t - 1) & (jt == ny_t - 1),
+                           pltpu.make_async_copy(
+                    src.at[:, tx - 2 : tx, oy0 + ty - 8 : oy0 + ty, :],
+                    fout_ref.at[:, 0:2, 0:8, :], sem.at[t, hsem])))
+                ds.append(((i == nx_t - 1) & (jt == 0),
+                           pltpu.make_async_copy(
+                    src.at[:, tx - 2 : tx, oy0 : oy0 + 8, :],
+                    fout_ref.at[:, 0:2, Y + 8 : Y + 16, :], sem.at[t, hsem])))
+                ds.append(((i == 0) & (jt == ny_t - 1),
+                           pltpu.make_async_copy(
+                    src.at[:, 0:2, oy0 + ty - 8 : oy0 + ty, :],
+                    fout_ref.at[:, X + 2 : X + 4, 0:8, :], sem.at[t, hsem])))
+                ds.append(((i == 0) & (jt == 0), pltpu.make_async_copy(
+                    src.at[:, 0:2, oy0 : oy0 + 8, :],
+                    fout_ref.at[:, X + 2 : X + 4, Y + 8 : Y + 16, :],
+                    sem.at[t, hsem])))
+            return ds
+
+        def start_halo(tau, t):
+            for cond, d in halo_dmas(tau, t):
+                @pl.when(cond)
+                def _(d=d):
+                    d.start()
+
+        def wait_halo(tau, t):
+            for cond, d in halo_dmas(tau, t):
+                @pl.when(cond)
+                def _(d=d):
+                    d.wait()
+
         # warm-up: the first program starts its own input DMAs; every later
         # program's inputs were prefetched by its predecessor
         @pl.when(p == 0)
@@ -864,6 +956,7 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
                 def _(t=t, tau=tau):
                     for d in out_dmas(tau - K, t):
                         d.wait()
+                    wait_halo(tau - K, t)
 
                 wait_inputs(tau, t)
             scratch = fscr[t]
@@ -986,6 +1079,7 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
             if _debug_dma == "full":
                 for d in out_dmas(tau, t):
                     d.start()
+                start_halo(tau, t)
 
                 # slot t is free: prefetch the next program's slot-t tile so
                 # its input DMA overlaps this program's remaining compute
@@ -1000,8 +1094,14 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
                     if _debug_dma == "none":
                         d.start()
                     d.wait()
+                if _debug_dma == "none":
+                    start_halo(p * K + t, t)
+                wait_halo(p * K + t, t)
 
     n_sems = 5 if with_macro else 3
+    hsem = n_sems
+    if halo_x or halo_y:
+        n_sems += 1
     dummy_scr = (1, 8, 128)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     if use_zprof:
@@ -1057,9 +1157,12 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
             fpad_new, rho, u = call(params, cls_const, fpad, mp_in, prof_const)
         else:
             fpad_new, rho, u = call(params, fpad, mp_in)
-        if not prepadded:
+        if not prepadded and not halo_in_kernel:
             # halos for the NEXT pair; the distributed wrapper exchanges
-            # them with ppermute before each call instead
+            # them with ppermute before each call instead.  With
+            # halo_in_kernel the periodic images were DMA'd by the edge
+            # tiles and non-periodic halos are don't-care (in-kernel edge
+            # replication) - no XLA-level copy at all.
             fpad_new = _fill_halos_pad8(fpad_new, periodic, X, Y, Z, Q)
         if not with_macro:
             return fpad_new, None, None
@@ -1073,6 +1176,7 @@ def make_fused_pair2_aa(cfg: LBMConfig, domain: Domain,
     pair.zprof_tiles = 0 if not use_zprof else int((zprof_cls != 0).sum())
     pair.n_profiles = n_prof
     pair.store_dtype = store
+    pair.halo_in_kernel = halo_in_kernel
     return pair
 
 
