@@ -81,22 +81,41 @@ def main():
     gib = f.size * f.dtype.itemsize / 2**30
     print(f"padded state: {f.shape} {f.dtype} = {gib:.2f} GiB at rest")
 
-    pair2 = make_fused_pair2_aa(cfg, dom, store_dtype=store)
+    from tnl_lbm_tpu.kernels.fused_aa import pad_map_pair2
+
+    # capacity-demo build: no rho/u output fields (they would cost another
+    # 2.1 GB at 512^3) and the int8 map window (the padded i32 map alone
+    # is 0.56 GB); state advance is all the capacity claim needs
+    pair2 = make_fused_pair2_aa(cfg, dom, store_dtype=store,
+                                with_macro=False, map_mode="i8")
+    # the geometry map rides as a jit ARGUMENT: closed over, the 512^3
+    # padded map is a >70 MB HLO constant and the remote compile request
+    # exceeds the tunnel's size limit (HTTP 413)
+    map_dev = jax.device_put(jnp.asarray(
+        pad_map_pair2(dom.map, dom.periodic, f.shape[-1]), jnp.int8))
 
     adv = None
     for donate, label in ((None, "non-aliased in/out"), (0, "donated (aliased)")):
         try:
-            cand = jax.jit(lambda x: pair2(x, 0.02, force=force)[0],
+            cand = jax.jit(lambda x, mp: pair2(x, 0.02, force=force,
+                                               map_pad_in=mp)[0],
                            donate_argnums=() if donate is None else (0,))
-            f2 = cand(f)
+            f2 = cand(f, map_dev)
             float(f2[0, 2, 8, 0])
-            adv, f = cand, f2
+            adv, f = (lambda x: cand(x, map_dev)), f2
             print(f"buffer mode: {label}")
             break
         except Exception as exc:
             print(f"{label} failed: {type(exc).__name__}: {str(exc)[:300]}")
             if donate is not None:
                 raise
+            # free the failed attempt's buffers before re-init
+            import gc
+
+            f = None
+            if "f2" in dir():
+                del f2
+            gc.collect()
             f = init()  # donated fallback needs a fresh state
     assert adv is not None
 

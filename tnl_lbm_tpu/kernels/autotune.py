@@ -132,7 +132,10 @@ def pair2_cache_key(domain, cfg, store_dtype=None) -> str:
     import jax.numpy as jnp
 
     shape = "x".join(str(s) for s in domain.shape)
-    key = f"pair2|{shape}|{cfg.compute_dtype.__name__}"
+    # "hk5": kernel-generation tag - round-5 in-kernel halos changed the
+    # cost model, so winners measured against the old kernel must not be
+    # adopted (stale entries keep their old keys and simply go unused)
+    key = f"pair2|hk5|{shape}|{cfg.compute_dtype.__name__}"
     if store_dtype is not None:
         key += f"|store={jnp.dtype(store_dtype).name}"
     return key
