@@ -43,6 +43,14 @@ def main():
     p.add_argument("--n", type=int, default=256)
     p.add_argument("--calls", type=int, default=20)
     p.add_argument("--patterns", default="AA,AB")
+    p.add_argument("--tiles", default=None,
+                   help="comma list of TXxTYxK single-kernel NN tile "
+                        "geometries to sweep (e.g. 8x16x2,16x32x1); the "
+                        "default build uses (8,16) K=2.  The odd-parity "
+                        "window is (tx+8)x(ty+16): at (8,16) that is a 4x "
+                        "read amplification, at (16,32) 2.25x - tile "
+                        "geometry is the single biggest lever on the "
+                        "hooked step's HBM traffic")
     args = p.parse_args()
 
     import jax
@@ -61,12 +69,19 @@ def main():
     hook = nn.make_nn_forcing_hook(model, periodic=tuple(dom.periodic))
     force = jnp.asarray([1e-6, 0.0, 0.0], cfg.compute_dtype)
 
+    cases = [("pure", None, {}),
+             ("hooked-NN-single", hook, {}),
+             ("hooked-NN-pipeline", hook, {"single_kernel": False})]
+    if args.tiles:
+        cases = []
+        for spec in args.tiles.split(","):
+            tx, ty, k = (int(v) for v in spec.split("x"))
+            cases.append((f"hooked-NN-single[{spec}]", hook,
+                          {"tile": (tx, ty), "tiles_per_program": k}))
+
     for streaming in args.patterns.split(","):
         parities = (0, 1) if streaming == "AA" else (0,)
-        for label, fh, kw in (("pure", None, {}),
-                              ("hooked-NN-single", hook, {}),
-                              ("hooked-NN-pipeline", hook,
-                               {"single_kernel": False})):
+        for label, fh, kw in cases:
             cfgh = dataclasses.replace(cfg, streaming=streaming,
                                        forcing_hook=fh)
             if fh is not None:

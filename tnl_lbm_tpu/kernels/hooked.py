@@ -58,6 +58,11 @@ def make_hooked_fused_step(cfg: LBMConfig, domain: Domain, **kernel_kwargs):
     # rheology + forcing + collision in ONE Pallas program per parity
     # (kernels/fused_nn_step.py); the three-phase pipeline below stays the
     # fallback for per-site force fields (IBM) and unsupported geometries
+    # tile geometry kwargs belong to the single-kernel NN build only; the
+    # three-phase fallback builders have their own (different) tilings
+    nn_kwargs = {k: kernel_kwargs.pop(k) for k in
+                 ("tile", "tiles_per_program", "with_macro")
+                 if k in kernel_kwargs}
     nn_single = None
     if (single_kernel and pallas_hook and lat.D == 3
             and getattr(hook, "nn_model", None) is not None):
@@ -65,9 +70,7 @@ def make_hooked_fused_step(cfg: LBMConfig, domain: Domain, **kernel_kwargs):
 
         if fused_nn_step.supports(cfg, domain, hook.nn_periodic):
             nn_single = fused_nn_step.make_fused_nn_step(
-                cfg, domain, hook.nn_model, hook.nn_periodic,
-                **{k: v for k, v in kernel_kwargs.items()
-                   if k in ("tile", "tiles_per_program", "with_macro")})
+                cfg, domain, hook.nn_model, hook.nn_periodic, **nn_kwargs)
     # round 3: the macro pre-pass and the main kernel read the SAME haloed
     # array - build both prepadded and pad once per step (saves a full
     # read+write pass of the DF field)
