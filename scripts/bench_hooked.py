@@ -75,9 +75,12 @@ def main():
     if args.tiles:
         cases = []
         for spec in args.tiles.split(","):
-            tx, ty, k = (int(v) for v in spec.split("x"))
-            cases.append((f"hooked-NN-single[{spec}]", hook,
-                          {"tile": (tx, ty), "tiles_per_program": k}))
+            fields = [int(v) for v in spec.split("x")]
+            tx, ty, k = fields[:3]
+            kw = {"tile": (tx, ty), "tiles_per_program": k}
+            if len(fields) > 3:  # TXxTYxKxBUDGET_MB: lift the VMEM fit cap
+                kw["vmem_budget"] = fields[3] * 2**20
+            cases.append((f"hooked-NN-single[{spec}]", hook, kw))
 
     for streaming in args.patterns.split(","):
         parities = (0, 1) if streaming == "AA" else (0,)

@@ -174,8 +174,13 @@ class IBM:
     DENSE_A_MAX_POINTS = 32768
 
     #: largest node count for which the node-space Gram B = W^T W is
-    #: materialized densely ([u, u] f32; 24576 -> 2.4 GB)
-    NODE_DENSE_CAP = 24576
+    #: materialized densely ([u, u] f32; 32768 -> 4 GB, comfortably inside
+    #: a 16 GB v5e next to the lattice fields.  Round 5: raised from 24576
+    #: after the canonical 1e5-points-on-96^3-sphere case measured u ~ 29k
+    #: and fell through to the point-space Gram, whose neighbor list is
+    #: quadratic-ish on clouds this dense (the 3e8-candidate MemoryError
+    #: in docs/measurements/r5/r5_ibm_1e5.log)
+    NODE_DENSE_CAP = 32768
 
     # ------------------------------------------------------------ operators
     def _build_operators(self):
@@ -234,7 +239,20 @@ class IBM:
                 self.diag = jnp.asarray(self._gram_diag_np(), jnp.float32)
             else:
                 radius = 2.0 * float(_SUPPORT[self.dirac])
-                ks, ls = neighbor_pairs(self.ll_lat, radius)
+                try:
+                    ks, ls = neighbor_pairs(self.ll_lat, radius)
+                except MemoryError:
+                    # cloud denser than the lattice: every point overlaps
+                    # hundreds of others and an explicit point-space Gram
+                    # is near-quadratic - solve matrix-free through the
+                    # compact node space instead (exact, same Krylov space)
+                    self.log.info(
+                        "IBM: point cloud too dense for an explicit Gram "
+                        "(m=%d, u=%d) -> matrix-free node-space operator",
+                        self.m, self.u)
+                    self.diag = jnp.asarray(self._gram_diag_np(),
+                                            jnp.float32)
+                    return
                 vals = self._pair_gram(ks, ls)
                 idx, val = pack_ellpack(ks, ls, vals, self.m,
                                         drop_below=0.0)

@@ -142,7 +142,8 @@ def _rep_lo_hi(v, axis, lo_bad, hi_bad):
 def make_fused_nn_step(cfg: LBMConfig, domain: Domain, model, nn_periodic,
                        tile=None, tiles_per_program: int = 2,
                        with_macro: bool = True,
-                       prepadded: bool = False, local_shape=None):
+                       prepadded: bool = False, local_shape=None,
+                       vmem_budget: int | None = None):
     """Single-kernel non-Newtonian step.
 
     ``step(f, nu, u_in=None, force=None, parity=0) -> (f_new, rho, u)``
@@ -180,8 +181,6 @@ def make_fused_nn_step(cfg: LBMConfig, domain: Domain, model, nn_periodic,
     Zp = _lane_pad(Z, interpret)
     itemsize = jnp.dtype(dtype).itemsize
     map_np = np.asarray(domain.map, np.int32)
-    fluid_np = (map_np == int(GEO.FLUID)).astype(
-        np.float32 if dtype == jnp.float32 else np.dtype(dtype))
 
     if tile is None:
         tile = (8, 16)
@@ -216,7 +215,7 @@ def make_fused_nn_step(cfg: LBMConfig, domain: Domain, model, nn_periodic,
             return -(-raw // 8) * 8
 
         def vmem_bytes(tx, ty, K):
-            scr = K * (Q + 2) * wx(tx) * wy(ty) * Zp * itemsize
+            scr = K * (Q + 1) * wx(tx) * wy(ty) * Zp * itemsize
             ncx, ncy = tx + 2 * ring, ty + 2 * ring
             # in-register temporaries Mosaic keeps live: f_in on the u
             # region + 6 S components + 3 u on the extended regions
@@ -226,8 +225,10 @@ def make_fused_nn_step(cfg: LBMConfig, domain: Domain, model, nn_periodic,
             bspec = 2 * tx * ty * K * out_ch * Z * itemsize
             return scr + tmp // 2 + bspec
 
-        tx, ty, K = _fit_tiles_vmem(vmem_bytes, tile, tiles_per_program,
-                                    X, Y, budget_bytes=MOSAIC_SCRATCH_BUDGET)
+        tx, ty, K = _fit_tiles_vmem(
+            vmem_bytes, tile, tiles_per_program, X, Y,
+            budget_bytes=(vmem_budget if vmem_budget is not None
+                          else MOSAIC_SCRATCH_BUDGET))
         assert X % tx == 0 and Y % (ty * K) == 0 and ty % 8 == 0, \
             (X, Y, tile, tx, ty, K)
         fx, fy = wx(tx), wy(ty)
@@ -240,19 +241,18 @@ def make_fused_nn_step(cfg: LBMConfig, domain: Domain, model, nn_periodic,
         dummy = (8, 8, 128)
 
         if not prepadded:
-            # static pads (domain-BC semantics for the map; the fluid mask
-            # pad shares the same wrap since per[:2] == periodic[:2])
+            # static pad (domain-BC semantics; the fluid mask is derived
+            # from the map IN-REGISTER below - its pad would share the same
+            # wrap since per[:2] == periodic[:2], so mask == (map == FLUID)
+            # holds on the halo layers too)
             map_pad = _pad_xy_np(map_np, periodic, x_org, x_org,
                                  y_org, fy - ty - y_org, extra_z=Zp - Z)
-            mask_pad = _pad_xy_np(fluid_np, periodic, x_org, x_org,
-                                  y_org, fy - ty - y_org, extra_z=Zp - Z)
 
-        def kernel(params_ref, fpad_hbm, mp_hbm, msk_hbm, fout_ref,
+        def kernel(params_ref, fpad_hbm, mp_hbm, fout_ref,
                    rho_ref, u_ref, *rest):
             fscr = rest[:K]
             mscr = rest[K:2 * K]
-            kscr = rest[2 * K:3 * K]
-            sem = rest[3 * K]
+            sem = rest[2 * K]
             i = pl.program_id(0)
             j = pl.program_id(1)
 
@@ -265,12 +265,9 @@ def make_fused_nn_step(cfg: LBMConfig, domain: Domain, model, nn_periodic,
                 d2 = pltpu.make_async_copy(
                     mp_hbm.at[pl.ds(i * tx, fx), pl.ds(jt * ty, fy), :],
                     mscr[t], sem.at[t, 1])
-                d3 = pltpu.make_async_copy(
-                    msk_hbm.at[pl.ds(i * tx, fx), pl.ds(jt * ty, fy), :],
-                    kscr[t], sem.at[t, 2])
-                for d in (d1, d2, d3):
+                for d in (d1, d2):
                     d.start()
-                dmas.append((d1, d2, d3))
+                dmas.append((d1, d2))
 
             for t in range(K):
                 jt = j * K + t
@@ -278,7 +275,10 @@ def make_fused_nn_step(cfg: LBMConfig, domain: Domain, model, nn_periodic,
                     d.wait()
                 fw = fscr[t]
                 mw = mscr[t]
-                kw = kscr[t]
+                # fluid-mask window, derived in-register (saves the third
+                # window DMA + K scratch buffers the round-3 kernel spent
+                # on a mask that is a pure function of the map)
+                kw = (mw[...] == int(GEO.FLUID)).astype(dtype)
 
                 # ---- stage 1: u* on the extended region (nux, nuy) ----
                 if mode == "even":
@@ -526,7 +526,6 @@ def make_fused_nn_step(cfg: LBMConfig, domain: Domain, model, nn_periodic,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pl.ANY),  # fpad stays in HBM
                 pl.BlockSpec(memory_space=pl.ANY),  # map pad stays in HBM
-                pl.BlockSpec(memory_space=pl.ANY),  # mask pad stays in HBM
             ],
             out_specs=(
                 pl.BlockSpec((Q, tx, tyK, Z), lambda i, j: (0, i, j, 0),
@@ -550,8 +549,7 @@ def make_fused_nn_step(cfg: LBMConfig, domain: Domain, model, nn_periodic,
             scratch_shapes=[pltpu.VMEM((Q, fx, fy, Zp), dtype)
                             for _ in range(K)]
             + [pltpu.VMEM((fx, fy, Zp), jnp.int32) for _ in range(K)]
-            + [pltpu.VMEM((fx, fy, Zp), dtype) for _ in range(K)]
-            + [pltpu.SemaphoreType.DMA((K, 3))],
+            + [pltpu.SemaphoreType.DMA((K, 2))],
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=112 * 1024 * 1024),
@@ -563,19 +561,18 @@ def make_fused_nn_step(cfg: LBMConfig, domain: Domain, model, nn_periodic,
             xs = slice(4 - x_org, 4 - x_org + X + 2 * x_org)
             ys = slice(8 - y_org, 8 - y_org + Y + fy - ty)
 
-            def run(fmaster, params, mp_master, mk_master):
+            def run(fmaster, params, mp_master):
                 return call(params, fmaster[:, xs, ys, :],
-                            mp_master[xs, ys, :], mk_master[xs, ys, :])
+                            mp_master[xs, ys, :])
 
             return run
 
         mp_j = jnp.asarray(map_pad)
-        mk_j = jnp.asarray(mask_pad)
 
         def run(f, params):
             fpad = _pad_xy_jnp(f, periodic, x_org, x_org,
                                y_org, fy - ty - y_org, extra_z=Zp - Z)
-            return call(params, fpad, mp_j, mk_j)
+            return call(params, fpad, mp_j)
 
         return run
 
@@ -588,6 +585,7 @@ def make_fused_nn_step(cfg: LBMConfig, domain: Domain, model, nn_periodic,
 
     def step(f, nu, u_in=None, force=None, parity: int = 0,
              map_master=None, mask_master=None, bflags=None):
+        del mask_master  # derived from the map in-kernel since round 5
         assert force is None or jnp.ndim(force) <= 1, \
             "single-kernel NN step takes a homogeneous [3] force"
         flags = (jnp.ones((6,), dtype) if bflags is None
@@ -595,9 +593,9 @@ def make_fused_nn_step(cfg: LBMConfig, domain: Domain, model, nn_periodic,
         params = jnp.concatenate([_params_vec(dtype, nu, u_in, force), flags])
         run = runs[parity if cfg.streaming == "AA" else 0]
         if prepadded:
-            assert map_master is not None and mask_master is not None, \
-                "prepadded NN step requires runtime map/mask master pads"
-            f_new, rho, u = run(f, params, map_master, mask_master)
+            assert map_master is not None, \
+                "prepadded NN step requires a runtime map master pad"
+            f_new, rho, u = run(f, params, map_master)
         else:
             f_new, rho, u = run(f, params)
         if not with_macro:

@@ -61,7 +61,7 @@ def make_hooked_fused_step(cfg: LBMConfig, domain: Domain, **kernel_kwargs):
     # tile geometry kwargs belong to the single-kernel NN build only; the
     # three-phase fallback builders have their own (different) tilings
     nn_kwargs = {k: kernel_kwargs.pop(k) for k in
-                 ("tile", "tiles_per_program", "with_macro")
+                 ("tile", "tiles_per_program", "with_macro", "vmem_budget")
                  if k in kernel_kwargs}
     nn_single = None
     if (single_kernel and pallas_hook and lat.D == 3

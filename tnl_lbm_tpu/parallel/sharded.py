@@ -729,9 +729,9 @@ def make_sharded_fused_nn_step(cfg: LBMConfig, domain: Domain,
         return ((idx == n - 1) if last else (idx == 0)).astype(dtype)
 
     def local(parity, f, mp, msk, nu, u_in, force):
+        del msk  # the kernel derives the fluid mask from the map (round 5)
         fpad = _master(f, 1)
         mpad = _master(mp.astype(jnp.int32), 0)
-        kpad = _master(msk, 0)
         one = jnp.asarray(1.0, dtype)
         bflags = jnp.stack([
             _bflag(ax_x, False), _bflag(ax_x, True),
@@ -739,7 +739,7 @@ def make_sharded_fused_nn_step(cfg: LBMConfig, domain: Domain,
             one, one,  # z is unsharded: this shard owns both z boundaries
         ])
         return local_step(fpad, nu, u_in=u_in, force=force, parity=parity,
-                          map_master=mpad, mask_master=kpad, bflags=bflags)
+                          map_master=mpad, bflags=bflags)
 
     def step(f, map_arr, nu, u_in=None, force=None, parity: int = 0,
              fluid_mask=None):
